@@ -1,0 +1,27 @@
+from .apply import ApplyStats, apply_changes, apply_changes_with_evolution, lww_latest, lww_latest_window
+from .changelog import (
+    CHANGE_LOG_SCHEMA,
+    generate_change_log,
+    materialize_change_log,
+    read_change_log,
+)
+from .replay import Checkpoint, ReplayReport, ReplayRunner
+from .skew import detect_hot_keys, salted_join, salted_lww_latest
+
+__all__ = [
+    "ApplyStats",
+    "apply_changes",
+    "apply_changes_with_evolution",
+    "lww_latest",
+    "lww_latest_window",
+    "CHANGE_LOG_SCHEMA",
+    "generate_change_log",
+    "materialize_change_log",
+    "read_change_log",
+    "Checkpoint",
+    "ReplayReport",
+    "ReplayRunner",
+    "detect_hot_keys",
+    "salted_join",
+    "salted_lww_latest",
+]

@@ -1,0 +1,189 @@
+"""Last-writer-wins merge-apply: change-log batch → icehouse upsert.
+
+The core operator of the engine.  Semantics (generalizing the reference's
+LWW dedup, ``anomaly_detection/big_query/extraction.py:74-87`` — sort by
+surrogate id desc, keep first per key — and its MERGE upsert,
+``product_categorization/big_query/data_store.py:42-86``):
+
+1. reduce the batch to the **latest event per doc_id by LSN** (ties impossible
+   by construction except verbatim duplicate delivery, which is idempotent),
+2. tombstone semantics: latest op 'D' deletes the row; an earlier 'D' is
+   superseded by any later I/U (delete-then-reinsert works),
+3. merge into the table: only bucket partitions containing changed keys are
+   read + rewritten (partition-level COW), everything else carries over.
+
+Scale notes (the 100-TB story):
+
+- LWW reduction uses ``groupBy(doc_id).agg(max_by(payload, lsn))`` rather than
+  a window + row_number.  ``max_by`` is a declarative aggregate with **partial
+  (map-side) aggregation**: a hot doc_id with millions of events is pre-reduced
+  to one row per map task before the shuffle, so hot keys cost O(#tasks), not
+  O(#events), at the reducer.  A window function would hash ALL events of the
+  hot key to one task — the exact skew failure the salted splitter (skew.py)
+  exists to fix for operators that can't partially aggregate.
+- The anti-join side (base rows that survive) joins base-partition data against
+  only the changed keys; the changed-key set per epoch is typically small, so
+  Spark/AQE broadcasts it — no shuffle of the base table at all.
+- Writes touch only affected buckets: an epoch touching 3% of keys rewrites
+  ~3% of data files.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..table.icehouse import PART_COL, CommitResult, IcehouseTable
+
+
+def lww_latest(changes: DataFrame, key: str = "doc_id", order: str = "lsn") -> DataFrame:
+    """Latest event per key by ``order`` — skew-resistant two-phase aggregate.
+
+    Equivalent to ``row_number() OVER (PARTITION BY key ORDER BY order DESC)=1``
+    but with map-side combine (see module docstring).
+    """
+    payload_cols = [c for c in changes.columns if c != key]
+    latest = changes.groupBy(key).agg(
+        F.max_by(F.struct(*payload_cols), F.col(order)).alias("_latest")
+    )
+    return latest.select(key, *[F.col(f"_latest.{c}").alias(c) for c in payload_cols])
+
+
+def lww_latest_window(changes: DataFrame, key: str = "doc_id", order: str = "lsn") -> DataFrame:
+    """Window-function variant (single-shuffle but hot-key-prone; kept for
+    equivalence testing and as the pattern for order-sensitive variants)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(order).desc())
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+@dataclass
+class ApplyStats:
+    result: CommitResult
+    events_in: int
+    keys_changed: int
+    deletes: int
+
+
+def apply_changes(
+    table: IcehouseTable,
+    changes: DataFrame,
+    epoch: int | None = None,
+    count_input: bool = False,
+    target_schema=None,
+) -> ApplyStats:
+    """Apply one change-log batch to the table (one atomic commit).
+
+    ``changes`` schema: (lsn, op, doc_id, <logical payload cols>, ...).
+    Exactly-once: if ``epoch`` was already committed this returns skipped
+    without reading or writing any data.
+
+    ``target_schema``: evolved logical schema (see
+    apply_changes_with_evolution); both the batch and the surviving base rows
+    are conformed to it, and the schema change commits atomically with the data.
+    """
+    if epoch is not None and table.epoch_committed(epoch):
+        return ApplyStats(
+            CommitResult(table.version, table.meta["snapshot_id"], epoch, skipped=True), 0, 0, 0
+        )
+    key = table.key_col
+    target_schema = target_schema or table.schema
+    logical_cols = target_schema.fieldNames()
+
+    # conform the batch payload to the target schema, keeping lsn/op
+    conformed = changes.select(
+        "lsn",
+        "op",
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in changes.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in target_schema.fields
+        ],
+    )
+    latest = lww_latest(conformed, key=key).withColumn(PART_COL, table.bucket_expr())
+    latest = latest.persist()
+    try:
+        # per-partition lineage + affected-partition discovery in ONE pass
+        part_stats = {
+            int(r[PART_COL]): r
+            for r in latest.groupBy(PART_COL)
+            .agg(
+                F.min("lsn").alias("lsn_min"),
+                F.max("lsn").alias("lsn_max"),
+                F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("rows_deleted"),
+                F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).alias("rows_upserted"),
+            )
+            .collect()
+        }
+        affected = sorted(part_stats)
+        keys_changed = sum(
+            int(r["rows_deleted"] + r["rows_upserted"]) for r in part_stats.values()
+        )
+        deletes = sum(int(r["rows_deleted"]) for r in part_stats.values())
+        if not affected:
+            return ApplyStats(
+                CommitResult(table.version, table.meta["snapshot_id"], epoch, skipped=False),
+                0, 0, 0,
+            )
+
+        base = table.read(latest.sparkSession, partitions=affected, with_part_col=True)
+        changed_keys = latest.select(key)
+        survivors = base.join(changed_keys, key, "left_anti")
+        upserts = latest.where(F.col("op") != "D").select(*logical_cols, PART_COL)
+        survivors_conformed = survivors.select(
+            *[
+                F.col(f.name) if f.name in survivors.columns else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in target_schema.fields
+            ],
+            PART_COL,
+        )
+        merged = survivors_conformed.unionByName(upserts)
+
+        lineage = {
+            p: {
+                "lsn_min": int(r["lsn_min"]),
+                "lsn_max": int(r["lsn_max"]),
+                "rows_upserted": int(r["rows_upserted"]),
+                "rows_deleted": int(r["rows_deleted"]),
+            }
+            for p, r in part_stats.items()
+        }
+        result = table.overwrite_partitions(
+            merged,
+            epoch=epoch,
+            lineage_extra=lineage,
+            incoming_schema=target_schema if target_schema != table.schema else None,
+        )
+        events_in = changes.count() if count_input else keys_changed
+        return ApplyStats(result, events_in, keys_changed, deletes)
+    finally:
+        latest.unpersist()
+
+
+def apply_changes_with_evolution(
+    table: IcehouseTable,
+    changes: DataFrame,
+    epoch: int | None = None,
+) -> ApplyStats:
+    """Like apply_changes, but first merges the batch's payload schema into the
+    table schema under additive-evolution rules (new nullable columns /
+    widenings accepted, everything else raises SchemaEvolutionError).
+    Reference analog: ``SchemaUpdateOption.ALLOW_FIELD_ADDITION``
+    (dim_variant.py:263-265)."""
+    from pyspark.sql import types as T
+
+    from ..table.icehouse import evolve_schema
+
+    incoming_payload = T.StructType(
+        [f for f in changes.schema.fields if f.name not in ("lsn", "epoch", "op")]
+    )
+    new_schema, _changed = evolve_schema(table.schema, incoming_payload)
+    return apply_changes(table, changes, epoch=epoch, target_schema=new_schema)

@@ -1,0 +1,19 @@
+from .icehouse import (
+    PART_COL,
+    CommitResult,
+    ConcurrentCommitError,
+    IcehouseTable,
+    SchemaEvolutionError,
+    conform_to_schema,
+    evolve_schema,
+)
+
+__all__ = [
+    "PART_COL",
+    "CommitResult",
+    "ConcurrentCommitError",
+    "IcehouseTable",
+    "SchemaEvolutionError",
+    "conform_to_schema",
+    "evolve_schema",
+]

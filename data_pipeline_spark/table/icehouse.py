@@ -1,0 +1,459 @@
+"""Icehouse — an Iceberg-style table format on plain Parquet + a JSON metadata log.
+
+No Iceberg runtime jar ships in this environment, so the engine defines the
+table contract itself and implements it with:
+
+- immutable Parquet data files grouped per (snapshot, bucket-partition) dir,
+- a metadata log ``metadata/v{N}.metadata.json`` where each version is created
+  with an **exclusive-create (O_EXCL) compare-and-set** — two concurrent
+  committers cannot both win a version, giving atomic, serialized commits,
+- snapshot isolation + time travel (read any retained version),
+- **exactly-once epoch fencing**: every commit records the change-log epoch it
+  applied; replaying an already-committed epoch is a verified no-op,
+- partition-level overwrite: a commit rewrites only the bucket partitions it
+  touches and re-links the untouched ones (the 100-TB property: an epoch that
+  touches 3% of keys rewrites ~3% of the table, not all of it),
+- additive schema evolution without table rewrite: new nullable columns and
+  integer/float widenings are merged into the table schema; old data files are
+  simply read with the new schema (missing columns → NULL),
+- per-partition lineage records (LSN range, row counts, snapshot id).
+
+Reference parity (studied, not copied — the reference delegates all of this to
+BigQuery): day-partitioned+clustered DDL ``transformations/loading/bigquery/
+loader.py:118-138``, partition-decorator overwrite ``staging_data_cleaner.py:
+101-146``, additive schema evolution ``dim_variant.py:263-265``, MERGE upsert
+``product_categorization/big_query/data_store.py:42-86``, idempotent re-run
+fencing ``priceforecasting/bigquery_handler.py:216-225``.
+
+Scale design: ``n_buckets`` is a table property — 16 in tests, thousands on a
+real cluster so each bucket partition holds O(10-100 GB).  All data paths are
+plain directories, so the same layout works on HDFS/S3A URIs (rename-based CAS
+would move to a catalog service or S3 conditional PUT there; the contract is
+identical).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PART_COL = "_part"  # physical bucket-partition column (not part of the logical schema)
+
+# ---------------------------------------------------------------------------
+# schema evolution rules (additive only)
+# ---------------------------------------------------------------------------
+
+_WIDENINGS: dict[tuple[str, str], bool] = {
+    ("integer", "long"): True,
+    ("short", "integer"): True,
+    ("short", "long"): True,
+    ("byte", "short"): True,
+    ("byte", "integer"): True,
+    ("byte", "long"): True,
+    ("float", "double"): True,
+}
+
+
+class SchemaEvolutionError(ValueError):
+    """Incoming schema requires a non-additive (rejected) change."""
+
+
+def evolve_schema(current: T.StructType, incoming: T.StructType) -> tuple[T.StructType, bool]:
+    """Merge ``incoming`` into ``current`` under additive-evolution rules.
+
+    Allowed:  new nullable columns; widening int→long / float→double
+    ("source-tag widening").  Rejected: dropped columns become nullable-kept
+    (old data keeps them), type narrowing, incompatible type changes, new
+    non-nullable columns.
+
+    Returns (merged_schema, changed).
+    """
+    cur = {f.name: f for f in current.fields}
+    changed = False
+    merged: list[T.StructField] = []
+    for f in current.fields:
+        if f.name in {g.name for g in incoming.fields}:
+            g = next(g for g in incoming.fields if g.name == f.name)
+            if g.dataType == f.dataType:
+                merged.append(f)
+            elif _WIDENINGS.get((f.dataType.typeName(), g.dataType.typeName())):
+                merged.append(T.StructField(f.name, g.dataType, True))
+                changed = True
+            elif _WIDENINGS.get((g.dataType.typeName(), f.dataType.typeName())):
+                merged.append(f)  # incoming is narrower: keep wide table type
+            else:
+                raise SchemaEvolutionError(
+                    f"column {f.name!r}: cannot change {f.dataType.simpleString()} "
+                    f"-> {g.dataType.simpleString()} (only additive evolution allowed)"
+                )
+        else:
+            merged.append(f)  # column absent from incoming: keep (reads as NULL for new data)
+    for g in incoming.fields:
+        if g.name not in cur:
+            if not g.nullable:
+                # new columns must be nullable: old rows have no value for them
+                g = T.StructField(g.name, g.dataType, True)
+            merged.append(g)
+            changed = True
+    return T.StructType(merged), changed
+
+
+def conform_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project ``df`` onto ``schema`` — missing columns become NULL, present
+    columns are cast where the cast is a recorded widening."""
+    cols = []
+    have = {f.name: f for f in df.schema.fields}
+    for f in schema.fields:
+        if f.name in have:
+            if have[f.name].dataType == f.dataType:
+                cols.append(F.col(f.name))
+            else:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# metadata model
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CommitResult:
+    version: int
+    snapshot_id: str
+    epoch: int | None
+    skipped: bool = False  # True => epoch already committed (exactly-once no-op)
+    partitions_rewritten: list[int] = field(default_factory=list)
+    rows_written: int = 0
+
+
+class ConcurrentCommitError(RuntimeError):
+    pass
+
+
+class IcehouseTable:
+    """Handle to one icehouse table rooted at a directory."""
+
+    FORMAT_VERSION = 1
+
+    def __init__(self, root: str, meta: dict[str, Any]):
+        self.root = root
+        self.meta = meta
+
+    # -- lifecycle ----------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        root: str,
+        schema: T.StructType,
+        key_col: str = "doc_id",
+        n_buckets: int = 16,
+        properties: dict[str, str] | None = None,
+    ) -> "IcehouseTable":
+        if key_col not in schema.fieldNames():
+            raise ValueError(f"key column {key_col!r} not in schema")
+        os.makedirs(os.path.join(root, "metadata"), exist_ok=False)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        meta = {
+            "format_version": cls.FORMAT_VERSION,
+            "table_uuid": str(uuid.uuid4()),
+            "version": 0,
+            "snapshot_id": "s00000000",
+            "parent_version": None,
+            "schema": schema.jsonValue(),
+            "key_col": key_col,
+            "n_buckets": n_buckets,
+            "partition_spec": f"bucket({key_col}, {n_buckets}) -> {PART_COL}",
+            "partitions": {},  # str(part) -> {"path": rel_dir, "rows": int}
+            "epoch_watermark": -1,
+            "committed_epochs": {},  # str(epoch) -> summary
+            "lineage": [],  # per-partition commit records
+            "properties": properties or {},
+            "committed_at": None,
+        }
+        t = cls(root, meta)
+        t._write_metadata(meta)
+        return t
+
+    @classmethod
+    def load(cls, root: str, version: int | None = None) -> "IcehouseTable":
+        v = version if version is not None else cls._latest_version(root)
+        if v is None:
+            raise FileNotFoundError(f"no icehouse metadata under {root}")
+        with open(os.path.join(root, "metadata", f"v{v:08d}.metadata.json")) as fh:
+            return cls(root, json.load(fh))
+
+    @staticmethod
+    def _latest_version(root: str) -> int | None:
+        mdir = os.path.join(root, "metadata")
+        if not os.path.isdir(mdir):
+            return None
+        versions = [
+            int(name[1:9])
+            for name in os.listdir(mdir)
+            if name.endswith(".metadata.json") and name[1:9].isdigit()
+        ]
+        return max(versions) if versions else None
+
+    def refresh(self) -> "IcehouseTable":
+        self.meta = IcehouseTable.load(self.root).meta
+        return self
+
+    # -- properties ----------------------------------------------------------
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.meta["schema"])
+
+    @property
+    def key_col(self) -> str:
+        return self.meta["key_col"]
+
+    @property
+    def n_buckets(self) -> int:
+        return self.meta["n_buckets"]
+
+    @property
+    def version(self) -> int:
+        return self.meta["version"]
+
+    @property
+    def epoch_watermark(self) -> int:
+        return self.meta["epoch_watermark"]
+
+    def epoch_committed(self, epoch: int) -> bool:
+        return str(epoch) in self.meta["committed_epochs"]
+
+    def bucket_expr(self, col: str | None = None):
+        """The bucket partitioner: pmod(xxhash64(key), n_buckets).
+
+        xxhash64 is Spark's builtin, bit-stable across runs/versions — replay
+        equality depends on this determinism (reference analog: xxhash32
+        surrogate keys, dim_shop_product.py:225-245)."""
+        return F.pmod(F.xxhash64(F.col(col or self.key_col)), F.lit(self.n_buckets)).cast("int")
+
+    # -- read path ------------------------------------------------------------
+
+    def read(
+        self,
+        spark: SparkSession,
+        partitions: list[int] | None = None,
+        with_part_col: bool = False,
+    ) -> DataFrame:
+        """Read the current snapshot (optionally only some bucket partitions —
+        this is partition pruning: untouched buckets are never scanned)."""
+        read_schema = T.StructType(
+            list(self.schema.fields) + [T.StructField(PART_COL, T.IntegerType(), True)]
+        )
+        parts = self.meta["partitions"]
+        keys = [str(p) for p in partitions] if partitions is not None else list(parts.keys())
+        paths = [os.path.join(self.root, parts[k]["path"]) for k in keys if k in parts]
+        if not paths:
+            df = spark.createDataFrame([], read_schema)
+        else:
+            df = spark.read.schema(read_schema).parquet(*paths)
+        return df if with_part_col else df.drop(PART_COL)
+
+    def row_count(self) -> int:
+        return sum(p["rows"] for p in self.meta["partitions"].values())
+
+    # -- write path -----------------------------------------------------------
+
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        epoch: int | None = None,
+        lineage_extra: dict[str, Any] | None = None,
+        incoming_schema: T.StructType | None = None,
+        max_retries: int = 5,
+    ) -> CommitResult:
+        """Atomically replace the bucket partitions present in ``df``.
+
+        ``df`` must contain the logical columns plus ``_part``; ONLY the
+        distinct ``_part`` values present are rewritten — all other partitions
+        carry over by reference (no data movement).
+
+        Exactly-once: if ``epoch`` is not None and already committed, this is
+        a no-op (skipped=True) and no data is written.
+
+        Concurrency: optimistic — the metadata version is claimed with an
+        exclusive create; on collision the commit retries against the refreshed
+        metadata (data files are snapshot-scoped so no partial state leaks).
+        """
+        if epoch is not None and self.epoch_committed(epoch):
+            return CommitResult(self.version, self.meta["snapshot_id"], epoch, skipped=True)
+
+        new_schema = self.schema
+        schema_changed = False
+        if incoming_schema is not None:
+            new_schema, schema_changed = evolve_schema(self.schema, incoming_schema)
+
+        # conform + deterministic physical layout:
+        #   one task per bucket (repartition by _part), rows sorted by key
+        #   within each file → byte-identical output at any parallelism level.
+        with_part = df if PART_COL in df.columns else df.withColumn(PART_COL, self.bucket_expr())
+        # conform to the (possibly evolved) schema and keep the partition column
+        out = with_part.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in with_part.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in new_schema.fields
+            ],
+            F.col(PART_COL).cast("int").alias(PART_COL),
+        )
+        stats = {
+            int(r[PART_COL]): int(r["cnt"])
+            for r in out.groupBy(PART_COL).agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        affected = sorted(stats)
+
+        for _attempt in range(max_retries):
+            self.refresh()
+            if epoch is not None and self.epoch_committed(epoch):
+                return CommitResult(self.version, self.meta["snapshot_id"], epoch, skipped=True)
+            new_version = self.version + 1
+            # data dir is unique per commit ATTEMPT (not per version): two racing
+            # writers must never share a directory — the metadata CAS below, not
+            # the filesystem write, decides who wins the version.
+            snapshot_id = f"s{new_version:08d}-{uuid.uuid4().hex[:8]}"
+            sdir_rel = os.path.join("data", snapshot_id)
+            sdir = os.path.join(self.root, sdir_rel)
+            if affected:
+                (
+                    out.repartition(max(len(affected), 1), F.col(PART_COL))
+                    .sortWithinPartitions(PART_COL, self.key_col)
+                    .withColumn("_pw", F.col(PART_COL))
+                    .write.mode("overwrite")
+                    .partitionBy("_pw")
+                    .parquet(sdir)
+                )
+            # build next metadata
+            meta = json.loads(json.dumps(self.meta))  # deep copy
+            meta["version"] = new_version
+            meta["parent_version"] = self.version
+            meta["snapshot_id"] = snapshot_id
+            meta["schema"] = new_schema.jsonValue()
+            for p in affected:
+                meta["partitions"][str(p)] = {
+                    "path": os.path.join(sdir_rel, f"_pw={p}"),
+                    "rows": stats[p],
+                }
+            # drop partitions that became empty
+            meta["partitions"] = {k: v for k, v in meta["partitions"].items() if v["rows"] > 0}
+            lineage_rows = [
+                {
+                    "snapshot_id": snapshot_id,
+                    "version": new_version,
+                    "epoch": epoch,
+                    "partition": p,
+                    "rows_after": stats[p],
+                    **(lineage_extra or {}).get(p, (lineage_extra or {}).get(str(p), {})),
+                }
+                for p in affected
+            ]
+            meta["lineage"] = (meta["lineage"] + lineage_rows)[-10000:]
+            if epoch is not None:
+                meta["epoch_watermark"] = max(meta["epoch_watermark"], epoch)
+                meta["committed_epochs"][str(epoch)] = {
+                    "version": new_version,
+                    "snapshot_id": snapshot_id,
+                    "partitions": affected,
+                    "rows_written": sum(stats.values()),
+                }
+            if schema_changed:
+                meta.setdefault("schema_log", []).append(
+                    {"version": new_version, "schema": new_schema.jsonValue()}
+                )
+            meta["committed_at"] = time.time()
+            try:
+                self._write_metadata(meta)
+            except FileExistsError:
+                # another writer claimed this version — clean our orphan data and retry
+                if os.path.isdir(sdir):
+                    shutil.rmtree(sdir, ignore_errors=True)
+                continue
+            self.meta = meta
+            return CommitResult(
+                new_version, snapshot_id, epoch,
+                partitions_rewritten=affected, rows_written=sum(stats.values()),
+            )
+        raise ConcurrentCommitError(f"lost {max_retries} consecutive commit races on {self.root}")
+
+    def _write_metadata(self, meta: dict[str, Any]) -> None:
+        """Exclusive-create CAS: version N can be written exactly once."""
+        mdir = os.path.join(self.root, "metadata")
+        final = os.path.join(mdir, f"v{meta['version']:08d}.metadata.json")
+        # O_EXCL: fails with FileExistsError if a concurrent committer won
+        fd = os.open(final, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        try:
+            with os.fdopen(fd, "w") as fh:
+                json.dump(meta, fh, indent=1)
+                fh.flush()
+                os.fsync(fh.fileno())
+        except BaseException:
+            os.unlink(final)
+            raise
+        hint_tmp = os.path.join(mdir, f".version-hint.{os.getpid()}.tmp")
+        with open(hint_tmp, "w") as fh:
+            fh.write(str(meta["version"]))
+        os.replace(hint_tmp, os.path.join(mdir, "version-hint.text"))
+
+    # -- maintenance ----------------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 3) -> list[str]:
+        """Delete data dirs referenced only by metadata versions older than the
+        last ``keep_last`` (Iceberg analog: expire_snapshots; reference analog:
+        365-day partition expiry, loader.py:135)."""
+        mdir = os.path.join(self.root, "metadata")
+        versions = sorted(
+            int(n[1:9]) for n in os.listdir(mdir) if n.endswith(".metadata.json")
+        )
+        keep_versions = versions[-keep_last:]
+        live_dirs: set[str] = set()
+        for v in keep_versions:
+            meta = IcehouseTable.load(self.root, version=v).meta
+            for p in meta["partitions"].values():
+                live_dirs.add(p["path"].split("/_pw=")[0])
+        removed = []
+        ddir = os.path.join(self.root, "data")
+        for snap in os.listdir(ddir):
+            rel = os.path.join("data", snap)
+            if rel not in live_dirs:
+                shutil.rmtree(os.path.join(ddir, snap), ignore_errors=True)
+                removed.append(rel)
+        for v in versions[:-keep_last]:
+            os.unlink(os.path.join(mdir, f"v{v:08d}.metadata.json"))
+        return removed
+
+    def lineage_df(self, spark: SparkSession) -> DataFrame:
+        """Per-partition lineage as a DataFrame (queryable audit log)."""
+        schema = T.StructType(
+            [
+                T.StructField("snapshot_id", T.StringType()),
+                T.StructField("version", T.IntegerType()),
+                T.StructField("epoch", T.IntegerType()),
+                T.StructField("partition", T.IntegerType()),
+                T.StructField("rows_after", T.LongType()),
+                T.StructField("lsn_min", T.LongType()),
+                T.StructField("lsn_max", T.LongType()),
+                T.StructField("rows_upserted", T.LongType()),
+                T.StructField("rows_deleted", T.LongType()),
+            ]
+        )
+        rows = [
+            tuple(rec.get(f.name) for f in schema.fields) for rec in self.meta["lineage"]
+        ]
+        return spark.createDataFrame(rows, schema)

@@ -1,0 +1,233 @@
+"""M1-M4 core CDC tests: LWW replay correctness vs a sequential oracle,
+exactly-once epoch fencing, checkpoint resume, schema evolution, skew paths.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_pipeline_spark.cdc import (
+    ReplayRunner,
+    apply_changes,
+    generate_change_log,
+    lww_latest,
+    lww_latest_window,
+    salted_lww_latest,
+    detect_hot_keys,
+)
+from data_pipeline_spark.table import IcehouseTable, SchemaEvolutionError, evolve_schema
+
+TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+
+def sequential_oracle(log_rows):
+    """Replay the collected change log one event at a time in lsn order —
+    the ground-truth final state {doc_id: (tokens, n_tok, source)}."""
+    state = {}
+    for r in sorted(log_rows, key=lambda r: r["lsn"]):
+        if r["op"] == "D":
+            state.pop(r["doc_id"], None)
+        else:
+            state[r["doc_id"]] = (
+                tuple(r["tokens"]) if r["tokens"] is not None else None,
+                r["n_tok"],
+                r["source"],
+            )
+    return state
+
+
+def table_state(table, spark):
+    return {
+        r["doc_id"]: (
+            tuple(r["tokens"]) if r["tokens"] is not None else None,
+            r["n_tok"],
+            r["source"],
+        )
+        for r in table.read(spark).collect()
+    }
+
+
+@pytest.fixture()
+def small_log(spark):
+    return generate_change_log(
+        spark, n_events=4000, n_docs=300, events_per_epoch=1000, seed=42
+    ).persist()
+
+
+def test_changelog_determinism_and_consistency(spark, small_log):
+    a = small_log.orderBy("lsn", "doc_id").collect()
+    b = (
+        generate_change_log(spark, n_events=4000, n_docs=300, events_per_epoch=1000, seed=42)
+        .orderBy("lsn", "doc_id")
+        .collect()
+    )
+    assert a == b, "generator must be bit-deterministic across runs"
+    bad = small_log.where(
+        (F.col("op") != "D") & (F.size("tokens") != F.col("n_tok"))
+    ).count()
+    assert bad == 0, "n_tok must equal size(tokens)"
+    # duplicates exist (at-least-once delivery) and are verbatim
+    dups = small_log.groupBy("lsn").count().where("count > 1")
+    assert dups.count() > 0
+
+
+def test_lww_variants_agree(spark, small_log):
+    """max_by aggregation, window row_number, and salted two-phase must
+    produce the identical latest-per-key relation."""
+    a = {r["doc_id"]: r["lsn"] for r in lww_latest(small_log).collect()}
+    b = {r["doc_id"]: r["lsn"] for r in lww_latest_window(small_log).collect()}
+    c = {r["doc_id"]: r["lsn"] for r in salted_lww_latest(small_log).collect()}
+    assert a == b == c
+
+
+def test_full_replay_matches_sequential_oracle(spark, small_log, tmp_path):
+    table = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=8)
+    runner = ReplayRunner(table, str(tmp_path / "ckpt.json"))
+    report = runner.run(small_log)
+    oracle = sequential_oracle(small_log.collect())
+    got = table_state(table, spark)
+    assert got == oracle, "final state must match sequential replay (token-array equality)"
+    assert table.row_count() == len(oracle)
+    assert report.total_events > 0
+
+
+def test_exactly_once_replay_is_noop(spark, small_log, tmp_path):
+    table = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=8)
+    runner = ReplayRunner(table, str(tmp_path / "ckpt.json"))
+    runner.run(small_log)
+    v1 = table.version
+    state1 = table_state(table, spark)
+    # replay the whole log again — every epoch must be fenced out
+    report2 = ReplayRunner(table, str(tmp_path / "ckpt2.json")).run(small_log)
+    assert all(e.skipped for e in report2.epochs)
+    assert table.version == v1, "no new snapshots on replayed epochs"
+    assert table_state(table, spark) == state1
+
+
+def test_crash_between_commit_and_checkpoint_resumes_correctly(spark, small_log, tmp_path):
+    table = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=8)
+    ckpt = str(tmp_path / "ckpt.json")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ReplayRunner(table, ckpt).run(small_log, fail_after_commit_of=1)
+    # epoch 1 committed to the table but NOT checkpointed — resume must skip it
+    table = IcehouseTable.load(str(tmp_path / "t"))
+    report = ReplayRunner(table, ckpt).run(small_log)
+    skipped = {e.epoch for e in report.epochs if e.skipped}
+    assert {0, 1} <= skipped
+    assert table_state(table, spark) == sequential_oracle(small_log.collect())
+
+
+def test_resume_from_checkpoint_partial(spark, small_log, tmp_path):
+    table = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=8)
+    ckpt = str(tmp_path / "ckpt.json")
+    ReplayRunner(table, ckpt).run(small_log, epochs=[0, 1])
+    # fresh runner resumes and completes the remaining epochs
+    table2 = IcehouseTable.load(str(tmp_path / "t"))
+    ReplayRunner(table2, ckpt).run(small_log)
+    assert table_state(table2, spark) == sequential_oracle(small_log.collect())
+
+
+def test_tombstone_then_reinsert(spark, tmp_path):
+    rows = [
+        (1, "I", "a", [1, 2], 2, "s"),
+        (2, "D", "a", None, None, "s"),
+        (3, "I", "a", [9], 1, "s"),
+        (4, "I", "b", [5], 1, "s"),
+        (5, "D", "b", None, None, "s"),
+    ]
+    log = spark.createDataFrame(
+        rows, "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    table = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=4)
+    apply_changes(table, log, epoch=0)
+    got = table_state(table, spark)
+    assert got == {"a": ((9,), 1, "s")}, "later reinsert survives; later delete removes"
+
+
+def test_schema_evolution_additive(spark, small_log, tmp_path):
+    table = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=8)
+    ReplayRunner(table, str(tmp_path / "c1")).run(small_log, epochs=[0, 1])
+    # epoch 2+ carries a new nullable column `quality`
+    widened = small_log.where("epoch >= 2").withColumn(
+        "quality", (F.col("lsn") % 100).cast("float") / 100.0
+    )
+    ReplayRunner(table, str(tmp_path / "c2")).run(widened)
+    assert "quality" in table.schema.fieldNames()
+    df = table.read(spark)
+    # rows last touched before the evolution read back NULL quality
+    assert df.where(F.col("quality").isNull()).count() > 0
+    assert df.where(F.col("quality").isNotNull()).count() > 0
+    # token-array equality still holds vs the oracle over the full log
+    oracle = sequential_oracle(small_log.collect())
+    got = {
+        r["doc_id"]: (
+            tuple(r["tokens"]) if r["tokens"] is not None else None,
+            r["n_tok"],
+            r["source"],
+        )
+        for r in df.collect()
+    }
+    assert got == oracle
+
+
+def test_schema_evolution_rejects_narrowing():
+    cur = TABLE_SCHEMA
+    bad = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("n_tok", T.StringType()),  # int -> string: reject
+        ]
+    )
+    with pytest.raises(SchemaEvolutionError):
+        evolve_schema(cur, bad)
+    # widening int->long is allowed
+    widen = T.StructType([T.StructField("n_tok", T.LongType())])
+    merged, changed = evolve_schema(cur, widen)
+    assert changed and dict((f.name, f.dataType) for f in merged.fields)["n_tok"] == T.LongType()
+
+
+def test_partition_level_rewrite_only_touches_affected(spark, small_log, tmp_path):
+    table = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=8)
+    ReplayRunner(table, str(tmp_path / "c")).run(small_log)
+    before = {k: v["path"] for k, v in table.meta["partitions"].items()}
+    # single-key update: exactly one bucket should be rewritten
+    one = spark.createDataFrame(
+        [(10_000_000, "U", "doc_00000001", [7, 7, 7], 3, "src0")],
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    stats = apply_changes(table, one, epoch=9999)
+    assert len(stats.result.partitions_rewritten) == 1
+    after = {k: v["path"] for k, v in table.meta["partitions"].items()}
+    unchanged = [k for k in before if k not in map(str, stats.result.partitions_rewritten)]
+    assert all(before[k] == after[k] for k in unchanged), "untouched buckets carry over by reference"
+
+
+def test_time_travel_and_lineage(spark, small_log, tmp_path):
+    table = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=8)
+    ReplayRunner(table, str(tmp_path / "c")).run(small_log, epochs=[0])
+    v_after_0 = table.version
+    count_after_0 = table.row_count()
+    ReplayRunner(table, str(tmp_path / "c")).run(small_log)
+    old = IcehouseTable.load(str(tmp_path / "t"), version=v_after_0)
+    assert old.read(spark).count() == count_after_0, "time travel to an old snapshot"
+    lin = table.lineage_df(spark)
+    assert lin.where("lsn_min is null or lsn_max is null").count() == 0
+    assert lin.select("epoch").distinct().count() >= 4
+
+
+def test_hot_key_detection(spark):
+    log = generate_change_log(spark, n_events=20000, n_docs=2000, seed=42)
+    hot = detect_hot_keys(log, sample_fraction=0.2, hot_share_threshold=0.005)
+    rows = hot.collect()
+    assert len(rows) > 0
+    # hot keys are, by construction, in the low-numbered prefix group
+    assert all(int(r["doc_id"].split("_")[1]) < 20 for r in rows)
