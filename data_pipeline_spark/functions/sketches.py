@@ -1,0 +1,132 @@
+"""Dedup / similarity sketches: MinHash, LSH banding, SimHash, cosine.
+
+Design for 100 TB:
+- MinHash signatures are computed per-row with array higher-order functions
+  (transform/array_min) — no explode of the shingle array, no shuffle, no UDF.
+- The k hash functions are ``md5(shingle || '#' || i)`` with the LEXICOGRAPHIC
+  min as the signature element.  md5-hex min is a valid min-wise hash family
+  and — unlike xxhash64 — is bit-identical in DuckDB/Trino/BigQuery, so the
+  correctness oracle can recompute signatures exactly.
+- SimHash uses Spark's builtin xxhash64 bit-sliced JVM-side (Spark-only; its
+  oracle check is rows-only).
+- Cosine is zip_with + aggregate in double precision (codegen'd); the Pandas
+  UDF variant exists for wide embeddings where Arrow-batch numpy beats codegen.
+
+Reference parity: the reference's only similarity machinery is a FAISS L2
+index over title embeddings (``product_matching/prediction_pipeline/
+product_matcher.py:50-142``); these sketches are its scale-out generalization.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def minhash_signature(shingles: Column | str, k: int = 16) -> Column:
+    """MinHash signature: array of k lexicographic-min md5 hashes.
+
+    Empty shingle arrays yield NULL signature elements (doc has no content).
+    """
+    sh = _c(shingles)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat_ws("#", s, F.lit(str(i))))))
+            for i in range(k)
+        ]
+    )
+
+
+def lsh_band_keys(signature: Column | str, bands: int, rows_per_band: int) -> Column:
+    """LSH banding: array of ``bands`` bucket keys, each the md5 of one band's
+    signature rows prefixed with the band index (so buckets from different
+    bands never collide).  Docs sharing ANY band key are candidate pairs."""
+    sig = _c(signature)
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    *[F.element_at(sig, b * rows_per_band + r + 1) for r in range(rows_per_band)],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def simhash64(shingles: Column | str) -> Column:
+    """64-bit SimHash over a shingle array, fully JVM-side.
+
+    For each of 64 bit positions, sum +1/-1 votes from each shingle's
+    xxhash64 bit; the sign of the sum gives the output bit.  Implemented as
+    an aggregate over the shingle array into a 64-slot vote array — no UDF,
+    no explode.
+    """
+    sh = _c(shingles)
+    votes = F.aggregate(
+        sh,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda b: F.when(F.shiftright(F.xxhash64(s), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def hamming64(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two 64-bit SimHashes (popcount of XOR)."""
+    x = _c(a).bitwiseXOR(_c(b))
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(63)),
+        F.lit(0),
+        lambda acc, i: acc + F.shiftright(x, i).bitwiseAND(F.lit(1)).cast("int"),
+    )
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity of two float arrays, double-precision, codegen'd."""
+    av, bv = _c(a), _c(b)
+    dot = F.aggregate(
+        F.zip_with(av, bv, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(av, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate(bv, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb))
+
+
+def l2_norm_udf():
+    """Arrow-batched L2 norm: one numpy matrix op per batch (embeddings are
+    uniform-length, so the batch stacks into a dense 2-D array — no per-row
+    Python).  Returned lazily (pandas_udf type parsing needs a session)."""
+
+    @pandas_udf("double")
+    def _norm(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        mat = np.stack(v.to_numpy()).astype("float64")
+        return pd.Series(np.sqrt((mat * mat).sum(axis=1)))
+
+    return _norm

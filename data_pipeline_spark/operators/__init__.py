@@ -1,0 +1,38 @@
+"""Reusable relational operators (SURVEY.md §2 catalog), Spark-first.
+
+Each operator is a function DataFrame→DataFrame built from declarative
+DataFrame ops so Catalyst can push filters, prune columns, and choose join
+strategies; Python never touches rows except via Arrow-batched UDFs.
+"""
+
+from .windows import (
+    latest_per_key,
+    price_changes,
+    robust_zscore_anomalies,
+    sequence_windows,
+    topk_per_group,
+    trailing_mean,
+)
+from .merge import (
+    distinct_union,
+    insert_if_absent,
+    merge_update,
+    work_queue,
+)
+from .dedup import (
+    embedding_near_duplicates,
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from .similarity import brute_force_topk, lsh_bucketed_topk
+
+__all__ = [
+    "latest_per_key", "price_changes", "robust_zscore_anomalies",
+    "sequence_windows", "topk_per_group", "trailing_mean",
+    "distinct_union", "insert_if_absent", "merge_update", "work_queue",
+    "embedding_near_duplicates", "exact_duplicates", "minhash_lsh_candidates",
+    "ngram_jaccard_pairs", "simhash_near_duplicates",
+    "brute_force_topk", "lsh_bucketed_topk",
+]

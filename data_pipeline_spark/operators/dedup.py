@@ -1,0 +1,177 @@
+"""Corpus deduplication operators: exact, MinHash-LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+These are the training-data-curation workhorses.  All scale paths avoid the
+O(n²) pair space: exact dedup is a hash groupBy; MinHash/SimHash reduce
+near-dup detection to equality joins on sketch buckets; only the (tiny)
+candidate-pair set pays for exact verification.
+
+At 100 TB: the shingle→signature step is per-row (no shuffle); the LSH
+bucket-join shuffles (band_key) pairs — with b bands of r rows the shuffle
+volume is b·n small keys, and bucket skew (a boilerplate paragraph shared by
+millions of docs) is bounded by capping bucket size (``max_bucket`` —
+oversized buckets are quarantined for exact-dup handling, which exact_dedup
+already catches, rather than exploding a near-quadratic self-join).
+
+Reference parity: in-batch first-wins dedup ``dim_shop_product.py:472-497``,
+merge-file dedup by (id,url) ``scrapers/lifemobile_parallel_running/
+merge_json_files.py:107-122``, FAISS near-dup grouping ``product_matcher.py:
+50-126`` — all generalized here to corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.sketches import (
+    cosine_similarity,
+    hamming64,
+    lsh_band_keys,
+    minhash_signature,
+    simhash64,
+)
+from ..functions.text import doc_fingerprint, word_shingles
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact (normalized) duplicate groups: fingerprint → groupBy → keep
+    groups of size > 1.  Returns (fingerprint, dup_count, keeper_id, dup_ids).
+
+    keeper = min(id) — the deterministic survivor; dup_ids sorted for
+    replay-stable output.
+    """
+    fp = df.select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min(id_col).alias("keeper_id"),
+            F.sort_array(F.collect_list(id_col)).alias("dup_ids"),
+        )
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """MinHash + LSH candidate pairs: (id_a, id_b, n_shared_bands).
+
+    shingle → k=bands·rows_per_band MinHash sig → band keys → explode bands →
+    self-join within bucket (a<b).  Bucket-size cap quarantines degenerate
+    buckets (see module docstring).
+    """
+    k = bands * rows_per_band
+    sigs = df.select(
+        F.col(id_col).alias("_id"),
+        lsh_band_keys(
+            minhash_signature(word_shingles(text_col, shingle_n), k), bands, rows_per_band
+        ).alias("_bands"),
+    )
+    buckets = sigs.select("_id", F.explode("_bands").alias("band_key"))
+    sized = buckets.join(
+        buckets.groupBy("band_key").agg(F.count(F.lit(1)).alias("_bsz")),
+        "band_key",
+    ).where(F.col("_bsz") <= max_bucket)
+    a = sized.select("band_key", F.col("_id").alias("id_a"))
+    b = sized.select("band_key", F.col("_id").alias("id_b"))
+    pairs = a.join(b, "band_key").where(F.col("id_a") < F.col("id_b"))
+    return pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_shared_bands"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for (candidate) pairs.
+
+    With ``candidates`` (from minhash_lsh_candidates) the join is linear in
+    #candidates; without, it verifies ALL pairs (test scale only — guarded by
+    caller).  Returns (id_a, id_b, jaccard).
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("_sh"),
+    )
+    if candidates is None:
+        a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
+        b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = (
+            candidates.select("id_a", "id_b")
+            .join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
+            .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
+        )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    return (
+        pairs.withColumn("jaccard", F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)))
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 2,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup pairs: (id_a, id_b, hamming).
+
+    Scale path: block on the top ``prefix_bits`` of the 64-bit simhash (docs
+    within small Hamming distance usually share a 16-bit prefix; production
+    uses the standard 4-table permutation trick — here one block table keeps
+    the plan simple and the test corpus honest) and verify Hamming ≤ max
+    within blocks.
+    """
+    sigs = df.select(
+        F.col(id_col).alias("_id"),
+        simhash64(word_shingles(text_col, shingle_n)).alias("_sim"),
+    ).withColumn("_block", F.shiftrightunsigned("_sim", 64 - prefix_bits))
+    a = sigs.select(F.col("_id").alias("id_a"), F.col("_sim").alias("_sim_a"), "_block")
+    b = sigs.select(F.col("_id").alias("id_b"), F.col("_sim").alias("_sim_b"), "_block")
+    return (
+        a.join(b, "_block")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming64("_sim_a", "_sim_b"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: (id_a, id_b, cosine).
+
+    Brute-force O(n²) within-corpus comparison — correct baseline; the scale
+    path is ``similarity.lsh_bucketed_topk`` (random-hyperplane buckets)
+    feeding this as the verify step on candidates only.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_v_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_similarity("_v_a", "_v_b"), 6))
+        .where(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
+    )

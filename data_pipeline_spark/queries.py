@@ -1,0 +1,531 @@
+"""Operator-pack query catalog — the driver-contract surface.
+
+Every entry is a (Spark callable, DuckDB oracle SQL) twin exposed through
+``__spark_entry__.py``.  Spark callables take ``(spark, sf_dir)`` and return a
+DataFrame; oracles are ANSI SQL over the same parquet tables (pre-registered
+views ``region nation customer supplier part orders lineitem events documents
+embeddings``).  Column names and float rounding are aligned on BOTH sides so
+the driver's order-insensitive value-hash comparison passes bit-exactly.
+
+Queries marked ``# rows-only`` exercise engine machinery (icehouse commits,
+LSH approximation, mapInPandas media kernels) that ANSI SQL cannot express;
+they ship without an oracle and the driver records the weaker rows-only check.
+
+Each query's docstring cites the reference behavior it re-expresses
+(SURVEY.md §2 ids + file:line into /root/reference).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.keys import date_id, md5_key
+from .functions.parsing import clean_html, parse_availability, parse_price
+from .functions.text import (
+    BPE_TOKEN_RE,
+    EN_STOPWORDS,
+    doc_fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    words,
+)
+from .operators.windows import (
+    latest_per_key,
+    price_changes,
+    robust_zscore_anomalies,
+    sequence_windows,
+    topk_per_group,
+    trailing_mean,
+)
+from .operators.merge import distinct_union, insert_if_absent, merge_update, work_queue
+from .operators.dedup import (
+    embedding_near_duplicates,
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from .operators.similarity import brute_force_topk, lsh_bucketed_topk
+from .cdc.apply import lww_latest
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    """Register a catalog entry (decorator)."""
+
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# 1. scans + aggregation rollups  (SURVEY §2.4 A1/A2/A6)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                              AS avg_price,
+           COUNT(*)::BIGINT                                            AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2002-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-style validation rollup at fact grain (reference:
+    ``staging_schema.py:75-91``): grouped sums/avgs/counts with a pushed-down
+    date predicate.  Plan: partial aggregation map-side, single shuffle on the
+    2-key group — the canonical scan→agg shape Catalyst fully optimizes."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("2002-09-02").cast("timestamp"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@q(
+    "validation_rollup",
+    """
+    SELECT source,
+           COUNT(*)::BIGINT                                 AS n_docs,
+           SUM(n_chars)::BIGINT                             AS total_chars,
+           ROUND(AVG(n_chars), 4)                           AS avg_chars,
+           MIN(doc_id)::BIGINT                              AS min_doc_id,
+           MAX(doc_id)::BIGINT                              AS max_doc_id,
+           STRING_AGG(DISTINCT lang, ',' ORDER BY lang)     AS langs
+    FROM documents
+    GROUP BY source
+    """,
+)
+def validation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source load-validation rollup (reference: the staging validation
+    query ``staging_schema.py:75-91`` — COUNT/SUM/AVG/MIN/MAX + STRING_AGG of
+    distinct sources).  collect_set is unordered ⇒ sort_array pins output."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.concat_ws(",", F.sort_array(F.collect_set("lang"))).alias("langs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. LWW / CDC semantics on the events stream  (SURVEY §2.4 A10, §2.5 W1-W3, §2.9)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "lww_latest_per_key",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           ROUND(value, 2) AS last_value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def lww_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins latest row per key (reference: desc-sort +
+    drop_duplicates keep-first, ``anomaly_detection/big_query/extraction.py:
+    74-87``).  Implemented with the engine's skew-resistant ``max_by``
+    aggregate (map-side combine) rather than a window — a hot user with
+    millions of events is pre-reduced per map task before the shuffle."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "value")
+    latest = lww_latest(ev, key="user_id", order="event_id")
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 2).alias("last_value"),
+    )
+
+
+@q(
+    "cdc_final_state",
+    """
+    SELECT user_id, event_id AS lsn, ROUND(value, 2) AS value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's core merge semantic as a query: treat events as a change
+    log (event_id = LSN, user_id = key, event_type 'error' = tombstone D) and
+    compute the post-replay final state — latest op per key, deletes removed.
+    This is exactly ``cdc.apply.apply_changes``'s reduction step (SURVEY
+    §2.9; reference: LWW at (source,day) granularity, simplytek/main.py:82-84)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("value"),
+    )
+    latest = lww_latest(ev, key="user_id", order="lsn")
+    return latest.where(F.col("op") != "D").select(
+        "user_id", "lsn", F.round("value", 2).alias("value")
+    )
+
+
+@q(
+    "price_change_lag",
+    """
+    SELECT user_id, event_id, ROUND(value, 2) AS value,
+           ROUND(prev_value, 2) AS prev_value, ROUND(value - prev_value, 2) AS change
+    FROM (
+      SELECT user_id, event_id, value,
+             LAG(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
+      FROM events
+    )
+    WHERE prev_value IS NOT NULL AND value IS NOT NULL AND ABS(value - prev_value) > 5.0
+    """,
+)
+def price_change_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 LAG change detection (reference: the price-change notification CTE,
+    ``notification_service/bigquery_queries.py:63-94`` — LAG per variant,
+    ABS(delta) filter).  Single window shuffle on the key."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    out = price_changes(ev, key="user_id", order_col="event_id", value_col="value", min_abs_change=5.0)
+    return out.select(
+        "user_id", "event_id",
+        F.round("value", 2).alias("value"),
+        F.round("prev_value", 2).alias("prev_value"),
+        F.round("change", 2).alias("change"),
+    )
+
+
+@q(
+    "trailing_mean",
+    """
+    SELECT user_id, event_id, ROUND(value, 2) AS value,
+           ROUND(trailing_mean, 4) AS trailing_mean3
+    FROM (
+      SELECT user_id, event_id, value,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY event_id
+                              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS trailing_mean,
+             COUNT(value) OVER (PARTITION BY user_id ORDER BY event_id
+                              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS trailing_n
+      FROM events
+    )
+    WHERE trailing_n = 3
+    """,
+)
+def trailing_mean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 trailing moving average excluding the current row (reference:
+    ``anomaly_detection/models/statistical.py:106-114``), with the min-history
+    gate (only rows with a full 3-row frame)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    out = trailing_mean(ev, key="user_id", order_col="event_id", value_col="value", window_size=3)
+    return out.where(F.col("trailing_n") == 3).select(
+        "user_id", "event_id",
+        F.round("value", 2).alias("value"),
+        F.round("trailing_mean", 4).alias("trailing_mean3"),
+    )
+
+
+@q(
+    "robust_zscore",
+    """
+    WITH med AS (
+      SELECT user_id, MEDIAN(value) AS median_value, COUNT(value) AS n
+      FROM events GROUP BY user_id
+    ), mad AS (
+      SELECT e.user_id, MEDIAN(ABS(e.value - m.median_value)) AS mad_value
+      FROM events e JOIN med m USING (user_id) GROUP BY e.user_id
+    )
+    SELECT m.user_id, ROUND(m.median_value, 4) AS median_value,
+           ROUND(d.mad_value, 4) AS mad_value,
+           COALESCE(SUM(CASE WHEN d.mad_value > 0 AND m.n >= 5
+                 AND ABS(0.6745 * (e.value - m.median_value) / d.mad_value) > 3.5
+                 THEN 1 ELSE 0 END), 0)::BIGINT AS n_anomalies
+    FROM events e JOIN med m USING (user_id) JOIN mad d USING (user_id)
+    GROUP BY m.user_id, m.median_value, d.mad_value
+    """,
+)
+def robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/W4 per-key robust z-score anomaly counts (reference: median/MAD
+    modified z-score, ``anomaly_detection/models/statistical.py:26-74``).
+    Exact medians via the ``percentile`` aggregate — partial combine, no
+    group materialization in Python."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    scored = robust_zscore_anomalies(ev, key="user_id", value_col="value", threshold=3.5, min_history=5)
+    return scored.groupBy("user_id").agg(
+        F.round(F.first("median_value"), 4).alias("median_value"),
+        F.round(F.first("mad_value"), 4).alias("mad_value"),
+        F.sum(F.col("is_anomaly").cast("long")).alias("n_anomalies"),
+    )
+
+
+@q(
+    "sessionized_hourly",
+    """
+    SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
+           COUNT(*)::BIGINT AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def sessionized_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (the batch face of the streaming windowed agg
+    in ``streaming/``; reference analog: daily-partition rollups,
+    ``staging_schema.py:75-91``).  date_trunc is a pure column expr —
+    the group-by stays in codegen."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. joins / merge / set ops  (SURVEY §2.3 J1-J7, §2.1 S9/S10, §2.7 U1-U4)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "star_join_revenue",
+    """
+    SELECT n.n_name AS nation, r.r_name AS region,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*)::BIGINT AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2 star-schema enrichment joins + rollup (reference: fact→variant→
+    product joins, ``notification_service/bigquery_queries.py:73-78``).
+    Dimension sides are broadcast (explicit hint) — the fact table never
+    shuffles for the joins, only once for the final 2-key aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"), F.col("r_name").alias("region")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@q(
+    "anti_join_backlog",
+    """
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND EXTRACT(YEAR FROM o.o_orderdate) = 1998
+    )
+    """,
+)
+def anti_join_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 work-queue anti-join (reference: unmatched-products LEFT JOIN +
+    IS NULL, ``product_matching/big_query/data_loading.py:36-49``; replaces
+    the reference's driver-side key-set membership, dim_shop_product.py:
+    499-531).  left_anti keeps the probe side distributed end-to-end; the
+    year predicate is pushed into the orders scan before the join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(F.year("o_orderdate") == 1998)
+    return work_queue(
+        cust, orders.select(F.col("o_custkey").alias("c_custkey")), ["c_custkey"]
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@q(
+    "insert_if_absent_dates",
+    """
+    SELECT DISTINCT STRFTIME(o.o_orderdate, '%Y-%m-%d') AS full_date
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE STRFTIME(l.l_shipdate, '%Y-%m-%d') = STRFTIME(o.o_orderdate, '%Y-%m-%d')
+    )
+    """,
+)
+def insert_if_absent_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 insert-if-not-exists (reference: ``sql/dim_date_update.sql:4-23``
+    — INSERT rows whose key is absent from the dimension).  Returns the
+    to-insert set: order dates with no matching ship-date dimension row."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("full_date")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("full_date")
+    )
+    return insert_if_absent(li.distinct(), orders.distinct(), ["full_date"])
+
+
+@q(
+    "merge_update_balances",
+    """
+    WITH latest_order AS (
+      SELECT o_custkey AS c_custkey, o_totalprice
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    )
+    SELECT c.c_custkey, c.c_name,
+           ROUND(COALESCE(lo.o_totalprice, c.c_acctbal), 2) AS current_exposure
+    FROM customer c LEFT JOIN latest_order lo USING (c_custkey)
+    """,
+)
+def merge_update_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 MERGE WHEN MATCHED THEN UPDATE as a relational op (reference:
+    temp-stage + MERGE, ``product_categorization/big_query/data_store.py:
+    42-86``).  Updates = deterministic latest order per customer; unmatched
+    customers keep their original balance (COALESCE)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    latest = latest_per_key(
+        orders.withColumn("_ord", F.struct("o_orderdate", "o_orderkey")),
+        ["o_custkey"], "_ord", desc=True,
+    ).select(F.col("o_custkey").alias("c_custkey"), F.col("o_totalprice").alias("current_exposure"))
+    merged = merge_update(
+        cust.select("c_custkey", "c_name", F.col("c_acctbal").alias("current_exposure")),
+        latest, ["c_custkey"], ["current_exposure"],
+    )
+    return merged.select("c_custkey", "c_name", F.round("current_exposure", 2).alias("current_exposure"))
+
+
+@q(
+    "distinct_union_nations",
+    """
+    SELECT n_nationkey FROM (
+      SELECT c_nationkey AS n_nationkey FROM customer
+      UNION
+      SELECT s_nationkey AS n_nationkey FROM supplier
+    )
+    """,
+)
+def distinct_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 UNION DISTINCT across sources (reference: ``sql/dim_shop_upsert.
+    sql:18-27``)."""
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n_nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n_nationkey"))
+    return distinct_union(cust, supp)
+
+
+@q(
+    "topk_orders_per_segment",
+    """
+    SELECT c_mktsegment, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, rank_in_group
+    FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rank_in_group
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rank_in_group <= 5
+    """,
+)
+def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 top-k per group (reference: FAISS TOP_K_MATCHES slice,
+    ``product_matcher.py:56-59``) — window row_number with a deterministic
+    tie-break on the key."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    top = topk_per_group(
+        j, ["c_mktsegment"],
+        F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")).alias("_nk")), k=5, desc=True,
+    )
+    return top.select(
+        "c_mktsegment", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rank_in_group"
+    )
+
+
+@q(
+    "date_dimension",
+    """
+    SELECT DISTINCT
+           CAST(STRFTIME(o_orderdate, '%Y%m%d') AS INTEGER) AS date_id,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS full_date,
+           EXTRACT(YEAR FROM o_orderdate)::INTEGER AS year,
+           EXTRACT(MONTH FROM o_orderdate)::INTEGER AS month,
+           EXTRACT(DAY FROM o_orderdate)::INTEGER AS day,
+           DAYNAME(o_orderdate) AS day_name
+    FROM orders
+    """,
+)
+def date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 date-dimension generation (reference: ``dim_date.py:60-77``,
+    ``sql/dim_date_update.sql:12-18`` — YYYYMMDD surrogate, parts, day name)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        date_id("o_orderdate").alias("date_id"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("full_date"),
+        F.year("o_orderdate").alias("year"),
+        F.month("o_orderdate").alias("month"),
+        F.dayofmonth("o_orderdate").alias("day"),
+        F.date_format("o_orderdate", "EEEE").alias("day_name"),
+    ).distinct()
+
+
+@q(
+    "surrogate_keys",
+    """
+    SELECT doc_id, source, MD5(source || '|' || CAST(doc_id AS VARCHAR)) AS doc_key
+    FROM documents
+    """,
+)
+def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 deterministic surrogate keys (reference: xxhash32 pipe-joined keys,
+    ``dim_shop_product.py:225-245``; MD5 variant ``transformation_utils.py:
+    14-31``).  The md5 form is used here because the oracle recomputes it
+    bit-identically; engine-internal keys use xxhash64 (functions.keys)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "source",
+        md5_key("source", F.col("doc_id").cast("string")).alias("doc_key"),
+    )
