@@ -36,7 +36,7 @@ def parse_price(col: Column | str) -> Column:
     cleaned = F.regexp_replace(
         F.regexp_replace(_c(col), r"(?i)(rs\.?|lkr)", ""), r"[,\s]", ""
     )
-    return F.try_cast(cleaned, "double")
+    return cleaned.try_cast("double")
 
 
 def parse_availability(col: Column | str) -> Column:

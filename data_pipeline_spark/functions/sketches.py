@@ -35,12 +35,13 @@ def minhash_signature(shingles: Column | str, k: int = 16) -> Column:
     Empty shingle arrays yield NULL signature elements (doc has no content).
     """
     sh = _c(shingles)
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat_ws("#", s, F.lit(str(i))))))
-            for i in range(k)
-        ]
-    )
+
+    def _hash_fn(i: int):
+        # single-arg lambda: F.transform treats a 2-arg lambda as
+        # (element, array_index) — which would silently shadow ``i``
+        return lambda s: F.md5(F.concat_ws("#", s, F.lit(str(i))))
+
+    return F.array(*[F.array_min(F.transform(sh, _hash_fn(i))) for i in range(k)])
 
 
 def lsh_band_keys(signature: Column | str, bands: int, rows_per_band: int) -> Column:
@@ -71,37 +72,39 @@ def simhash64(shingles: Column | str) -> Column:
     no explode.
     """
     sh = _c(shingles)
+    # bit positions are unrolled as Python ints: shiftright/shiftleft take a
+    # literal bit count, and unrolling keeps everything in one codegen stage
     votes = F.aggregate(
         sh,
         F.array_repeat(F.lit(0), 64),
         lambda acc, s: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda b: F.when(F.shiftright(F.xxhash64(s), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            F.array(
+                *[
+                    F.when(F.shiftright(F.xxhash64(s), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                    for b in range(64)
+                ]
             ),
             lambda a, v: a + v,
         ),
     )
-    return F.aggregate(
-        F.zip_with(
-            votes,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
+    bit_vals = [1 << b for b in range(63)] + [-(1 << 63)]  # bit 63 = long sign bit
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        out = out.bitwiseOR(
+            F.when(F.element_at(votes, b + 1) > 0, F.lit(bit_vals[b]).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return out
 
 
 def hamming64(a: Column | str, b: Column | str) -> Column:
     """Hamming distance between two 64-bit SimHashes (popcount of XOR)."""
     x = _c(a).bitwiseXOR(_c(b))
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(63)),
-        F.lit(0),
-        lambda acc, i: acc + F.shiftright(x, i).bitwiseAND(F.lit(1)).cast("int"),
-    )
+    out = F.lit(0)
+    for b_ in range(64):
+        out = out + F.shiftright(x, b_).bitwiseAND(F.lit(1)).cast("int")
+    return out
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:

@@ -529,3 +529,465 @@ def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source",
         md5_key("source", F.col("doc_id").cast("string")).alias("doc_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 4. source-record parsing  (SURVEY §2.8 F1-F6, F13-F14; §2.2 P1/P8)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "price_parse_roundtrip",
+    """
+    SELECT p_partkey,
+           'LKR ' || CAST(ROUND(p_retailprice, 2) AS VARCHAR) AS price_str,
+           ROUND(TRY_CAST(
+             REGEXP_REPLACE(REGEXP_REPLACE('LKR ' || CAST(ROUND(p_retailprice, 2) AS VARCHAR),
+                            '(?i)(rs\\.?|lkr)', '', 'g'), '[,\\s]', '', 'g') AS DOUBLE), 2) AS parsed_price,
+           CASE WHEN p_size % 3 = 0 THEN FALSE
+                WHEN p_size % 3 = 1 THEN TRUE
+                ELSE FALSE END AS is_available
+    FROM part
+    """,
+)
+def price_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 price-string parsing + F3 availability parsing (reference:
+    ``fact_product_price.py:84-122`` — strip currency tokens, float-cast,
+    'out' before 'in').  Price strings are synthesized from part prices so
+    the oracle can recompute the identical round-trip; availability texts
+    cycle through the reference's three cases.  try_cast everywhere — ANSI
+    mode must never throw on bad input rows."""
+    part = _t(spark, sf_dir, "part")
+    price_str = F.concat(F.lit("LKR "), F.round("p_retailprice", 2).cast("string"))
+    avail_txt = F.element_at(
+        F.array(F.lit("Out of stock"), F.lit("In stock"), F.lit("sold-out")),
+        (F.col("p_size") % 3 + 1).cast("int"),
+    )
+    return part.select(
+        "p_partkey",
+        price_str.alias("price_str"),
+        F.round(parse_price(price_str), 2).alias("parsed_price"),
+        parse_availability(avail_txt).alias("is_available"),
+    )
+
+
+@q(
+    "html_clean",
+    """
+    SELECT doc_id,
+           SUBSTRING(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(
+             '<p>' || text || '</p><br/>', '<[^>]+>', ' ', 'g'),
+             '\\s+', ' ', 'g')), 1, 120) AS clean_text
+    FROM documents
+    """,
+)
+def html_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 HTML→text cleaning, regex fast path (reference: BeautifulSoup +
+    regex fallback + truncation, ``dim_shop_product.py:81-165``).  Markup is
+    synthesized around the corpus text; the full-fidelity entity-unescape
+    variant is the Arrow-batched ``clean_html_udf`` (tested separately —
+    SQL can't express it, which is exactly why it's a pandas UDF)."""
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = F.concat(F.lit("<p>"), F.col("text"), F.lit("</p><br/>"))
+    return docs.select("doc_id", F.substring(clean_html(wrapped, 2000), 1, 120).alias("clean_text"))
+
+
+@q(
+    "json_extraction",
+    """
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n,
+           ROUND(AVG(TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS DOUBLE)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/F13 JSON scalar projection (reference: JSON_EXTRACT_SCALAR per
+    product element, ``staging_schema.py:95-107``).  get_json_object is a
+    builtin — stays JVM-side; no from_json schema needed for scalar probes."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.get_json_object("props", "$.k").try_cast("double")), 4).alias("avg_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. training-data text analysis  (corpus curation over `documents`)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "doc_token_stats",
+    r"""
+    WITH w AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           LENGTH(text)::BIGINT AS n_chars,
+           len(ws)::BIGINT AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_bpe_tokens,
+           CASE WHEN len(ws) > 0
+                THEN ROUND(list_sum(list_transform(ws, x -> LENGTH(x)))::DOUBLE / len(ws), 4)
+           END AS avg_word_len
+    FROM w
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for corpus curation: whitespace words + BPE-ish regex
+    pieces + mean word length — all array higher-order functions, no explode,
+    no UDF (one scan, zero shuffle at any corpus size)."""
+    from .functions.text import avg_word_len
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        token_count("text", "whitespace").cast("long").alias("n_ws_tokens"),
+        token_count("text", "bpe").cast("long").alias("n_bpe_tokens"),
+        F.round(avg_word_len("text"), 4).alias("avg_word_len"),
+    )
+
+
+@q(
+    "doc_quality",
+    r"""
+    WITH w AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CASE WHEN LENGTH(text) > 0
+                  THEN LENGTH(regexp_replace(text, '[^.,;:!?''"()\-]', '', 'g'))::DOUBLE / LENGTH(text)
+                  ELSE 0.0 END AS pr,
+             CASE WHEN len(ws) > 0
+                  THEN len(list_filter(ws, x -> x IN ('the','and','of','to','a','in','is','it','that','for','on','with','as','was','at','by','an','be','this','are')))::DOUBLE / len(ws)
+                  ELSE 0.0 END AS sw,
+             len(ws)::DOUBLE AS nw
+      FROM w
+    )
+    SELECT doc_id,
+           ROUND(pr, 4) AS punct_ratio,
+           ROUND(sw, 4) AS stopword_ratio,
+           ROUND(0.4 * LEAST(1.0, nw / 50.0)
+               + 0.3 * LEAST(1.0, sw / 0.15)
+               + 0.3 * (1.0 - LEAST(1.0, pr / 0.3)), 4) AS quality
+    FROM m
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (length/punctuation/stopword ratios → composite in
+    [0,1]) — the cheap first-pass filter before model-based quality at
+    corpus scale.  Pure column expressions; the formula is pinned by the
+    oracle twin."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(stopword_ratio("text"), 4).alias("stopword_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+@q(
+    "doc_langid",
+    r"""
+    WITH w AS (
+      SELECT source, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN len(ws) > 0 AND
+                len(list_filter(ws, x -> x IN ('the','and','of','to','a','in','is','it','that','for','on','with','as','was','at','by','an','be','this','are')))::DOUBLE / len(ws) >= 0.08
+                THEN 'en' ELSE 'und' END AS lang_pred,
+           COUNT(*)::BIGINT AS n_docs
+    FROM w
+    GROUP BY 1, 2
+    """,
+)
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic rollup (stopword-share ≥ 8% ⇒ 'en') — the
+    n-gram-free first-pass language filter for training-data pipelines."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source", lang_id("text").alias("lang_pred")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@q(
+    "doc_fingerprint_dedup",
+    r"""
+    SELECT MD5(TRIM(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint,
+           COUNT(*)::BIGINT AS dup_count,
+           MIN(doc_id)::BIGINT AS keeper_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (normalized-content) dedup groups: md5 fingerprint → groupBy →
+    deterministic keeper = min(doc_id) (reference analog: first-wins in-batch
+    dedup, ``dim_shop_product.py:472-497``, made order-independent).  At 100
+    TB this is the single cheapest dedup pass: one shuffle on a 16-byte key."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("keeper_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. near-duplicate detection + similarity search  (MinHash-LSH / Jaccard /
+#    SimHash / embedding cosine; SURVEY §2.3 J8)
+# ---------------------------------------------------------------------------
+
+_LSH_BANDS, _LSH_ROWS = 8, 2
+_MINHASH_K = _LSH_BANDS * _LSH_ROWS
+_LSH_MAX_BUCKET = 50
+
+# DuckDB twin of functions.sketches.minhash_signature + lsh_band_keys —
+# generated once; the engine and the oracle pin each other bit-for-bit.
+_sig_elems = ",\n             ".join(
+    f"list_min(list_transform(shingles, s -> md5(s || '#{i}')))" for i in range(_MINHASH_K)
+)
+_band_elems = ",\n             ".join(
+    "md5('{b}' || '|' || sig[{i1}] || '|' || sig[{i2}])".format(
+        b=b, i1=b * _LSH_ROWS + 1, i2=b * _LSH_ROWS + 2
+    )
+    for b in range(_LSH_BANDS)
+)
+
+_MINHASH_ORACLE = rf"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_transform(range(0, greatest(len(ws) - 2, 1)),
+                            i -> array_to_string(ws[i+1:i+3], ' ')) AS shingles
+      FROM w
+    ), sig AS (
+      SELECT doc_id, [{_sig_elems}] AS sig
+      FROM sh
+    ), bands AS (
+      SELECT doc_id, UNNEST([{_band_elems}]) AS band_key
+      FROM sig
+    ), sized AS (
+      SELECT b.*, COUNT(*) OVER (PARTITION BY band_key) AS bsz FROM bands b
+    )
+    SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b, COUNT(*)::BIGINT AS n_shared_bands
+    FROM sized a JOIN sized b USING (band_key)
+    WHERE a.doc_id < b.doc_id AND a.bsz <= {_LSH_MAX_BUCKET} AND b.bsz <= {_LSH_MAX_BUCKET}
+    GROUP BY 1, 2
+"""
+
+
+@q("minhash_lsh_pairs", _MINHASH_ORACLE)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidate pairs (shingle→signature→band→bucket
+    join).  The md5-lexicographic-min hash family makes signatures
+    recomputable by any engine — the DuckDB oracle rebuilds them from
+    scratch.  Shuffle volume is bands·n keys; degenerate buckets are capped
+    (see operators.dedup docstring for the 100-TB skew story)."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        docs, "doc_id", "text",
+        shingle_n=3, bands=_LSH_BANDS, rows_per_band=_LSH_ROWS, max_bucket=_LSH_MAX_BUCKET,
+    )
+
+
+@q(
+    "ngram_jaccard_pairs",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS shingles
+      FROM documents WHERE doc_id < 120
+    )
+    SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b,
+           ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+                 len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a, sh b
+    WHERE a.doc_id < b.doc_id
+      AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+          len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7
+    """,
+)
+def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity (the verify stage behind LSH
+    candidates).  Run here in all-pairs mode on a bounded slice (doc_id<120)
+    so the oracle is tractable; at scale the same operator consumes
+    ``minhash_lsh_pairs`` as its candidate set (linear cost)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=1, min_jaccard=0.7)
+
+
+@q(
+    "embedding_topk",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20)
+    SELECT * FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                        c.vec_id ASC) AS rank
+      FROM q, embeddings c
+      WHERE q.vec_id <> c.vec_id
+    ) WHERE rank <= 10
+    """,
+)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline (reference: FAISS L2 top-k,
+    ``product_matcher.py:50-126``).  The broadcast probe-batch pattern: the
+    corpus never shuffles; per-query top-k via window over the candidate set.
+    The approximate scale path is ``ann_lsh_topk`` (rows-only twin)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = brute_force_topk(
+        emb.where(F.col("vec_id") < 20), emb, "vec_id", "vec_id", "embedding", k=10
+    )
+    return out.select(
+        F.col("vec_id_q").alias("query_id"),
+        F.col("vec_id_c").alias("neighbor_id"),
+        "cosine", "rank",
+    )
+
+
+@q(
+    "embedding_neardup",
+    """
+    SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.42
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold tuned to the synthetic
+    corpus's similarity range).  Brute-force verify; LSH bucketing
+    (``lsh_bucketed_topk``) prunes the pair space at corpus scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(emb, "vec_id", "embedding", min_cosine=0.42)
+
+
+# ---------------------------------------------------------------------------
+# 7. sequence windowing + engine-native (rows-only) queries
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "sequence_windows",
+    """
+    SELECT user_id, event_id AS window_end, seq AS sequence
+    FROM (
+      SELECT user_id, event_id,
+             LIST(ROUND(value, 2)) OVER (PARTITION BY user_id ORDER BY event_id
+                                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS seq
+      FROM events
+    ) WHERE len(seq) = 4
+    """,
+)
+def sequence_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 sliding fixed-length training sequences (reference: LSTM window
+    slicing, ``priceforecasting/data_processor.py:81-96``) — collect_list
+    over a bounded row frame; one shuffle on the key, arrays built JVM-side."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.round("value", 2).alias("value")
+    )
+    return sequence_windows(ev, key="user_id", order_col="event_id", value_col="value", seq_len=4)
+
+
+@q("simhash_neardup")  # rows-only: bit-sliced xxhash64 is Spark-specific
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (64-bit sign sketch, prefix blocking).  The
+    xxhash64 bit mixing has no ANSI-SQL twin, so this entry is checked
+    rows-only by the driver; the SimHash↔Jaccard agreement is asserted in
+    tests/test_dedup.py instead."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(
+        docs, "doc_id", "text", shingle_n=1, max_hamming=12, prefix_bits=8
+    )
+
+
+@q("ann_lsh_topk")  # rows-only: approximate by design (recall measured in tests)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH approximate top-k (the 100-TB ANN path; exact
+    twin = ``embedding_topk``).  Approximation has no SQL oracle; recall@10
+    vs the exact baseline is asserted in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = lsh_bucketed_topk(
+        emb.where(F.col("vec_id") < 20), emb, "vec_id", "vec_id", "embedding",
+        dim=64, k=10, n_tables=4, n_bits=6,
+    )
+    return out.select(
+        F.col("vec_id_q").alias("query_id"),
+        F.col("vec_id_c").alias("neighbor_id"),
+        "cosine", "rank",
+    )
+
+
+@q("multimodal_features")  # rows-only: mapInPandas media kernel (stubbed decode)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthetic binary media table → Arrow-batched
+    mapInPandas feature extraction (decode stubbed — see operators.multimodal)
+    → per-type rollup.  Deterministic output; schema/batch contract is the
+    tested artifact."""
+    from .operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, n=256, seed=7)
+    feats = extract_features(media, dim=8, decode_stub=True)
+    return (
+        feats.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg(F.element_at("feature", 1)), 4).alias("avg_f0"),
+        )
+        .orderBy("media_type")
+    )
+
+
+@q("cdc_replay_icehouse")  # rows-only: full engine path (icehouse commits + checkpoint)
+def cdc_replay_icehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end engine flagship: synthesize a deterministic change log
+    (north-rule shape: lsn/epoch/op/doc_id/tokens), replay it epoch-by-epoch
+    through checkpointed exactly-once commits into an icehouse table, and
+    return the final state's per-source rollup.  DuckDB cannot express the
+    commit protocol; final-state equality vs a sequential oracle is asserted
+    in tests/test_cdc_core.py."""
+    import tempfile
+
+    from .cdc.changelog import generate_change_log
+    from .cdc.replay import ReplayRunner
+    from .table.icehouse import IcehouseTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+            T.StructField("n_tok", T.IntegerType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="icehouse_entry_")
+    table = IcehouseTable.create(f"{root}/t", schema, key_col="doc_id", n_buckets=8)
+    log = generate_change_log(spark, n_events=6000, n_docs=500, events_per_epoch=2000, seed=42)
+    ReplayRunner(table, f"{root}/ckpt.json").run(log)
+    return (
+        table.read(spark)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )
