@@ -1,0 +1,126 @@
+"""Property tests for the dedup + ANN operators: recall of sketches vs exact
+baselines on planted near-duplicates, determinism across partitioning."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_pipeline_spark.operators.dedup import (
+    embedding_near_duplicates,
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from data_pipeline_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Synthetic corpus with planted duplicate families."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = []
+    for i in range(40):
+        words = (base + f" filler{i} unique{i} tokens{i} here{i}").split()
+        rows.append(Row(doc_id=i, text=" ".join(words)))
+    # exact dups of doc 0 (case/punct variants → same fingerprint)
+    rows.append(Row(doc_id=100, text=rows[0].text.upper() + "!!"))
+    rows.append(Row(doc_id=101, text="  " + rows[0].text + "  "))
+    # near dup of doc 1: one word changed
+    rows.append(Row(doc_id=102, text=rows[1].text.replace("filler1", "filler1x")))
+    # unrelated doc
+    rows.append(Row(doc_id=103, text="completely unrelated content about spark query engines and shuffles"))
+    return spark.createDataFrame(rows).repartition(4)
+
+
+def test_exact_duplicates_finds_planted_family(spark, docs):
+    groups = exact_duplicates(docs, "doc_id", "text").collect()
+    fam = [g for g in groups if g["keeper_id"] == 0]
+    assert len(fam) == 1 and sorted(fam[0]["dup_ids"]) == [0, 100, 101]
+
+
+def test_minhash_candidates_cover_high_jaccard_pairs(spark, docs):
+    cand = minhash_lsh_candidates(docs, "doc_id", "text", shingle_n=2, bands=8, rows_per_band=2)
+    cand_pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    exact = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=2, min_jaccard=0.9)
+    high = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    assert high, "planted near-dups must exceed 0.9 jaccard"
+    # LSH with 8 bands x 2 rows catches >= 0.9-jaccard pairs w.h.p.
+    missed = high - cand_pairs
+    assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+
+
+def test_jaccard_verify_on_candidates_matches_all_pairs(spark, docs):
+    cand = minhash_lsh_candidates(docs, "doc_id", "text", shingle_n=2, bands=8, rows_per_band=2)
+    via_cand = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_n=2, min_jaccard=0.9, candidates=cand
+        ).collect()
+    }
+    all_pairs = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=2, min_jaccard=0.9).collect()
+    }
+    assert via_cand <= all_pairs
+    assert via_cand  # candidates retain the verified pairs
+
+
+def test_simhash_flags_near_dup_family(spark, docs):
+    pairs = simhash_near_duplicates(docs, "doc_id", "text", shingle_n=1, max_hamming=10, prefix_bits=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 102) in got  # one-word-changed near dup
+    assert (0, 103) not in got and (1, 103) not in got  # unrelated doc not flagged
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(30, 16)).astype("float32")
+    rows = [Row(vec_id=i, embedding=[float(x) for x in base[i]]) for i in range(30)]
+    # planted near-dup of vec 0
+    rows.append(Row(vec_id=100, embedding=[float(x) for x in base[0] + 0.01 * rng.normal(size=16)]))
+    return spark.createDataFrame(rows).repartition(3)
+
+
+def test_embedding_near_duplicates_planted(spark, vectors):
+    pairs = embedding_near_duplicates(vectors, "vec_id", "embedding", min_cosine=0.99)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 100) in got and len(got) == 1
+
+
+def test_brute_force_topk_matches_numpy(spark, vectors):
+    import numpy as np
+
+    out = brute_force_topk(
+        vectors.where("vec_id = 0"), vectors, "vec_id", "vec_id", "embedding", k=3
+    ).collect()
+    got = [r["vec_id_c"] for r in sorted(out, key=lambda r: r["rank"])]
+    pdf = vectors.toPandas().set_index("vec_id")
+    q = np.array(pdf.loc[0, "embedding"], dtype="float64")
+    sims = {
+        i: float(np.dot(q, np.array(v, dtype="float64"))
+                 / (np.linalg.norm(q) * np.linalg.norm(np.array(v, dtype="float64"))))
+        for i, v in pdf["embedding"].items()
+        if i != 0
+    }
+    want = [i for i, _ in sorted(sims.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))][:3]
+    assert got == want and got[0] == 100
+
+
+def test_lsh_topk_recall(spark, vectors):
+    exact = brute_force_topk(
+        vectors.where("vec_id < 5"), vectors, "vec_id", "vec_id", "embedding", k=5
+    )
+    approx = lsh_bucketed_topk(
+        vectors.where("vec_id < 5"), vectors, "vec_id", "vec_id", "embedding",
+        dim=16, k=5, n_tables=8, n_bits=4,
+    )
+    e = {(r["vec_id_q"], r["vec_id_c"]) for r in exact.collect()}
+    a = {(r["vec_id_q"], r["vec_id_c"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+    # the planted near-dup must be found by LSH for query 0
+    assert (0, 100) in a
