@@ -35,7 +35,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..table.icehouse import PART_COL, CommitResult, IcehouseTable
+from ..table.icehouse import DELETED_COL, LSN_COL, PART_COL, CommitResult, IcehouseTable
 
 
 def lww_latest(changes: DataFrame, key: str = "doc_id", order: str = "lsn") -> DataFrame:
@@ -134,18 +134,44 @@ def apply_changes(
                 0, 0, 0,
             )
 
-        base = table.read(latest.sparkSession, partitions=affected, with_part_col=True)
-        changed_keys = latest.select(key)
-        survivors = base.join(changed_keys, key, "left_anti")
-        upserts = latest.where(F.col("op") != "D").select(*logical_cols, PART_COL)
-        survivors_conformed = survivors.select(
+        # ORDER-INSENSITIVE merge: base rows carry their producing _lsn and
+        # deletes persist as tombstones, so the per-key winner is max(_lsn)
+        # regardless of the order batches arrive in (late replay / reordered
+        # micro-batches can never clobber newer state).  Rows from pre-CDC
+        # files have NULL _lsn -> coalesced to -1, losing to any real event.
+        #
+        # Shuffle budget: survivors (keys untouched by the batch) pass
+        # through via a broadcast ANTI join — no shuffle of base data; only
+        # the contested keys (<= batch size) enter the max_by conflict
+        # resolution.  The single real shuffle is the write-side bucket
+        # repartition in overwrite_partitions.
+        base = table.read(
+            latest.sparkSession, partitions=affected, with_part_col=True, with_meta=True
+        )
+        base_norm = base.select(
             *[
-                F.col(f.name) if f.name in survivors.columns else F.lit(None).cast(f.dataType).alias(f.name)
+                F.col(f.name) if f.name in base.columns else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in target_schema.fields
             ],
+            F.coalesce(F.col(LSN_COL), F.lit(-1)).alias(LSN_COL),
+            F.coalesce(F.col(DELETED_COL), F.lit(False)).alias(DELETED_COL),
             PART_COL,
         )
-        merged = survivors_conformed.unionByName(upserts)
+        batch_norm = latest.select(
+            *logical_cols,
+            F.col("lsn").alias(LSN_COL),
+            (F.col("op") == "D").alias(DELETED_COL),
+            PART_COL,
+        )
+        # broadcast the changed-key set only while it is broadcast-sized;
+        # a mega-epoch falls back to a shuffled join (AQE may still convert)
+        changed_keys = latest.select(key).distinct()
+        if keys_changed < 5_000_000:
+            changed_keys = F.broadcast(changed_keys)
+        survivors = base_norm.join(changed_keys, key, "left_anti")
+        contested = base_norm.join(changed_keys, key, "left_semi").unionByName(batch_norm)
+        winners = lww_latest(contested, key=key, order=LSN_COL)
+        merged = survivors.unionByName(winners)
 
         lineage = {
             p: {

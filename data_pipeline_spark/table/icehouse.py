@@ -47,6 +47,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 PART_COL = "_part"  # physical bucket-partition column (not part of the logical schema)
+LSN_COL = "_lsn"  # per-row LSN watermark: the change event that produced this row
+DELETED_COL = "_deleted"  # tombstone marker (row filtered out of reads)
+
+# Rows carry their producing LSN and deletes are persisted as tombstones so
+# the merge can be ORDER-INSENSITIVE across commits: a batch applied out of
+# LSN order (late replay, out-of-order micro-batch) can never clobber newer
+# table state — the per-key winner is always max(_lsn).  Tombstones are
+# reclaimed by ``vacuum_tombstones`` once every source is past their LSN.
 
 # ---------------------------------------------------------------------------
 # schema evolution rules (additive only)
@@ -251,11 +259,23 @@ class IcehouseTable:
         spark: SparkSession,
         partitions: list[int] | None = None,
         with_part_col: bool = False,
+        with_meta: bool = False,
     ) -> DataFrame:
         """Read the current snapshot (optionally only some bucket partitions —
-        this is partition pruning: untouched buckets are never scanned)."""
+        this is partition pruning: untouched buckets are never scanned).
+
+        Tombstone rows are filtered out unless ``with_meta`` (the merge path
+        reads them to keep delete-wins semantics under out-of-order apply).
+        Older data files written without the meta columns read as NULL
+        (= live row, LSN unknown ⇒ loses ties to any real LSN).
+        """
         read_schema = T.StructType(
-            list(self.schema.fields) + [T.StructField(PART_COL, T.IntegerType(), True)]
+            list(self.schema.fields)
+            + [
+                T.StructField(LSN_COL, T.LongType(), True),
+                T.StructField(DELETED_COL, T.BooleanType(), True),
+                T.StructField(PART_COL, T.IntegerType(), True),
+            ]
         )
         parts = self.meta["partitions"]
         keys = [str(p) for p in partitions] if partitions is not None else list(parts.keys())
@@ -264,6 +284,9 @@ class IcehouseTable:
             df = spark.createDataFrame([], read_schema)
         else:
             df = spark.read.schema(read_schema).parquet(*paths)
+        if with_meta:
+            return df if with_part_col else df.drop(PART_COL)
+        df = df.where(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(LSN_COL, DELETED_COL)
         return df if with_part_col else df.drop(PART_COL)
 
     def row_count(self) -> int:
@@ -304,7 +327,13 @@ class IcehouseTable:
         #   one task per bucket (repartition by _part), rows sorted by key
         #   within each file → byte-identical output at any parallelism level.
         with_part = df if PART_COL in df.columns else df.withColumn(PART_COL, self.bucket_expr())
-        # conform to the (possibly evolved) schema and keep the partition column
+        # conform to the (possibly evolved) schema; CDC meta columns
+        # (_lsn/_deleted) ride along when the caller provides them
+        meta_cols = []
+        if LSN_COL in with_part.columns:
+            meta_cols.append(F.col(LSN_COL).cast("long").alias(LSN_COL))
+        if DELETED_COL in with_part.columns:
+            meta_cols.append(F.col(DELETED_COL).cast("boolean").alias(DELETED_COL))
         out = with_part.select(
             *[
                 F.col(f.name).cast(f.dataType).alias(f.name)
@@ -312,6 +341,7 @@ class IcehouseTable:
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in new_schema.fields
             ],
+            *meta_cols,
             F.col(PART_COL).cast("int").alias(PART_COL),
         )
         stats = {
@@ -437,6 +467,21 @@ class IcehouseTable:
         for v in versions[:-keep_last]:
             os.unlink(os.path.join(mdir, f"v{v:08d}.metadata.json"))
         return removed
+
+    def vacuum_tombstones(self, spark: SparkSession, lsn_watermark: int) -> CommitResult:
+        """Reclaim tombstones with ``_lsn <= lsn_watermark`` (safe once every
+        change source is past that LSN — an older event for a vacuumed key can
+        no longer arrive).  Rewrites only partitions that still hold live
+        rows; a partition left 100%-tombstone keeps its files until the next
+        write touches it (harmless: reads filter tombstones either way)."""
+        df = self.read(spark, with_part_col=True, with_meta=True)
+        keep = df.where(
+            ~(
+                F.coalesce(F.col(DELETED_COL), F.lit(False))
+                & (F.coalesce(F.col(LSN_COL), F.lit(-1)) <= lsn_watermark)
+            )
+        )
+        return self.overwrite_partitions(keep)
 
     def lineage_df(self, spark: SparkSession) -> DataFrame:
         """Per-partition lineage as a DataFrame (queryable audit log)."""

@@ -96,7 +96,10 @@ def test_full_replay_matches_sequential_oracle(spark, small_log, tmp_path):
     oracle = sequential_oracle(small_log.collect())
     got = table_state(table, spark)
     assert got == oracle, "final state must match sequential replay (token-array equality)"
-    assert table.row_count() == len(oracle)
+    # physical rows include tombstones (deleted keys awaiting vacuum);
+    # the live read must equal the oracle exactly
+    assert table.read(spark).count() == len(oracle)
+    assert table.row_count() >= len(oracle)
     assert report.total_events > 0
 
 
@@ -215,10 +218,11 @@ def test_time_travel_and_lineage(spark, small_log, tmp_path):
     table = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=8)
     ReplayRunner(table, str(tmp_path / "c")).run(small_log, epochs=[0])
     v_after_0 = table.version
-    count_after_0 = table.row_count()
+    live_after_0 = table.read(spark).count()
     ReplayRunner(table, str(tmp_path / "c")).run(small_log)
+    assert table.read(spark).count() != live_after_0  # state moved on
     old = IcehouseTable.load(str(tmp_path / "t"), version=v_after_0)
-    assert old.read(spark).count() == count_after_0, "time travel to an old snapshot"
+    assert old.read(spark).count() == live_after_0, "time travel to an old snapshot"
     lin = table.lineage_df(spark)
     assert lin.where("lsn_min is null or lsn_max is null").count() == 0
     assert lin.select("epoch").distinct().count() >= 4
@@ -231,3 +235,34 @@ def test_hot_key_detection(spark):
     assert len(rows) > 0
     # hot keys are, by construction, in the low-numbered prefix group
     assert all(int(r["doc_id"].split("_")[1]) < 20 for r in rows)
+
+
+def test_out_of_order_epoch_apply_is_order_insensitive(spark, small_log, tmp_path):
+    """The LSN-conditional merge must converge to the same final state no
+    matter the order epochs are applied in (reordered micro-batches / late
+    replay) — per-row _lsn + persisted tombstones make delete-wins and
+    update-wins decisions independent of arrival order."""
+    from data_pipeline_spark.cdc.apply import apply_changes
+
+    in_order = IcehouseTable.create(str(tmp_path / "in_order"), TABLE_SCHEMA, n_buckets=8)
+    shuffled = IcehouseTable.create(str(tmp_path / "shuffled"), TABLE_SCHEMA, n_buckets=8)
+    epochs = sorted(r["epoch"] for r in small_log.select("epoch").distinct().collect())
+    for ep in epochs:
+        apply_changes(in_order, small_log.where(F.col("epoch") == ep).drop("epoch"), epoch=ep)
+    for ep in reversed(epochs):
+        apply_changes(shuffled, small_log.where(F.col("epoch") == ep).drop("epoch"), epoch=ep)
+    oracle = sequential_oracle(small_log.collect())
+    assert table_state(in_order, spark) == oracle
+    assert table_state(shuffled, spark) == oracle, "reversed-order apply must converge"
+
+
+def test_vacuum_tombstones(spark, small_log, tmp_path):
+    table = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=8)
+    ReplayRunner(table, str(tmp_path / "ckpt.json")).run(small_log)
+    live_before = table_state(table, spark)
+    phys_before = table.row_count()
+    max_lsn = small_log.agg(F.max("lsn")).collect()[0][0]
+    table.vacuum_tombstones(spark, lsn_watermark=max_lsn)
+    assert table_state(table, spark) == live_before, "vacuum must not change live state"
+    assert table.row_count() <= phys_before
+    assert table.row_count() == len(live_before), "all reclaimable tombstones dropped"
