@@ -991,3 +991,198 @@ def cdc_replay_icehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# 8. secondary-model + normalization operators  (SURVEY §1.6, §2.8 F4/F5/F11/F16, §2.4 A9)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "minmax_scale",
+    """
+    SELECT c_custkey,
+           ROUND(CASE WHEN mx > mn THEN (c_acctbal - mn) / (mx - mn) ELSE 0.0 END, 6) AS acctbal_scaled
+    FROM (
+      SELECT c_custkey, c_acctbal,
+             MIN(c_acctbal) OVER (PARTITION BY c_mktsegment) AS mn,
+             MAX(c_acctbal) OVER (PARTITION BY c_mktsegment) AS mx
+      FROM customer
+    )
+    """,
+)
+def minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 per-group min-max feature scaling (reference: LSTM feature
+    normalization, ``priceforecasting/data_processor.py:75-78``) — window
+    min/max, one shuffle on the group key."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment")
+    mn, mx = F.min("c_acctbal").over(w), F.max("c_acctbal").over(w)
+    return cust.select(
+        "c_custkey",
+        F.round(
+            F.when(mx > mn, (F.col("c_acctbal") - mn) / (mx - mn)).otherwise(F.lit(0.0)), 6
+        ).alias("acctbal_scaled"),
+    )
+
+
+@q(
+    "brand_impute",
+    """
+    SELECT p_partkey,
+           CASE WHEN p_brand = 'Brand#11' THEN
+             CASE WHEN NOT REGEXP_MATCHES(SPLIT_PART(p_name, ' ', 1), '^[0-9]+$')
+                  THEN SPLIT_PART(p_name, ' ', 1) END
+           ELSE p_brand END AS brand_imputed
+    FROM part
+    """,
+)
+def brand_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 brand imputation (reference: NULL brand → first word of title
+    unless numeric, ``GNN_training/big_query/load_data.py:82-88``).  NULLs are
+    synthesized by masking one brand value so the oracle sees the same
+    inputs."""
+    part = _t(spark, sf_dir, "part")
+    brand = F.when(F.col("p_brand") == "Brand#11", F.lit(None)).otherwise(F.col("p_brand"))
+    first_word = F.split(F.col("p_name"), " ")[0]
+    imputed = F.when(
+        brand.isNull() & ~first_word.rlike("^[0-9]+$"), first_word
+    ).otherwise(brand)
+    return part.select("p_partkey", imputed.alias("brand_imputed"))
+
+
+@q(
+    "graph_edges",
+    """
+    SELECT c.c_nationkey::INTEGER AS src_nation, s.s_nationkey::INTEGER AS dst_nation,
+           COUNT(*)::BIGINT AS n_edges,
+           ROUND(SUM(l.l_extendedprice), 2) AS edge_weight
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+    """,
+)
+def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.6 graph construction: heterogeneous edge frame built from warehouse
+    joins (reference: node/edge frames for GNN training,
+    ``GNN_training/big_query/load_data.py:74-135``).  Output = weighted
+    nation→nation trade edges; index-mapping to contiguous ids is a
+    dense_rank over the node set (see dense_source_ids)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    )
+    return j.groupBy(
+        F.col("c_nationkey").alias("src_nation"), F.col("s_nationkey").alias("dst_nation")
+    ).agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.round(F.sum("l_extendedprice"), 2).alias("edge_weight"),
+    )
+
+
+@q(
+    "dense_source_ids",
+    """
+    SELECT source, DENSE_RANK() OVER (ORDER BY source)::BIGINT AS source_id
+    FROM (SELECT DISTINCT source FROM documents)
+    """,
+)
+def dense_source_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 replacement: replay-stable id assignment via dense_rank over a
+    defined order (reference anti-pattern: MAX(id)+1 sequences,
+    ``dim_shop.py:104-114`` — not replay-stable; §1.5 calls this out)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("source").distinct()
+    return docs.withColumn(
+        "source_id", F.dense_rank().over(Window.orderBy("source")).cast("long")
+    )
+
+
+@q(
+    "summary_stats",
+    """
+    SELECT COUNT(DISTINCT o_custkey)::BIGINT AS n_customers,
+           COUNT(*)::BIGINT AS n_orders,
+           ROUND(AVG(o_totalprice), 4) AS avg_price,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_finished,
+           ROUND(SUM(CASE WHEN o_orderpriority LIKE '1-%' THEN o_totalprice ELSE 0 END), 2) AS urgent_value
+    FROM orders
+    """,
+)
+def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 run-summary statistics (reference: daily pipeline summary —
+    nunique/mean/conditional counts, ``product_matching/prediction_pipeline/
+    daily_pipeline.py:78-102``)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).cast("long").alias("n_finished"),
+        F.round(
+            F.sum(F.when(F.col("o_orderpriority").startswith("1-"), F.col("o_totalprice")).otherwise(0.0)), 2
+        ).alias("urgent_value"),
+    )
+
+
+@q(
+    "normalize_contacts",
+    """
+    SELECT s_suppkey,
+           CASE WHEN REGEXP_MATCHES(REGEXP_REPLACE('+94 ' || CAST(s_suppkey AS VARCHAR) || '-555', '[\\s\\-\\(\\)]', '', 'g'), '^\\+?\\d{7,15}$')
+                THEN REGEXP_REPLACE('+94 ' || CAST(s_suppkey AS VARCHAR) || '-555', '[\\s\\-\\(\\)]', '', 'g') END AS phone_norm,
+           CASE WHEN TRIM(lower(s_name) || '.example.com') = '' THEN NULL
+                WHEN REGEXP_MATCHES(TRIM(lower(s_name) || '.example.com'), '^(?i)https?://')
+                THEN TRIM(lower(s_name) || '.example.com')
+                ELSE 'https://' || TRIM(lower(s_name) || '.example.com') END AS url_norm
+    FROM supplier
+    """,
+)
+def normalize_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 phone + F5 URL normalization (reference: ``dim_shop.py:116-139``,
+    ``dim_shop_product.py:63-67``).  Inputs synthesized from supplier rows so
+    the oracle recomputes identically."""
+    supp = _t(spark, sf_dir, "supplier")
+    phone_raw = F.concat(F.lit("+94 "), F.col("s_suppkey").cast("string"), F.lit("-555"))
+    url_raw = F.concat(F.lower("s_name"), F.lit(".example.com"))
+    from .functions.parsing import normalize_phone, normalize_url
+
+    return supp.select(
+        "s_suppkey",
+        normalize_phone(phone_raw).alias("phone_norm"),
+        normalize_url(url_raw).alias("url_norm"),
+    )
+
+
+@q(
+    "seed_dimension_union",
+    """
+    SELECT shop_name FROM (
+      SELECT 'simplytek' AS shop_name
+      UNION ALL SELECT 'lifemobile'
+      UNION ALL SELECT 'cyberdeals'
+      UNION SELECT DISTINCT lower(source) FROM documents
+    )
+    """,
+)
+def seed_dimension_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2 inline dimension seed + union-distinct with observed sources
+    (reference: literal UNION ALL seed rows + UNION DISTINCT staging scan,
+    ``sql/dim_shop_upsert.sql:11-27``)."""
+    seed = spark.createDataFrame(
+        [("simplytek",), ("lifemobile",), ("cyberdeals",)], "shop_name string"
+    )
+    observed = _t(spark, sf_dir, "documents").select(
+        F.lower("source").alias("shop_name")
+    )
+    return distinct_union(seed, observed)
