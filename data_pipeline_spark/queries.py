@@ -1186,3 +1186,84 @@ def seed_dimension_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower("source").alias("shop_name")
     )
     return distinct_union(seed, observed)
+
+
+# ---------------------------------------------------------------------------
+# 9. token-array normalization + scalar-subquery filters
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "token_normalize",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+                            w -> LENGTH(w)::INTEGER) AS tokens
+      FROM documents
+    )
+    SELECT doc_id,
+           len(tokens)::INTEGER AS n_tok_raw,
+           (list_transform(tokens, t -> (t % 29)::INTEGER)
+              || list_transform(range(16), x -> 0::INTEGER))[1:16] AS input_ids
+    FROM tok
+    """,
+)
+def token_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-array normalization via the JVM column-expression twins
+    (clamp→truncate→pad); the Arrow-kernel path is proven bit-identical in
+    tests/test_tokens_maintenance.py.  Tokens are derived portably (word
+    lengths) so the oracle reproduces them; vocab=29 forces visible clamping."""
+    from .functions.text import words
+    from .functions.tokens import clamp_tokens, pad_tokens, truncate_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tokens = F.transform(words("text"), lambda w: F.length(w).cast("int"))
+    return docs.select(
+        "doc_id",
+        F.size(tokens).alias("n_tok_raw"),
+        pad_tokens(truncate_tokens(clamp_tokens(tokens, 29), 16), 16).alias("input_ids"),
+    )
+
+
+@q("token_pack_windows")  # rows-only: mapInPandas ragged->matrix kernel
+def token_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window training-sample packing (Arrow mapInPandas kernel —
+    chunk each doc's token stream into 32-token windows, pad the tail).
+    Rollup output keeps the driver check small."""
+    from .functions.text import words
+    from .functions.tokens import pack_fixed_windows
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.transform(words("text"), lambda w: F.length(w).cast("int")).alias("tokens")
+    )
+    packed = pack_fixed_windows(docs, window=32)
+    return packed.groupBy().agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum(F.aggregate("input_ids", F.lit(0).cast("long"), lambda a, x: a + x)).alias("token_sum"),
+    )
+
+
+@q(
+    "latest_date_orders",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) = (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)
+    """,
+)
+def latest_date_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 scalar-subquery max filter (reference: latest-date_id gate,
+    ``notification_service/bigquery_queries.py:90``).  Expressed as a
+    window-max with no partition — one pass, Catalyst rewrites the scalar
+    subquery the same way."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").withColumn("_d", F.col("o_orderdate").cast("date"))
+    w = Window.partitionBy()
+    return (
+        orders.withColumn("_mx", F.max("_d").over(w))
+        .where(F.col("_d") == F.col("_mx"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )

@@ -493,6 +493,84 @@ class IcehouseTable:
             os.unlink(os.path.join(mdir, f"v{v:08d}.metadata.json"))
         return removed
 
+    def delete_where(
+        self, spark: SparkSession, condition, lsn: int, epoch: int | None = None
+    ) -> CommitResult:
+        """S8 predicate delete (reference: idempotent re-run fence
+        ``DELETE ... WHERE DATE(created_at)=CURRENT_DATE() AND model_id=...``,
+        ``priceforecasting/bigquery_handler.py:216-225``): convert matching
+        live rows to tombstones carrying ``lsn`` — a later out-of-order event
+        with a lower LSN stays deleted, and the delete itself is fenced by
+        ``epoch`` like any other commit."""
+        df = self.read(spark, with_part_col=True, with_meta=True)
+        live = ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+        matched = F.coalesce(condition, F.lit(False))
+        out = df.select(
+            *[F.col(f.name) for f in self.schema.fields],
+            F.when(live & matched, F.lit(lsn)).otherwise(F.col(LSN_COL)).alias(LSN_COL),
+            F.when(live & matched, F.lit(True))
+            .otherwise(F.coalesce(F.col(DELETED_COL), F.lit(False)))
+            .alias(DELETED_COL),
+            PART_COL,
+        )
+        return self.overwrite_partitions(out, epoch=epoch)
+
+    def truncate(self, epoch: int | None = None, max_retries: int = 5) -> CommitResult:
+        """S6 truncate: drop every partition in one pure-metadata commit —
+        no data is read or written (the idempotent full-reload fence,
+        ``loader.py:157-205``; old snapshots stay time-travelable until
+        expire_snapshots)."""
+        for _ in range(max_retries):
+            self.refresh()
+            if epoch is not None and self.epoch_committed(epoch):
+                return CommitResult(self.version, self.meta["snapshot_id"], epoch, skipped=True)
+            meta = json.loads(json.dumps(self.meta))
+            meta["version"] = self.version + 1
+            meta["parent_version"] = self.version
+            meta["snapshot_id"] = f"s{meta['version']:08d}-truncate"
+            meta["partitions"] = {}
+            if epoch is not None:
+                meta["epoch_watermark"] = max(meta["epoch_watermark"], epoch)
+                meta["committed_epochs"][str(epoch)] = {
+                    "version": meta["version"], "snapshot_id": meta["snapshot_id"],
+                    "partitions": [], "rows_written": 0,
+                }
+            meta["committed_at"] = time.time()
+            try:
+                self._write_metadata(meta)
+            except FileExistsError:
+                continue
+            self.meta = meta
+            return CommitResult(meta["version"], meta["snapshot_id"], epoch)
+        raise ConcurrentCommitError(f"lost {max_retries} truncate races on {self.root}")
+
+    def validate_schema(self, expected: T.StructType) -> list[str]:
+        """S13 schema probe (reference: field/type/mode diff against the live
+        table, ``staging_schema.py:56-73``).  Returns human-readable
+        mismatches; empty list = schemas agree."""
+        cur = {f.name: f for f in self.schema.fields}
+        exp = {f.name: f for f in expected.fields}
+        problems = []
+        for name, f in exp.items():
+            if name not in cur:
+                problems.append(f"missing column {name!r}")
+            elif cur[name].dataType != f.dataType:
+                problems.append(
+                    f"column {name!r}: {cur[name].dataType.simpleString()} != "
+                    f"{f.dataType.simpleString()}"
+                )
+        for name in cur:
+            if name not in exp:
+                problems.append(f"unexpected column {name!r}")
+        return problems
+
+    def compact_partitions(self, spark: SparkSession) -> CommitResult:
+        """Small-file compaction: rewrite current partitions into one sorted
+        file per bucket (Iceberg rewrite_data_files analog).  Read+write of
+        live+tombstone rows, no semantic change — lineage shows the commit."""
+        df = self.read(spark, with_part_col=True, with_meta=True)
+        return self.overwrite_partitions(df)
+
     def vacuum_tombstones(self, spark: SparkSession, lsn_watermark: int) -> CommitResult:
         """Reclaim tombstones with ``_lsn <= lsn_watermark`` (safe once every
         change source is past that LSN — an older event for a vacuumed key can

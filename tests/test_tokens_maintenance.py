@@ -1,0 +1,140 @@
+"""Tests: token-normalization layer (expr twins == Arrow kernels), window
+packing, and icehouse maintenance ops (delete_where, truncate, compaction,
+schema probe)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_pipeline_spark.functions.tokens import (
+    clamp_tokens,
+    normalize_tokens_udf,
+    pack_fixed_windows,
+    pad_tokens,
+    token_stats_udf,
+    truncate_tokens,
+)
+from data_pipeline_spark.table import IcehouseTable
+
+TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+
+@pytest.fixture()
+def tok_df(spark):
+    rows = [
+        Row(doc_id="a", tokens=[5, 100_000, 7]),
+        Row(doc_id="b", tokens=list(range(40))),
+        Row(doc_id="c", tokens=[]),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_expr_twins_match_arrow_kernel(spark, tok_df):
+    """The JVM column-expression path and the Arrow kernel must agree bit-
+    for-bit: clamp(vocab) → truncate(max_len) → pad(max_len)."""
+    vocab, max_len = 50_257, 8
+    expr = tok_df.select(
+        "doc_id",
+        pad_tokens(truncate_tokens(clamp_tokens("tokens", vocab), max_len), max_len).alias("t"),
+    )
+    udf = tok_df.select(
+        "doc_id", normalize_tokens_udf(vocab, max_len)(F.col("tokens")).alias("t")
+    )
+    a = {r["doc_id"]: r["t"] for r in expr.collect()}
+    b = {r["doc_id"]: r["t"] for r in udf.collect()}
+    assert a == b
+    assert all(len(v) == max_len for v in a.values())
+    assert a["a"][:3] == [5, 100_000 % vocab, 7] and a["a"][3:] == [0] * 5
+
+
+def test_token_stats_kernel(spark, tok_df):
+    out = {
+        r["doc_id"]: r["s"]
+        for r in tok_df.select("doc_id", token_stats_udf()(F.col("tokens")).alias("s")).collect()
+    }
+    assert out["a"]["n_tok"] == 3 and out["a"]["n_unique"] == 3
+    assert out["c"]["n_tok"] == 0 and out["c"]["entropy_bits"] == 0.0
+    assert abs(out["b"]["entropy_bits"] - 5.321928) < 1e-5  # log2(40)
+
+
+def test_pack_fixed_windows(spark, tok_df):
+    out = pack_fixed_windows(tok_df, window=16).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc["a"]) == 1 and by_doc["a"][0]["input_ids"][:3] == [5, 100_000, 7]
+    assert len(by_doc["b"]) == 3  # 40 tokens -> 3 windows of 16
+    tail = sorted(by_doc["b"], key=lambda r: r["window_idx"])[-1]["input_ids"]
+    assert tail == list(range(32, 40)) + [0] * 8
+    assert len(by_doc["c"]) == 1 and by_doc["c"][0]["input_ids"] == [0] * 16
+
+
+@pytest.fixture()
+def loaded_table(spark, tmp_path):
+    from data_pipeline_spark.cdc.apply import apply_changes
+
+    table = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=4)
+    log = spark.createDataFrame(
+        [(i, "I", f"d{i}", [i], 1, "src" + str(i % 2)) for i in range(20)],
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    apply_changes(table, log, epoch=0)
+    return table
+
+
+def test_delete_where_predicate(spark, loaded_table):
+    t = loaded_table
+    res = t.delete_where(spark, F.col("source") == "src1", lsn=1_000, epoch=1)
+    assert not res.skipped
+    live = t.read(spark)
+    assert live.count() == 10 and live.where("source = 'src1'").count() == 0
+    # fenced on replay
+    assert t.delete_where(spark, F.col("source") == "src1", lsn=1_000, epoch=1).skipped
+    # a LATER event revives the key; an EARLIER one must not
+    from data_pipeline_spark.cdc.apply import apply_changes
+
+    revive = spark.createDataFrame(
+        [(2_000, "I", "d1", [9], 1, "src1"), (500, "I", "d3", [9], 1, "src1")],
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    apply_changes(t, revive, epoch=2)
+    docs = {r["doc_id"] for r in t.read(spark).where("source='src1'").collect()}
+    assert docs == {"d1"}, "post-delete event revives; pre-delete event stays dead"
+
+
+def test_truncate_metadata_only(spark, loaded_table):
+    t = loaded_table
+    v = t.version
+    res = t.truncate(epoch=5)
+    assert res.version == v + 1
+    assert t.read(spark).count() == 0 and t.row_count() == 0
+    assert t.truncate(epoch=5).skipped
+    # time travel still sees the pre-truncate snapshot
+    old = IcehouseTable.load(t.root, version=v)
+    assert old.read(spark).count() == 20
+
+
+def test_compaction_preserves_state(spark, loaded_table):
+    t = loaded_table
+    before = {r["doc_id"] for r in t.read(spark).collect()}
+    res = t.compact_partitions(spark)
+    assert not res.skipped
+    assert {r["doc_id"] for r in t.read(spark).collect()} == before
+
+
+def test_validate_schema_probe(loaded_table):
+    t = loaded_table
+    assert t.validate_schema(TABLE_SCHEMA) == []
+    bad = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("n_tok", T.StringType())]
+    )
+    problems = t.validate_schema(bad)
+    assert any("n_tok" in p for p in problems) and any("unexpected" in p for p in problems)
