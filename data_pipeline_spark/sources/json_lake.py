@@ -139,3 +139,24 @@ def debug_snapshot(df: DataFrame, path: str, run_id: str) -> str:
     out = f"{path}/run={run_id}"
     df.write.mode("overwrite").json(out)
     return out
+
+
+def latest_file_per_partition(df_with_meta: DataFrame, partition_cols: list[str]) -> DataFrame:
+    """S2 latest-file-per-partition scan (reference: list blobs, keep
+    max(last_modified) per (source, date) dir — ``extractor.py:61-85``):
+    keep only rows from each partition's newest file, using the hidden
+    ``_metadata`` file-source column — no extra listing pass, no driver code.
+
+    ``df_with_meta`` must be read with ``.select("*", "_metadata")`` (Spark
+    only materializes _metadata when selected).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*partition_cols)
+    return (
+        df_with_meta.withColumn(
+            "_latest_mod", F.max(F.col("_metadata.file_modification_time")).over(w)
+        )
+        .where(F.col("_metadata.file_modification_time") == F.col("_latest_mod"))
+        .drop("_latest_mod")
+    )
