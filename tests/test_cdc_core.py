@@ -266,3 +266,15 @@ def test_vacuum_tombstones(spark, small_log, tmp_path):
     assert table_state(table, spark) == live_before, "vacuum must not change live state"
     assert table.row_count() <= phys_before
     assert table.row_count() == len(live_before), "all reclaimable tombstones dropped"
+
+
+def test_salted_join_matches_plain_join(spark):
+    """skew.salted_join must equal the plain equi-join for a unique-key
+    small side (its documented contract)."""
+    from data_pipeline_spark.cdc.skew import salted_join
+
+    big = spark.range(0, 5000).selectExpr("id % 7 as k", "id as v")
+    small = spark.range(0, 7).selectExpr("id as k", "concat('dim_', id) as name")
+    plain = {(r["k"], r["v"], r["name"]) for r in big.join(small, "k").collect()}
+    salted = {(r["k"], r["v"], r["name"]) for r in salted_join(big, small, "k", n_salts=4).collect()}
+    assert salted == plain

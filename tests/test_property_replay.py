@@ -1,0 +1,71 @@
+"""Property-based replay correctness (hypothesis): for ARBITRARY event
+sequences — any mix of I/U/D, duplicate LSNs, interleaved keys, any epoch
+split — the engine's final state equals the sequential oracle under
+token-array equality, applied in order AND in reverse epoch order."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from data_pipeline_spark.cdc.apply import apply_changes
+from data_pipeline_spark.table import IcehouseTable
+
+TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+# an event: (key 0..3, op, payload token)
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.sampled_from(["I", "U", "D"]),
+        st.integers(min_value=0, max_value=99),
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+def oracle(rows):
+    state = {}
+    for lsn, (k, op, tok) in enumerate(rows):
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = tok
+    return state
+
+
+@pytest.mark.parametrize("order", ["forward", "reverse"])
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=events_strategy, split=st.integers(min_value=1, max_value=15))
+def test_replay_matches_oracle_any_order(spark, tmp_path_factory, events, split, order):
+    rows = [
+        (lsn, op, f"k{k}", None if op == "D" else [tok, tok + 1], None if op == "D" else 2, "s")
+        for lsn, (k, op, tok) in enumerate(events)
+    ]
+    log = spark.createDataFrame(
+        rows, "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    root = tmp_path_factory.mktemp("prop")
+    table = IcehouseTable.create(str(root / "t"), TABLE_SCHEMA, n_buckets=2)
+    cut = min(split, len(rows))
+    batches = [log.where(f"lsn < {cut}"), log.where(f"lsn >= {cut}")]
+    epochs = [0, 1]
+    if order == "reverse":
+        batches, epochs = batches[::-1], epochs[::-1]
+    for ep, batch in zip(epochs, batches):
+        if batch.isEmpty():
+            continue
+        apply_changes(table, batch, epoch=ep)
+    want = {
+        f"k{k}": (tok, tok + 1) for k, tok in oracle(events).items()
+    }
+    got = {r["doc_id"]: tuple(r["tokens"]) for r in table.read(spark).collect()}
+    assert got == want
