@@ -84,11 +84,12 @@ def q(name: str, oracle: str | None = None):
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                              AS avg_price,
+           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))::BIGINT        AS sum_qty_c2,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))::BIGINT   AS sum_base_price_c2,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))::BIGINT AS sum_disc_price_c4,
+           ROUND(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_qty,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_price,
            COUNT(*)::BIGINT                                            AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2002-09-02'
@@ -101,12 +102,19 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     date predicate.  Plan: partial aggregation map-side, single shuffle on the
     2-key group — the canonical scan→agg shape Catalyst fully optimizes."""
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("2002-09-02").cast("timestamp"))
+    # money/qty sums in fixed-point BIGINT: double-sum order varies with the
+    # shuffle and can flip the rounded cent vs the oracle (inputs have <=2dp,
+    # so round(x*100) per row is exact); averages divide the exact integer
+    # sum -> deterministic
+    qty_c2 = F.round(F.col("l_quantity") * 100).cast("long")
+    price_c2 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c2 = F.round(F.col("l_discount") * 100).cast("long")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.sum(qty_c2).alias("sum_qty_c2"),
+        F.sum(price_c2).alias("sum_base_price_c2"),
+        F.sum(price_c2 * (F.lit(100) - disc_c2)).alias("sum_disc_price_c4"),
+        F.round(F.sum(qty_c2) / 100.0 / F.count(F.lit(1)), 4).alias("avg_qty"),
+        F.round(F.sum(price_c2) / 100.0 / F.count(F.lit(1)), 4).alias("avg_price"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -322,7 +330,8 @@ def sessionized_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "star_join_revenue",
     """
     SELECT n.n_name AS nation, r.r_name AS region,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))::BIGINT AS revenue_c4,
            COUNT(*)::BIGINT AS n_lineitems
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -348,12 +357,13 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
+    rev_c4 = F.sum(
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
     return joined.groupBy(
         F.col("n_name").alias("nation"), F.col("r_name").alias("region")
-    ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
-        F.count(F.lit(1)).alias("n_lineitems"),
-    )
+    ).agg(rev_c4.alias("revenue_c4"), F.count(F.lit(1)).alias("n_lineitems"))
 
 
 @q(
@@ -1115,7 +1125,7 @@ def dense_source_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*)::BIGINT AS n_orders,
            ROUND(AVG(o_totalprice), 4) AS avg_price,
            SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_finished,
-           ROUND(SUM(CASE WHEN o_orderpriority LIKE '1-%' THEN o_totalprice ELSE 0 END), 2) AS urgent_value
+           SUM(CASE WHEN o_orderpriority LIKE '1-%' THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END)::BIGINT AS urgent_value_c2
     FROM orders
     """,
 )
@@ -1129,9 +1139,12 @@ def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
         F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).cast("long").alias("n_finished"),
-        F.round(
-            F.sum(F.when(F.col("o_orderpriority").startswith("1-"), F.col("o_totalprice")).otherwise(0.0)), 2
-        ).alias("urgent_value"),
+        F.sum(
+            F.when(
+                F.col("o_orderpriority").startswith("1-"),
+                F.round(F.col("o_totalprice") * 100).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("urgent_value_c2"),
     )
 
 
@@ -1266,4 +1279,108 @@ def latest_date_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.withColumn("_mx", F.max("_d").over(w))
         .where(F.col("_d") == F.col("_mx"))
         .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 10. analytics classics (scan-heavy shapes the warehouse must serve)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "forecast_revenue_simple",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_delta,
+           COUNT(*)::BIGINT AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped what-if scan: all predicates push to the parquet scan
+    (PushedFilters on shipdate/discount/quantity), single partial-agg pass,
+    zero shuffle beyond the final 1-row combine."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@q(
+    "order_priority_check",
+    """
+    SELECT o_orderpriority, COUNT(*)::BIGINT AS order_count
+    FROM orders o
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped EXISTS semi-join: late-shipped orders per priority.
+    left_semi join keeps the probe side lean (no row multiplication)."""
+    orders = _t(spark, sf_dir, "orders").where(F.year("o_orderdate") == 1997)
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@q(
+    "returned_item_reporting",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))::BIGINT AS revenue_c4
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    HAVING SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) > 1000000000
+    """,
+)
+def returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped returned-revenue report with a HAVING gate —
+    broadcast dims, returnflag predicate pushed to the fact scan."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    # money math in fixed-point BIGINT (cents x basis-points): double sums
+    # are shuffle-order-nondeterministic and decimal rounding MODES differ
+    # across engines; integer arithmetic is bit-exact everywhere
+    rev = F.sum(
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(rev.alias("revenue_c4"))
+        .where(F.col("revenue_c4") > 1_000_000_000)
     )
