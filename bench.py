@@ -67,7 +67,14 @@ def _bench_spark(cpus: int, app: str):
         app_name=app,
         master=f"local[{cpus}]",
         shuffle_partitions=max(2 * cpus, 8),
-        extra_conf={"spark.local.dir": local_dir},
+        extra_conf={
+            "spark.local.dir": local_dir,
+            # tmpfs shuffle: IO is memcpy, so compression is pure CPU cost
+            # (+22% replay throughput off).  On network-shuffle clusters the
+            # default (compressed) is correct — this is a bench-host conf.
+            "spark.shuffle.compress": "false",
+            "spark.shuffle.spill.compress": "false",
+        },
     )
 
 
