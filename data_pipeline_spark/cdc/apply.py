@@ -108,91 +108,94 @@ def apply_changes(
             for f in target_schema.fields
         ],
     )
+    # per-partition lineage + affected-partition discovery from the RAW
+    # batch: a columnar scan with map-side partial aggregation — cheaper
+    # than materializing (persisting) the LWW output just for stats, so the
+    # LWW reduction is computed exactly once, inside the write pass.
+    # Lineage counts are EVENT-level (events consumed per partition per
+    # epoch — the CDC-conventional meaning); affected partitions are
+    # identical either way (LWW reduces rows per key, never the key set).
+    part_stats = {
+        int(r[PART_COL]): r
+        for r in conformed.withColumn(PART_COL, table.bucket_expr())
+        .groupBy(PART_COL)
+        .agg(
+            F.min("lsn").alias("lsn_min"),
+            F.max("lsn").alias("lsn_max"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("events_deleted"),
+            F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).alias("events_upserted"),
+        )
+        .collect()
+    }
+    affected = sorted(part_stats)
+    events_seen = sum(
+        int(r["events_deleted"] + r["events_upserted"]) for r in part_stats.values()
+    )
+    deletes = sum(int(r["events_deleted"]) for r in part_stats.values())
     latest = lww_latest(conformed, key=key).withColumn(PART_COL, table.bucket_expr())
-    latest = latest.persist()
-    try:
-        # per-partition lineage + affected-partition discovery in ONE pass
-        part_stats = {
-            int(r[PART_COL]): r
-            for r in latest.groupBy(PART_COL)
-            .agg(
-                F.min("lsn").alias("lsn_min"),
-                F.max("lsn").alias("lsn_max"),
-                F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("rows_deleted"),
-                F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).alias("rows_upserted"),
-            )
-            .collect()
-        }
-        affected = sorted(part_stats)
-        keys_changed = sum(
-            int(r["rows_deleted"] + r["rows_upserted"]) for r in part_stats.values()
+    if not affected:
+        return ApplyStats(
+            CommitResult(table.version, table.meta["snapshot_id"], epoch, skipped=False),
+            0, 0, 0,
         )
-        deletes = sum(int(r["rows_deleted"]) for r in part_stats.values())
-        if not affected:
-            return ApplyStats(
-                CommitResult(table.version, table.meta["snapshot_id"], epoch, skipped=False),
-                0, 0, 0,
-            )
 
-        # ORDER-INSENSITIVE merge: base rows carry their producing _lsn and
-        # deletes persist as tombstones, so the per-key winner is max(_lsn)
-        # regardless of the order batches arrive in (late replay / reordered
-        # micro-batches can never clobber newer state).  Rows from pre-CDC
-        # files have NULL _lsn -> coalesced to -1, losing to any real event.
-        #
-        # Shuffle budget: survivors (keys untouched by the batch) pass
-        # through via a broadcast ANTI join — no shuffle of base data; only
-        # the contested keys (<= batch size) enter the max_by conflict
-        # resolution.  The single real shuffle is the write-side bucket
-        # repartition in overwrite_partitions.
-        base = table.read(
-            latest.sparkSession, partitions=affected, with_part_col=True, with_meta=True
-        )
-        base_norm = base.select(
-            *[
-                F.col(f.name) if f.name in base.columns else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in target_schema.fields
-            ],
-            F.coalesce(F.col(LSN_COL), F.lit(-1)).alias(LSN_COL),
-            F.coalesce(F.col(DELETED_COL), F.lit(False)).alias(DELETED_COL),
-            PART_COL,
-        )
-        batch_norm = latest.select(
-            *logical_cols,
-            F.col("lsn").alias(LSN_COL),
-            (F.col("op") == "D").alias(DELETED_COL),
-            PART_COL,
-        )
-        # join strategy is left to AQE: it broadcasts the changed-key set
-        # when it is genuinely small and falls back to a shuffled hash join
-        # for mega-epochs.  (A forced broadcast of a 1.5M-key epoch measured
-        # 20% SLOWER than the AQE plan — driver collect + rebroadcast beats
-        # the shuffle only for small key sets, exactly what AQE detects.)
-        changed_keys = latest.select(key).distinct()
-        survivors = base_norm.join(changed_keys, key, "left_anti")
-        contested = base_norm.join(changed_keys, key, "left_semi").unionByName(batch_norm)
-        winners = lww_latest(contested, key=key, order=LSN_COL)
-        merged = survivors.unionByName(winners)
+    # ORDER-INSENSITIVE merge: base rows carry their producing _lsn and
+    # deletes persist as tombstones, so the per-key winner is max(_lsn)
+    # regardless of the order batches arrive in (late replay / reordered
+    # micro-batches can never clobber newer state).  Rows from pre-CDC
+    # files have NULL _lsn -> coalesced to -1, losing to any real event.
+    #
+    # Shuffle budget: survivors (keys untouched by the batch) pass
+    # through via a broadcast ANTI join — no shuffle of base data; only
+    # the contested keys (<= batch size) enter the max_by conflict
+    # resolution.  The single real shuffle is the write-side bucket
+    # repartition in overwrite_partitions.
+    base = table.read(
+        latest.sparkSession, partitions=affected, with_part_col=True, with_meta=True
+    )
+    base_norm = base.select(
+        *[
+            F.col(f.name) if f.name in base.columns else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in target_schema.fields
+        ],
+        F.coalesce(F.col(LSN_COL), F.lit(-1)).alias(LSN_COL),
+        F.coalesce(F.col(DELETED_COL), F.lit(False)).alias(DELETED_COL),
+        PART_COL,
+    )
+    batch_norm = latest.select(
+        *logical_cols,
+        F.col("lsn").alias(LSN_COL),
+        (F.col("op") == "D").alias(DELETED_COL),
+        PART_COL,
+    )
+    # join strategy is left to AQE: it broadcasts the changed-key set
+    # when it is genuinely small and falls back to a shuffled hash join
+    # for mega-epochs.  (A forced broadcast of a 1.5M-key epoch measured
+    # 20% SLOWER than the AQE plan — driver collect + rebroadcast beats
+    # the shuffle only for small key sets, exactly what AQE detects.)
+    changed_keys = latest.select(key).distinct()
+    survivors = base_norm.join(changed_keys, key, "left_anti")
+    contested = base_norm.join(changed_keys, key, "left_semi").unionByName(batch_norm)
+    winners = lww_latest(contested, key=key, order=LSN_COL)
+    merged = survivors.unionByName(winners)
 
-        lineage = {
-            p: {
-                "lsn_min": int(r["lsn_min"]),
-                "lsn_max": int(r["lsn_max"]),
-                "rows_upserted": int(r["rows_upserted"]),
-                "rows_deleted": int(r["rows_deleted"]),
-            }
-            for p, r in part_stats.items()
+    lineage = {
+        p: {
+            "lsn_min": int(r["lsn_min"]),
+            "lsn_max": int(r["lsn_max"]),
+            "rows_upserted": int(r["events_upserted"]),
+            "rows_deleted": int(r["events_deleted"]),
         }
-        result = table.overwrite_partitions(
-            merged,
-            epoch=epoch,
-            lineage_extra=lineage,
-            incoming_schema=target_schema if target_schema != table.schema else None,
-        )
-        events_in = changes.count() if count_input else keys_changed
-        return ApplyStats(result, events_in, keys_changed, deletes)
-    finally:
-        latest.unpersist()
+        for p, r in part_stats.items()
+    }
+    result = table.overwrite_partitions(
+        merged,
+        epoch=epoch,
+        lineage_extra=lineage,
+        incoming_schema=target_schema if target_schema != table.schema else None,
+    )
+    events_in = changes.count() if count_input else events_seen
+    return ApplyStats(result, events_in, events_seen, deletes)
 
 
 def apply_changes_with_evolution(
