@@ -68,7 +68,7 @@ def lww_latest_window(changes: DataFrame, key: str = "doc_id", order: str = "lsn
 class ApplyStats:
     result: CommitResult
     events_in: int
-    keys_changed: int
+    events_applied: int
     deletes: int
 
 

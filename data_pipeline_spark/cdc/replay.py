@@ -31,7 +31,7 @@ class EpochReport:
     epoch: int
     skipped: bool
     events: int
-    keys_changed: int
+    events_applied: int
     deletes: int
     seconds: float
     version: int
@@ -107,7 +107,7 @@ class ReplayRunner:
             dt = time.time() - t0
             report.epochs.append(
                 EpochReport(
-                    ep, stats.result.skipped, stats.events_in, stats.keys_changed,
+                    ep, stats.result.skipped, stats.events_in, stats.events_applied,
                     stats.deletes, dt, self.table.version,
                 )
             )
