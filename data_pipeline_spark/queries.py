@@ -1384,3 +1384,55 @@ def returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(rev.alias("revenue_c4"))
         .where(F.col("revenue_c4") > 1_000_000_000)
     )
+
+
+# ---------------------------------------------------------------------------
+# 11. hierarchical rollups + sketch aggregates (beyond-reference scale ops)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "rollup_revenue",
+    """
+    SELECT COALESCE(c.c_mktsegment, 'ALL') AS segment,
+           COALESCE(o.o_orderstatus, 'ALL') AS status,
+           SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))::BIGINT AS revenue_c2,
+           COUNT(*)::BIGINT AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY ROLLUP (c.c_mktsegment, o.o_orderstatus)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregate (segment → status → grand total) — the
+    hypertable-rollup shape; one pass, Spark expands grouping sets without
+    re-scanning.  NULL grouping indicators are canonicalized to 'ALL' so the
+    oracle's representation matches."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return (
+        j.rollup("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("revenue_c2"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "revenue_c2", "n_orders",
+        )
+    )
+
+
+@q("sketch_aggregates")  # rows-only: approximate by design (error bounds tested)
+def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for 100-TB profiling: HyperLogLog++ distinct counts
+    and approximate percentiles — mergeable, bounded-memory, one pass.
+    Approximation has no ANSI oracle; relative-error bounds vs exact are
+    asserted in tests/test_sketches_agg.py."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("value_quantiles"),
+        F.count(F.lit(1)).alias("n"),
+    )
