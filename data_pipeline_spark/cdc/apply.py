@@ -78,18 +78,21 @@ def apply_changes(
     epoch: int | None = None,
     count_input: bool = False,
     target_schema=None,
+    epoch_source: str | None = None,
 ) -> ApplyStats:
     """Apply one change-log batch to the table (one atomic commit).
 
     ``changes`` schema: (lsn, op, doc_id, <logical payload cols>, ...).
     Exactly-once: if ``epoch`` was already committed this returns skipped
-    without reading or writing any data.
+    without reading or writing any data.  ``epoch_source`` namespaces the
+    epoch sequence (streaming batchIds vs batch-replay source epochs are
+    independent integer ranges — see IcehouseTable._epoch_key).
 
     ``target_schema``: evolved logical schema (see
     apply_changes_with_evolution); both the batch and the surviving base rows
     are conformed to it, and the schema change commits atomically with the data.
     """
-    if epoch is not None and table.epoch_committed(epoch):
+    if epoch is not None and table.epoch_committed(epoch, epoch_source):
         return ApplyStats(
             CommitResult(table.version, table.meta["snapshot_id"], epoch, skipped=True), 0, 0, 0
         )
@@ -193,6 +196,7 @@ def apply_changes(
         epoch=epoch,
         lineage_extra=lineage,
         incoming_schema=target_schema if target_schema != table.schema else None,
+        epoch_source=epoch_source,
     )
     events_in = changes.count() if count_input else events_seen
     return ApplyStats(result, events_in, events_seen, deletes)

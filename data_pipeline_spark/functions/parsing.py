@@ -41,12 +41,16 @@ def parse_price(col: Column | str) -> Column:
 
 def parse_availability(col: Column | str) -> Column:
     """Availability text → bool.  'out' wins over 'in' (so 'out of stock' is
-    False even though it contains 'in... stock' patterns); default False."""
+    False even though it contains 'in... stock' patterns); default False.
+
+    Exactly the reference's out→in→False branch order
+    (``fact_product_price.py:95-122``) — no extra 'available' branch: real
+    inputs like 'Unavailable' / 'Not available' contain neither 'out' nor
+    'in' and must fall through to the False default."""
     low = F.lower(F.coalesce(_c(col), F.lit("")))
     return (
         F.when(low.contains("out"), F.lit(False))
         .when(low.contains("in"), F.lit(True))
-        .when(low.contains("available"), F.lit(True))
         .otherwise(F.lit(False))
     )
 

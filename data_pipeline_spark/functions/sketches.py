@@ -72,16 +72,22 @@ def simhash64(shingles: Column | str) -> Column:
     no explode.
     """
     sh = _c(shingles)
+    # Bind xxhash64(shingle) ONCE per shingle via a transform stage: the
+    # 64 per-bit expressions below reference the bound lambda variable, so
+    # each shingle is hashed exactly once (inlining F.xxhash64(s) inside
+    # every when() builds an expression tree with 64 hash evaluations per
+    # shingle — nothing guarantees Catalyst CSEs inside a lambda).
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
     # bit positions are unrolled as Python ints: shiftright/shiftleft take a
     # literal bit count, and unrolling keeps everything in one codegen stage
     votes = F.aggregate(
-        sh,
+        hashes,
         F.array_repeat(F.lit(0), 64),
-        lambda acc, s: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.array(
                 *[
-                    F.when(F.shiftright(F.xxhash64(s), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                    F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
                     for b in range(64)
                 ]
             ),

@@ -149,28 +149,51 @@ def simhash_near_duplicates(
     text_col: str,
     shingle_n: int = 2,
     max_hamming: int = 3,
-    prefix_bits: int = 16,
+    n_tables: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: (id_a, id_b, hamming).
 
-    Scale path: block on the top ``prefix_bits`` of the 64-bit simhash (docs
-    within small Hamming distance usually share a 16-bit prefix; production
-    uses the standard 4-table permutation trick — here one block table keeps
-    the plan simple and the test corpus honest) and verify Hamming ≤ max
-    within blocks.
+    Scale path is the multi-block permutation scheme (Manku et al., WWW'07):
+    the 64-bit sketch is split into ``n_tables`` contiguous blocks; each
+    table blocks on ONE of them.  By pigeonhole, a pair differing in ≤
+    ``max_hamming`` bits differs in ≤ max_hamming blocks, so with
+    ``n_tables > max_hamming`` (the default: max_hamming+1) it shares at
+    least one full block — recall is EXACT, not heuristic (verified against
+    brute force in tests/test_dedup.py).  Verification cost is Σ bucket²
+    per table; pair dedup across tables happens in the final group-by.
     """
+    if n_tables is None:
+        n_tables = max_hamming + 1
+    if n_tables > 64:
+        raise ValueError("n_tables must be <= 64 (64-bit sketch)")
+    # contiguous block boundaries covering all 64 bits (sizes differ by <=1)
+    bounds = [round(64 * t / n_tables) for t in range(n_tables + 1)]
     sigs = df.select(
         F.col(id_col).alias("_id"),
         simhash64(word_shingles(text_col, shingle_n)).alias("_sim"),
-    ).withColumn("_block", F.shiftrightunsigned("_sim", 64 - prefix_bits))
-    a = sigs.select(F.col("_id").alias("id_a"), F.col("_sim").alias("_sim_a"), "_block")
-    b = sigs.select(F.col("_id").alias("id_b"), F.col("_sim").alias("_sim_b"), "_block")
+    )
+    block_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(t)),
+                F.shiftrightunsigned("_sim", bounds[t])
+                .bitwiseAND(F.lit((1 << (bounds[t + 1] - bounds[t])) - 1))
+                .cast("string"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    blocked = sigs.select("_id", "_sim", F.explode(block_keys).alias("_block"))
+    a = blocked.select(F.col("_id").alias("id_a"), F.col("_sim").alias("_sim_a"), "_block")
+    b = blocked.select(F.col("_id").alias("id_b"), F.col("_sim").alias("_sim_b"), "_block")
     return (
         a.join(b, "_block")
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", hamming64("_sim_a", "_sim_b"))
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .groupBy("id_a", "id_b")
+        .agg(F.min("hamming").alias("hamming"))
     )
 
 
@@ -179,19 +202,36 @@ def embedding_near_duplicates(
     id_col: str,
     vec_col: str,
     min_cosine: float = 0.95,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: (id_a, id_b, cosine).
 
-    Brute-force O(n²) within-corpus comparison — correct baseline; the scale
-    path is ``similarity.lsh_bucketed_topk`` (random-hyperplane buckets)
-    feeding this as the verify step on candidates only.
+    With ``candidates`` (an (id_a, id_b) frame, typically from
+    ``similarity.lsh_candidate_pairs``) the exact cosine verify is linear in
+    #candidates — the 100-TB path.  Without, it is the brute-force O(n²)
+    baseline (test scale only; same pattern as ``ngram_jaccard_pairs``).
+    Recall of the candidate-driven path vs brute force is asserted in
+    tests/test_dedup.py.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_v_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_v_b"))
+    if candidates is None:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_v_a"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_v_b"))
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    else:
+        vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        pairs = (
+            candidates.select("id_a", "id_b")
+            .join(
+                vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("_v_a")),
+                "id_a",
+            )
+            .join(
+                vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("_v_b")),
+                "id_b",
+            )
+        )
     return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_similarity("_v_a", "_v_b"), 6))
+        pairs.withColumn("cosine", F.round(cosine_similarity("_v_a", "_v_b"), 6))
         .where(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )

@@ -98,6 +98,36 @@ def lsh_bucket_keys(
     )
 
 
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_tables: int = 4,
+    n_bits: int = 6,
+    seed: int = 13,
+) -> DataFrame:
+    """Within-corpus LSH candidate pairs (id_a, id_b), id_a < id_b, distinct.
+
+    The pruning front-end for ``dedup.embedding_near_duplicates``: docs are
+    compared only when they share a random-hyperplane bucket in ≥1 of
+    ``n_tables`` tables — Σ bucket² pairs instead of n².  Exactly the role
+    the reference's FAISS index plays for its match pipeline
+    (``product_matcher.py:50-126``: index prunes the pair space, exact
+    scoring runs on retrieved candidates only).
+    """
+    keys = lsh_bucket_keys(vec_col, dim, n_tables, n_bits, seed)
+    buckets = df.select(F.col(id_col).alias("_id"), F.explode(keys).alias("bucket"))
+    a = buckets.select("bucket", F.col("_id").alias("id_a"))
+    b = buckets.select("bucket", F.col("_id").alias("id_b"))
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -895,11 +895,12 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "sequence_windows",
     """
-    SELECT user_id, event_id AS window_end, seq AS sequence
+    SELECT user_id, event_id AS window_end, array_to_string(seq, ',') AS sequence
     FROM (
       SELECT user_id, event_id,
-             LIST(ROUND(value, 2)) OVER (PARTITION BY user_id ORDER BY event_id
-                                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS seq
+             LIST(CAST(ROUND(ROUND(value, 2) * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS seq
       FROM events
     ) WHERE len(seq) = 4
     """,
@@ -907,23 +908,37 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sequence_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5 sliding fixed-length training sequences (reference: LSTM window
     slicing, ``priceforecasting/data_processor.py:81-96``) — collect_list
-    over a bounded row frame; one shuffle on the key, arrays built JVM-side."""
+    over a bounded row frame; one shuffle on the key, arrays built JVM-side.
+
+    Driver-facing projection joins the sequence to a CSV string of integer
+    cents (double→string formatting differs between engines; int cents are
+    bit-stable on both sides and the driver canonicalizer can hash strings)."""
     ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.round("value", 2).alias("value")
+        "user_id",
+        "event_id",
+        F.round(F.round("value", 2) * 100).cast("long").alias("value_c2"),
     )
-    return sequence_windows(ev, key="user_id", order_col="event_id", value_col="value", seq_len=4)
+    out = sequence_windows(
+        ev, key="user_id", order_col="event_id", value_col="value_c2", seq_len=4
+    )
+    return out.select(
+        "user_id",
+        "window_end",
+        F.array_join(F.transform("sequence", lambda x: x.cast("string")), ",").alias(
+            "sequence"
+        ),
+    )
 
 
 @q("simhash_neardup")  # rows-only: bit-sliced xxhash64 is Spark-specific
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (64-bit sign sketch, prefix blocking).  The
+    """SimHash near-dup pairs (64-bit sign sketch, Manku-style multi-block
+    permutation tables — n_tables=max_hamming+1 gives EXACT recall by
+    pigeonhole; verified vs brute force in tests/test_dedup.py).  The
     xxhash64 bit mixing has no ANSI-SQL twin, so this entry is checked
-    rows-only by the driver; the SimHash↔Jaccard agreement is asserted in
-    tests/test_dedup.py instead."""
+    rows-only by the driver."""
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_duplicates(
-        docs, "doc_id", "text", shingle_n=1, max_hamming=12, prefix_bits=8
-    )
+    return simhash_near_duplicates(docs, "doc_id", "text", shingle_n=1, max_hamming=8)
 
 
 @q("ann_lsh_topk")  # rows-only: approximate by design (recall measured in tests)
@@ -1217,8 +1232,9 @@ def seed_dimension_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            len(tokens)::INTEGER AS n_tok_raw,
-           (list_transform(tokens, t -> (t % 29)::INTEGER)
-              || list_transform(range(16), x -> 0::INTEGER))[1:16] AS input_ids
+           array_to_string(
+             (list_transform(tokens, t -> (t % 29)::INTEGER)
+                || list_transform(range(16), x -> 0::INTEGER))[1:16], ',') AS input_ids
     FROM tok
     """,
 )
@@ -1226,16 +1242,21 @@ def token_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-array normalization via the JVM column-expression twins
     (clamp→truncate→pad); the Arrow-kernel path is proven bit-identical in
     tests/test_tokens_maintenance.py.  Tokens are derived portably (word
-    lengths) so the oracle reproduces them; vocab=29 forces visible clamping."""
+    lengths) so the oracle reproduces them; vocab=29 forces visible clamping.
+    Driver-facing projection joins input_ids to a CSV string (the driver's
+    canonicalizer cannot hash bare list columns)."""
     from .functions.text import words
     from .functions.tokens import clamp_tokens, pad_tokens, truncate_tokens
 
     docs = _t(spark, sf_dir, "documents")
     tokens = F.transform(words("text"), lambda w: F.length(w).cast("int"))
+    ids = pad_tokens(truncate_tokens(clamp_tokens(tokens, 29), 16), 16)
     return docs.select(
         "doc_id",
         F.size(tokens).alias("n_tok_raw"),
-        pad_tokens(truncate_tokens(clamp_tokens(tokens, 29), 16), 16).alias("input_ids"),
+        F.array_join(F.transform(ids, lambda x: x.cast("string")), ",").alias(
+            "input_ids"
+        ),
     )
 
 
@@ -1268,16 +1289,15 @@ def token_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def latest_date_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 scalar-subquery max filter (reference: latest-date_id gate,
-    ``notification_service/bigquery_queries.py:90``).  Expressed as a
-    window-max with no partition — one pass, Catalyst rewrites the scalar
-    subquery the same way."""
-    from pyspark.sql import Window
-
+    ``notification_service/bigquery_queries.py:90``).  The scalar max is a
+    1-row distributed aggregate broadcast-cross-joined back — NOT a
+    ``Window.partitionBy()`` global window, which would move every row to a
+    single task (a straggler at 100×; see tests/test_sources_plans.py's
+    no-empty-partition-WindowExec assertion over the whole catalog)."""
     orders = _t(spark, sf_dir, "orders").withColumn("_d", F.col("o_orderdate").cast("date"))
-    w = Window.partitionBy()
+    mx = orders.agg(F.max("_d").alias("_mx"))
     return (
-        orders.withColumn("_mx", F.max("_d").over(w))
-        .where(F.col("_d") == F.col("_mx"))
+        orders.join(F.broadcast(mx), orders["_d"] == mx["_mx"])
         .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
     )
 
@@ -1431,8 +1451,11 @@ def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     Approximation has no ANSI oracle; relative-error bounds vs exact are
     asserted in tests/test_sketches_agg.py."""
     ev = _t(spark, sf_dir, "events")
+    qs = F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000)
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("value_quantiles"),
+        F.round(F.element_at(qs, 1), 4).alias("value_q50"),
+        F.round(F.element_at(qs, 2), 4).alias("value_q95"),
+        F.round(F.element_at(qs, 3), 4).alias("value_q99"),
         F.count(F.lit(1)).alias("n"),
     )

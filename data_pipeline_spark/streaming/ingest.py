@@ -29,6 +29,7 @@ true-streaming generalization with the same merge semantics.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,12 +42,30 @@ from ..table.icehouse import IcehouseTable
 
 @dataclass
 class StreamingIngest:
-    """Tail a change-log directory into an icehouse table, exactly-once."""
+    """Tail a change-log directory into an icehouse table, exactly-once.
+
+    ``stream_id`` namespaces this stream's epoch sequence in the table's
+    exactly-once registry: Spark's batchId restarts from 0 per checkpoint,
+    so without a namespace a stream pointed at a table previously populated
+    by batch replay would collide with already-committed source epochs and
+    silently skip real micro-batches.  Streams with different checkpoints
+    MUST use different stream_ids (default derives one from the checkpoint
+    path so the same checkpoint resumes into the same namespace)."""
 
     table: IcehouseTable
     checkpoint_dir: str
     max_files_per_trigger: int = 8
+    stream_id: str | None = None
     applied: list[ApplyStats] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        if self.stream_id is None:
+            import hashlib
+
+            digest = hashlib.sha256(
+                os.path.abspath(self.checkpoint_dir).encode()
+            ).hexdigest()[:12]
+            self.stream_id = f"stream-{digest}"
 
     def source(self, spark: SparkSession, log_path: str) -> DataFrame:
         return (
@@ -58,8 +77,14 @@ class StreamingIngest:
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         # batchId is Spark's replay-stable micro-batch sequence number: on
         # restart the last uncommitted batch is re-delivered with the SAME id,
-        # so using it as the icehouse epoch turns redelivery into a no-op.
-        stats = apply_changes(self.table, batch_df.drop("epoch"), epoch=int(batch_id))
+        # so using it as the icehouse epoch (namespaced by stream_id) turns
+        # redelivery into a no-op without colliding with batch-replay epochs.
+        stats = apply_changes(
+            self.table,
+            batch_df.drop("epoch"),
+            epoch=int(batch_id),
+            epoch_source=self.stream_id,
+        )
         self.applied.append(stats)
 
     def start(self, spark: SparkSession, log_path: str, trigger_once: bool = True):

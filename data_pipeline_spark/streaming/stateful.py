@@ -47,6 +47,12 @@ def streaming_dedup_first_seen(
     def _dedup_fn(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # TTL fired (empty batch iterator): expire the key so state stays
+            # bounded by active keys × TTL.  Without this branch the
+            # state.exists path below would re-register the timeout forever.
+            state.remove()
+            return
         min_lsn = None
         n = 0
         for pdf in batches:

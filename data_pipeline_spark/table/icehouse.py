@@ -241,8 +241,16 @@ class IcehouseTable:
     def epoch_watermark(self) -> int:
         return self.meta["epoch_watermark"]
 
-    def epoch_committed(self, epoch: int) -> bool:
-        return str(epoch) in self.meta["committed_epochs"]
+    @staticmethod
+    def _epoch_key(epoch: int, source: str | None) -> str:
+        """Registry key for the exactly-once fence.  ``source`` namespaces
+        epoch sequences from independent producers (batch replay vs a
+        Structured Streaming checkpoint's batchId) so their integer ranges
+        can never collide — colliding would silently no-op real data."""
+        return f"{source}:{epoch}" if source else str(epoch)
+
+    def epoch_committed(self, epoch: int, source: str | None = None) -> bool:
+        return self._epoch_key(epoch, source) in self.meta["committed_epochs"]
 
     def bucket_expr(self, col: str | None = None):
         """The bucket partitioner: pmod(xxhash64(key), n_buckets).
@@ -301,21 +309,28 @@ class IcehouseTable:
         lineage_extra: dict[str, Any] | None = None,
         incoming_schema: T.StructType | None = None,
         max_retries: int = 5,
+        epoch_source: str | None = None,
+        affected_partitions: list[int] | None = None,
     ) -> CommitResult:
         """Atomically replace the bucket partitions present in ``df``.
 
         ``df`` must contain the logical columns plus ``_part``; ONLY the
         distinct ``_part`` values present are rewritten — all other partitions
-        carry over by reference (no data movement).
+        carry over by reference (no data movement).  ``affected_partitions``
+        widens that set explicitly: partitions listed there but absent from the
+        written output (all their rows were filtered away, e.g. by vacuum) are
+        committed as EMPTY and dropped from metadata instead of silently
+        keeping their stale pre-rewrite files.
 
-        Exactly-once: if ``epoch`` is not None and already committed, this is
-        a no-op (skipped=True) and no data is written.
+        Exactly-once: if ``epoch`` is not None and already committed (within
+        ``epoch_source``'s namespace), this is a no-op (skipped=True) and no
+        data is written.
 
         Concurrency: optimistic — the metadata version is claimed with an
         exclusive create; on collision the commit retries against the refreshed
         metadata (data files are snapshot-scoped so no partial state leaks).
         """
-        if epoch is not None and self.epoch_committed(epoch):
+        if epoch is not None and self.epoch_committed(epoch, epoch_source):
             return CommitResult(self.version, self.meta["snapshot_id"], epoch, skipped=True)
 
         new_schema = self.schema
@@ -348,7 +363,8 @@ class IcehouseTable:
             PART_COL, self.key_col
         )
         return self._commit_attempts(
-            laid_out, epoch, lineage_extra, new_schema, schema_changed, max_retries
+            laid_out, epoch, lineage_extra, new_schema, schema_changed, max_retries,
+            epoch_source=epoch_source, affected_partitions=affected_partitions,
         )
 
     @staticmethod
@@ -356,29 +372,38 @@ class IcehouseTable:
         """Per-partition row counts read from the parquet footers of a just-
         written snapshot dir — driver-side metadata only, no Spark job.  This
         keeps the commit at ONE compute pass over the merged data (the write);
-        a stats-side groupBy would recompute the whole merge plan."""
-        import pyarrow.parquet as pq
+        a stats-side groupBy would recompute the whole merge plan.
 
+        Routed through ``pyarrow.fs`` so any URI scheme pyarrow can resolve
+        works (local, hdfs://, s3://).  NOTE the metadata CAS
+        (``_write_metadata``) still requires exclusive-create semantics —
+        POSIX-local/NFS/HDFS; raw object stores need a CAS-capable catalog."""
+        import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
+
+        if "://" in sdir:
+            filesystem, path = pafs.FileSystem.from_uri(sdir)
+        else:
+            filesystem, path = pafs.LocalFileSystem(), sdir
         stats: dict[int, int] = {}
-        if not os.path.isdir(sdir):
-            return stats
-        for entry in os.scandir(sdir):
-            if not (entry.is_dir() and entry.name.startswith("_pw=")):
+        sel = pafs.FileSelector(path, recursive=True, allow_not_found=True)
+        for finfo in filesystem.get_file_info(sel):
+            if finfo.type != pafs.FileType.File or not finfo.path.endswith(".parquet"):
                 continue
-            p = int(entry.name.split("=", 1)[1])
-            rows = 0
-            for f in os.scandir(entry.path):
-                if f.name.endswith(".parquet"):
-                    rows += pq.ParquetFile(f.path).metadata.num_rows
-            stats[p] = rows
+            if "_pw=" not in finfo.path:
+                continue
+            p = int(finfo.path.split("_pw=", 1)[1].split("/", 1)[0])
+            with filesystem.open_input_file(finfo.path) as f:
+                stats[p] = stats.get(p, 0) + pq.ParquetFile(f).metadata.num_rows
         return stats
 
     def _commit_attempts(
-        self, laid_out, epoch, lineage_extra, new_schema, schema_changed, max_retries
+        self, laid_out, epoch, lineage_extra, new_schema, schema_changed, max_retries,
+        epoch_source: str | None = None, affected_partitions: list[int] | None = None,
     ) -> CommitResult:
         for _attempt in range(max_retries):
             self.refresh()
-            if epoch is not None and self.epoch_committed(epoch):
+            if epoch is not None and self.epoch_committed(epoch, epoch_source):
                 return CommitResult(self.version, self.meta["snapshot_id"], epoch, skipped=True)
             new_version = self.version + 1
             # data dir is unique per commit ATTEMPT (not per version): two racing
@@ -394,6 +419,12 @@ class IcehouseTable:
                 .parquet(sdir)
             )
             stats = self._footer_stats(sdir)
+            if affected_partitions is not None:
+                # partitions the caller read but whose rewrite produced zero
+                # rows get an explicit rows=0 entry → dropped from metadata
+                # below (vacuum/compact of a 100%-tombstone partition)
+                for p in affected_partitions:
+                    stats.setdefault(int(p), 0)
             affected = sorted(stats)
             # build next metadata
             meta = json.loads(json.dumps(self.meta))  # deep copy
@@ -421,8 +452,11 @@ class IcehouseTable:
             ]
             meta["lineage"] = (meta["lineage"] + lineage_rows)[-10000:]
             if epoch is not None:
-                meta["epoch_watermark"] = max(meta["epoch_watermark"], epoch)
-                meta["committed_epochs"][str(epoch)] = {
+                if epoch_source is None:
+                    # the watermark tracks the BATCH replay namespace only —
+                    # streaming batchIds are an independent sequence
+                    meta["epoch_watermark"] = max(meta["epoch_watermark"], epoch)
+                meta["committed_epochs"][self._epoch_key(epoch, epoch_source)] = {
                     "version": new_version,
                     "snapshot_id": snapshot_id,
                     "partitions": affected,
@@ -515,14 +549,17 @@ class IcehouseTable:
         )
         return self.overwrite_partitions(out, epoch=epoch)
 
-    def truncate(self, epoch: int | None = None, max_retries: int = 5) -> CommitResult:
+    def truncate(
+        self, epoch: int | None = None, max_retries: int = 5,
+        epoch_source: str | None = None,
+    ) -> CommitResult:
         """S6 truncate: drop every partition in one pure-metadata commit —
         no data is read or written (the idempotent full-reload fence,
         ``loader.py:157-205``; old snapshots stay time-travelable until
         expire_snapshots)."""
         for _ in range(max_retries):
             self.refresh()
-            if epoch is not None and self.epoch_committed(epoch):
+            if epoch is not None and self.epoch_committed(epoch, epoch_source):
                 return CommitResult(self.version, self.meta["snapshot_id"], epoch, skipped=True)
             meta = json.loads(json.dumps(self.meta))
             meta["version"] = self.version + 1
@@ -530,8 +567,9 @@ class IcehouseTable:
             meta["snapshot_id"] = f"s{meta['version']:08d}-truncate"
             meta["partitions"] = {}
             if epoch is not None:
-                meta["epoch_watermark"] = max(meta["epoch_watermark"], epoch)
-                meta["committed_epochs"][str(epoch)] = {
+                if epoch_source is None:
+                    meta["epoch_watermark"] = max(meta["epoch_watermark"], epoch)
+                meta["committed_epochs"][self._epoch_key(epoch, epoch_source)] = {
                     "version": meta["version"], "snapshot_id": meta["snapshot_id"],
                     "partitions": [], "rows_written": 0,
                 }
@@ -568,15 +606,18 @@ class IcehouseTable:
         """Small-file compaction: rewrite current partitions into one sorted
         file per bucket (Iceberg rewrite_data_files analog).  Read+write of
         live+tombstone rows, no semantic change — lineage shows the commit."""
+        read_parts = [int(k) for k in self.meta["partitions"]]
         df = self.read(spark, with_part_col=True, with_meta=True)
-        return self.overwrite_partitions(df)
+        return self.overwrite_partitions(df, affected_partitions=read_parts)
 
     def vacuum_tombstones(self, spark: SparkSession, lsn_watermark: int) -> CommitResult:
         """Reclaim tombstones with ``_lsn <= lsn_watermark`` (safe once every
         change source is past that LSN — an older event for a vacuumed key can
-        no longer arrive).  Rewrites only partitions that still hold live
-        rows; a partition left 100%-tombstone keeps its files until the next
-        write touches it (harmless: reads filter tombstones either way)."""
+        no longer arrive).  The full set of partitions read is passed as the
+        explicit affected-set, so a partition left 100%-tombstone is dropped
+        from metadata (files reclaimed at expire_snapshots) instead of
+        lingering with a stale pre-vacuum row count."""
+        read_parts = [int(k) for k in self.meta["partitions"]]
         df = self.read(spark, with_part_col=True, with_meta=True)
         keep = df.where(
             ~(
@@ -584,7 +625,7 @@ class IcehouseTable:
                 & (F.coalesce(F.col(LSN_COL), F.lit(-1)) <= lsn_watermark)
             )
         )
-        return self.overwrite_partitions(keep)
+        return self.overwrite_partitions(keep, affected_partitions=read_parts)
 
     def lineage_df(self, spark: SparkSession) -> DataFrame:
         """Per-partition lineage as a DataFrame (queryable audit log)."""

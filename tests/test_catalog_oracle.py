@@ -65,3 +65,25 @@ def test_rows_only_entries_run(name, spark, sf_dir):
     df = Q.SPARK_QUERIES[name](spark, sf_dir)
     assert len(df.columns) > 0
     assert df.count() >= 0
+
+
+@pytest.mark.parametrize("name", sorted(Q.SPARK_QUERIES))
+def test_catalog_output_is_driver_canonicalizable(name, spark, sf_dir):
+    """The driver's canonicalizer sorts every output column with pandas —
+    bare array/map/struct columns make it raise ``unhashable type: 'list'``
+    (the round-1 failure mode for sequence_windows/token_normalize/
+    sketch_aggregates).  Every catalog entry must therefore project complex
+    values to scalars (array_join / element_at / to_json) before returning.
+    Schema-only check — no execution."""
+    from pyspark.sql import types as T
+
+    schema = Q.SPARK_QUERIES[name](spark, sf_dir).schema
+    complex_cols = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, (
+        f"{name}: complex-typed output columns {complex_cols} break the "
+        "driver canonicalizer — stringify them (array_join/to_json)"
+    )

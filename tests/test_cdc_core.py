@@ -268,6 +268,44 @@ def test_vacuum_tombstones(spark, small_log, tmp_path):
     assert table.row_count() == len(live_before), "all reclaimable tombstones dropped"
 
 
+def test_vacuum_drops_fully_tombstoned_partitions(spark, tmp_path):
+    """Regression: a partition whose every row is a reclaimable tombstone
+    must be DROPPED from metadata by vacuum (not left referencing its stale
+    pre-vacuum file/row count)."""
+    table = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=4)
+    ins = [(i + 1, "I", f"d{i}", [i], 1, "s") for i in range(20)]
+    dels = [(100 + i, "D", f"d{i}", None, None, "s") for i in range(20)]
+    cols = "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string"
+    apply_changes(table, spark.createDataFrame(ins, cols), epoch=0)
+    apply_changes(table, spark.createDataFrame(dels, cols), epoch=1)
+    assert table.read(spark).count() == 0
+    assert table.row_count() > 0  # tombstones still physically present
+    table.vacuum_tombstones(spark, lsn_watermark=200)
+    assert table.row_count() == 0, "stale partition row counts must be gone"
+    assert table.meta["partitions"] == {}, "fully-tombstoned partitions dropped"
+    assert table.read(spark).count() == 0  # still readable (empty)
+
+
+def test_epoch_namespaces_are_independent(spark, tmp_path):
+    """Regression: a streaming checkpoint's batchId sequence (epoch_source
+    set) must not collide with batch-replay source epochs on the same table
+    — colliding would silently no-op real micro-batches."""
+    table = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=4)
+    cols = "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string"
+    batch = spark.createDataFrame([(1, "I", "a", [1], 1, "s")], cols)
+    stream = spark.createDataFrame([(2, "I", "b", [2], 1, "s")], cols)
+    r1 = apply_changes(table, batch, epoch=0)  # batch namespace
+    assert not r1.result.skipped
+    r2 = apply_changes(table, stream, epoch=0, epoch_source="stream-x")
+    assert not r2.result.skipped, "same integer epoch, different namespace → must apply"
+    assert table_state(table, spark) == {"a": ((1,), 1, "s"), "b": ((2,), 1, "s")}
+    # replay within each namespace is still fenced
+    assert apply_changes(table, batch, epoch=0).result.skipped
+    assert apply_changes(table, stream, epoch=0, epoch_source="stream-x").result.skipped
+    # watermark tracks the batch namespace only
+    assert table.epoch_watermark == 0
+
+
 def test_salted_join_matches_plain_join(spark):
     """skew.salted_join must equal the plain equi-join for a unique-key
     small side (its documented contract)."""

@@ -67,10 +67,38 @@ def test_jaccard_verify_on_candidates_matches_all_pairs(spark, docs):
 
 
 def test_simhash_flags_near_dup_family(spark, docs):
-    pairs = simhash_near_duplicates(docs, "doc_id", "text", shingle_n=1, max_hamming=10, prefix_bits=4)
+    pairs = simhash_near_duplicates(docs, "doc_id", "text", shingle_n=1, max_hamming=10)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 102) in got  # one-word-changed near dup
     assert (0, 103) not in got and (1, 103) not in got  # unrelated doc not flagged
+
+
+def test_simhash_multiblock_recall_is_exact(spark, docs):
+    """Pigeonhole guarantee: with n_tables = max_hamming + 1 contiguous
+    blocks, the blocked join finds EVERY pair within the Hamming budget —
+    compare against the brute-force all-pairs Hamming computation."""
+    from data_pipeline_spark.functions.sketches import hamming64, simhash64
+    from data_pipeline_spark.functions.text import word_shingles
+
+    max_h = 10
+    blocked = simhash_near_duplicates(docs, "doc_id", "text", shingle_n=1, max_hamming=max_h)
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in blocked.collect()}
+
+    sigs = docs.select(
+        F.col("doc_id").alias("_id"),
+        simhash64(word_shingles("text", 1)).alias("_sim"),
+    )
+    a = sigs.select(F.col("_id").alias("id_a"), F.col("_sim").alias("_sim_a"))
+    b = sigs.select(F.col("_id").alias("id_b"), F.col("_sim").alias("_sim_b"))
+    brute = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming64("_sim_a", "_sim_b"))
+        .where(F.col("hamming") <= max_h)
+    )
+    want = {(r["id_a"], r["id_b"], r["hamming"]) for r in brute.collect()}
+    assert want, "corpus must contain pairs within the hamming budget"
+    assert got == want  # exact recall AND no spurious pairs
 
 
 @pytest.fixture(scope="module")
@@ -89,6 +117,28 @@ def test_embedding_near_duplicates_planted(spark, vectors):
     pairs = embedding_near_duplicates(vectors, "vec_id", "embedding", min_cosine=0.99)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (0, 100) in got and len(got) == 1
+
+
+def test_embedding_neardup_candidate_path_recall(spark, vectors):
+    """Candidate-driven verify (LSH buckets → exact cosine) must find the
+    planted near-dup and produce a subset of the brute-force result."""
+    from data_pipeline_spark.operators.similarity import lsh_candidate_pairs
+
+    cand = lsh_candidate_pairs(vectors, "vec_id", "embedding", dim=16, n_tables=8, n_bits=4)
+    via_cand = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_duplicates(
+            vectors, "vec_id", "embedding", min_cosine=0.99, candidates=cand
+        ).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_duplicates(
+            vectors, "vec_id", "embedding", min_cosine=0.99
+        ).collect()
+    }
+    assert via_cand <= brute
+    assert (0, 100) in {(a, b) for a, b, _ in via_cand}  # planted pair found
 
 
 def test_brute_force_topk_matches_numpy(spark, vectors):

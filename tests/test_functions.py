@@ -41,11 +41,14 @@ def test_parse_availability_out_beats_in(spark):
     out = _vals(
         spark,
         parse_availability("x"),
-        ["In Stock", "OUT of stock", "sold out", "available now", "2 in stock", None, "???"],
+        ["In Stock", "OUT of stock", "sold out", "available now", "2 in stock",
+         None, "???", "Unavailable", "Not available"],
     )
     # 'out' is checked before 'in' — "OUT of stock" is False even though it
-    # would also match 'in' via "...of stock" patterns (reference order bug-for-bug)
-    assert out == [True, False, False, True, True, False, False]
+    # would also match 'in' via "...of stock" patterns (reference order bug-for-bug).
+    # 'available now' matches neither 'out' nor 'in' → False (reference default);
+    # likewise 'Unavailable' / 'Not available' fall through to False.
+    assert out == [True, False, False, False, True, False, False, False, False]
 
 
 def test_normalize_phone(spark):

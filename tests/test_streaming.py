@@ -73,6 +73,45 @@ def test_stream_restart_is_exactly_once(spark, log_path, tmp_path):
     assert _final_state(table, spark) == state1
 
 
+def test_stream_onto_batch_replayed_table_applies_all_batches(spark, tmp_path):
+    """Regression: streaming batchIds 0..N must not collide with source
+    epochs already committed by batch replay on the same table (stream_id
+    namespaces the registry) — before the fix early micro-batches were
+    silently skipped as exactly-once no-ops."""
+    from data_pipeline_spark.cdc.replay import ReplayRunner
+    from data_pipeline_spark.cdc.changelog import read_change_log
+
+    log_a = str(tmp_path / "log_a")
+    log_b = str(tmp_path / "log_b")
+    materialize_change_log(spark, log_a, n_events=2000, n_docs=150, events_per_epoch=500, seed=1)
+    # log_b continues the LSN sequence AFTER log_a (a real binlog tail), so
+    # LWW for docs touched by both logs is unambiguous
+    (
+        generate_change_log(spark, n_events=2000, n_docs=150, events_per_epoch=500, seed=2)
+        .withColumn("lsn", F.col("lsn") + 10_000)
+        .write.mode("overwrite").partitionBy("epoch").parquet(log_b)
+    )
+
+    table = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=8)
+    ReplayRunner(table, str(tmp_path / "ckpt.json")).run(read_change_log(spark, log_a))
+    state_after_batch = _final_state(table, spark)
+
+    ingest = StreamingIngest(table, str(tmp_path / "sckpt"), max_files_per_trigger=2)
+    q = ingest.start(spark, log_b, trigger_once=True)
+    q.awaitTermination(300)
+    assert ingest.applied and not any(s.result.skipped for s in ingest.applied), (
+        "streaming micro-batches must not be fenced out by batch epochs"
+    )
+    # final state = batch state overlaid with log_b's LWW outcome
+    oracle = dict(state_after_batch)
+    for r in sorted(read_change_log(spark, log_b).collect(), key=lambda r: r["lsn"]):
+        if r["op"] == "D":
+            oracle.pop(r["doc_id"], None)
+        else:
+            oracle[r["doc_id"]] = (tuple(r["tokens"]), r["n_tok"], r["source"])
+    assert _final_state(table, spark) == oracle
+
+
 def test_streaming_windowed_counts(spark, tmp_path):
     src = str(tmp_path / "events_stream")
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
