@@ -61,13 +61,31 @@ def brute_force_topk(
 
 
 def _hyperplane_sign(vec_col: str, table: int, bit: int, dim: int, seed: int) -> F.Column:
-    """Sign of <v, h> for a deterministic pseudo-random hyperplane h whose
-    components are xxhash64(seed, table, bit, i) mapped to [-1, 1)."""
+    """Sign of <v, h> for a deterministic pseudo-random hyperplane h.
+
+    Components use a PORTABLE integer LCG hash (exact BIGINT arithmetic in
+    any engine — unlike xxhash64, DuckDB/Trino can recompute it verbatim, so
+    the LSH result is oracle-checkable end-to-end):
+
+        k    = seed*1000003 + table*10007 + bit*101 + i
+        u    = (k*1103515245 + 12345) mod 2147483647
+        comp = (u mod 2000003) / 1000001.5 - 1.0        ∈ [-1, 1)
+
+    All operations before the final division are exact; the division is one
+    IEEE rounding identical across engines.
+    """
+    base = seed * 1_000_003 + table * 10_007 + bit * 101
     comps = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: (
-            F.pmod(F.xxhash64(F.lit(seed), F.lit(table), F.lit(bit), i), F.lit(2_000_003))
-            .cast("double")
+            F.pmod(
+                F.pmod(
+                    (F.lit(base).cast("long") + i.cast("long")) * F.lit(1103515245).cast("long")
+                    + F.lit(12345),
+                    F.lit(2147483647),
+                ),
+                F.lit(2_000_003),
+            ).cast("double")
             / F.lit(1_000_001.5)
             - F.lit(1.0)
         ),

@@ -22,6 +22,27 @@ def plan_text(df: DataFrame, mode: str = "formatted") -> str:
     return buf.getvalue()
 
 
+def global_window_nodes(df: DataFrame) -> list[str]:
+    """Return the simpleString of every WindowExec with an EMPTY partition
+    spec in the physical plan — the 'move every row to one task' shape
+    (Spark itself warns 'No Partition Defined for Window operation').
+
+    Uses the pre-adaptive physical plan (``sparkPlan``) so the walk sees
+    WindowExec nodes directly instead of the AQE wrapper.
+    """
+    hits: list[str] = []
+
+    def walk(node) -> None:
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            hits.append(node.simpleString(120))
+        children = node.children()
+        for i in range(children.size()):
+            walk(children.apply(i))
+
+    walk(df._jdf.queryExecution().sparkPlan())
+    return hits
+
+
 def assert_plan(
     df: DataFrame,
     contains: list[str] | None = None,

@@ -930,6 +930,47 @@ def sequence_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "category_hierarchy",
+    """
+    WITH p AS (
+      SELECT source AS l1,
+             'cat' || (n_chars % 5)  AS l2,
+             'sub' || (n_chars % 17) AS l3
+      FROM documents
+    )
+    SELECT l1 AS node, NULL AS parent, 1::INTEGER AS level, l1 AS category,
+           COUNT(*)::BIGINT AS n_docs
+    FROM p GROUP BY l1
+    UNION ALL
+    SELECT l1 || '/' || l2, l1, 2::INTEGER, l2, COUNT(*)::BIGINT
+    FROM p GROUP BY l1, l2
+    UNION ALL
+    SELECT l1 || '/' || l2 || '/' || l3, l1 || '/' || l2, 3::INTEGER, l3, COUNT(*)::BIGINT
+    FROM p GROUP BY l1, l2, l3
+    """,
+)
+def category_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical category dimension + subtree rollup (reference:
+    self-referencing ``DimCategory`` — ``bigquery_schemas/DimCategory.sql:4-8``
+    — populated from scraper ``category_path`` arrays,
+    ``product_models.py:59``).  Paths are synthesized deterministically from
+    document columns so the oracle recomputes them; ``subtree_rollup`` turns
+    path arrays into (node, parent, level, category, subtree doc count) in
+    one explode + one aggregate — no recursive CTE, no driver tree walk."""
+    from .operators.hierarchy import subtree_rollup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.array(
+            F.col("source"),
+            F.concat(F.lit("cat"), (F.col("n_chars") % 5).cast("string")),
+            F.concat(F.lit("sub"), (F.col("n_chars") % 17).cast("string")),
+        ).alias("category_path")
+    )
+    out = subtree_rollup(docs, "category_path")
+    return out.select("node", "parent", "level", "category", F.col("n_rows").alias("n_docs"))
+
+
 @q("simhash_neardup")  # rows-only: bit-sliced xxhash64 is Spark-specific
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (64-bit sign sketch, Manku-style multi-block
@@ -941,16 +982,82 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(docs, "doc_id", "text", shingle_n=1, max_hamming=8)
 
 
-@q("ann_lsh_topk")  # rows-only: approximate by design (recall measured in tests)
+# Full from-scratch recomputation of the random-hyperplane LSH top-k
+# pipeline in ANSI SQL (signatures → bucket join → exact verify → rank):
+# the hyperplanes are a portable integer-LCG hash (similarity._hyperplane_sign),
+# so DuckDB reproduces every bucket bit-exactly.  Shared by ann_lsh_topk
+# (direct computation) and ann_index_incremental (CDC-persisted index) —
+# both must produce this exact relation.
+_ANN_LSH_ORACLE = """
+    WITH sv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    signs AS (
+      SELECT sv.vec_id, t.t, b.b,
+             CASE WHEN list_sum(list_transform(range(64), i ->
+               sv.v[i+1] * ((((13*1000003 + t.t*10007 + b.b*101 + i)*1103515245 + 12345)
+                             % 2147483647) % 2000003 / 1000001.5 - 1.0)
+             )) >= 0 THEN 1 ELSE 0 END AS s
+      FROM sv, range(4) t(t), range(6) b(b)
+    ),
+    keys AS (
+      SELECT vec_id, 't' || t || ':' || string_agg(s::VARCHAR, '' ORDER BY b) AS bucket
+      FROM signs GROUP BY vec_id, t
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cid
+      FROM keys q JOIN keys c USING (bucket)
+      WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+    )
+    SELECT * FROM (
+      SELECT cand.query_id, cand.cid AS neighbor_id,
+             ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY cand.query_id
+               ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC, cand.cid ASC) AS rank
+      FROM cand JOIN sv a ON a.vec_id = cand.query_id JOIN sv b ON b.vec_id = cand.cid
+    ) WHERE rank <= 10
+    """
+
+
+@q("ann_lsh_topk", _ANN_LSH_ORACLE)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH approximate top-k (the 100-TB ANN path; exact
-    twin = ``embedding_topk``).  Approximation has no SQL oracle; recall@10
-    vs the exact baseline is asserted in tests/test_similarity.py."""
+    twin = ``embedding_topk``).  The hyperplanes are a portable integer-LCG
+    hash (see ``similarity._hyperplane_sign``), so the DuckDB oracle
+    recomputes the ENTIRE pipeline — signatures, bucket join, verify, rank —
+    and the approximate result is value-hash-checked end to end.  Recall@10
+    vs the exact baseline is additionally asserted in tests."""
     emb = _t(spark, sf_dir, "embeddings")
     out = lsh_bucketed_topk(
         emb.where(F.col("vec_id") < 20), emb, "vec_id", "vec_id", "embedding",
         dim=64, k=10, n_tables=4, n_bits=6,
     )
+    return out.select(
+        F.col("vec_id_q").alias("query_id"),
+        F.col("vec_id_c").alias("neighbor_id"),
+        "cosine", "rank",
+    )
+
+
+@q("ann_index_incremental", _ANN_LSH_ORACLE)
+def ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent ANN index maintained INCREMENTALLY through the engine's
+    CDC merge (reference: FAISS ``index.add`` + persist across runs,
+    ``product_matcher.py:128-142``): vectors are upserted in two exactly-once
+    epochs into an icehouse entry table (one row per LSH bucket assignment),
+    then queried reading only probed buckets.  The oracle recomputes the
+    whole LSH pipeline from scratch in SQL — incremental maintenance must be
+    indistinguishable from a full rebuild."""
+    import tempfile
+
+    from .operators.ann_index import AnnIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="ann_index_entry_")
+    idx = AnnIndex.create(f"{root}/ix", dim=64, n_tables=4, n_bits=6, seed=13)
+    split = emb.agg(F.expr("percentile(vec_id, 0.5)")).collect()[0][0]
+    idx.upsert_vectors(emb.where(F.col("vec_id") <= split), "vec_id", "embedding", epoch=0)
+    idx.upsert_vectors(emb.where(F.col("vec_id") > split), "vec_id", "embedding", epoch=1)
+    out = idx.topk(emb.where(F.col("vec_id") < 20), "vec_id", "embedding", k=10)
     return out.select(
         F.col("vec_id_q").alias("query_id"),
         F.col("vec_id_c").alias("neighbor_id"),

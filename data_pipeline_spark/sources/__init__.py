@@ -9,8 +9,10 @@ from .json_lake import (
     validation_metrics,
 )
 from ..cdc.changelog import read_change_log  # canonical change-log source
+from .jdbc import read_external_table, subscribed_users
 
 __all__ = [
     "PRODUCT_SCHEMA", "debug_snapshot", "parse_products",
     "read_lake_json", "validation_metrics", "read_change_log",
+    "read_external_table", "subscribed_users",
 ]

@@ -103,3 +103,58 @@ def test_plan_lww_uses_partial_aggregate_not_window(spark, sf_dir):
     # (SortAggregate/ObjectHashAggregate for struct payloads), never a Window
     plan = assert_plan(q, contains=["partial_max_by"], absent=["Window"])
     assert "Aggregate" in plan
+
+
+def test_no_catalog_query_uses_global_window(spark, sf_dir):
+    """No catalog entry may plan an empty-partition WindowExec (every row
+    moved to ONE task — correct at test scale, a straggler at 100×).
+
+    ``dense_source_ids`` is exempt by design: its global row_number runs on
+    the post-aggregate distinct-source set, bounded by construction (the
+    reference's dimension seeding, ``dim_shop.py:149``)."""
+    from data_pipeline_spark import queries as Q
+    from data_pipeline_spark.plans.inspect import global_window_nodes
+
+    EXEMPT_BOUNDED_INPUT = {"dense_source_ids"}
+    offenders = {}
+    for name, fn in Q.SPARK_QUERIES.items():
+        if name in EXEMPT_BOUNDED_INPUT:
+            continue
+        nodes = global_window_nodes(fn(spark, sf_dir))
+        if nodes:
+            offenders[name] = nodes
+    assert not offenders, f"global-window plans found: {offenders}"
+
+
+def test_s15_external_store_standin_subscriber_join(spark, tmp_path):
+    """S15 external row stores: the reference's per-variant Postgres loop
+    (``postgres_queries.py:29-41``) as ONE set-oriented broadcast join,
+    driven through read_external_table's stand-in path (temp views — the
+    jdbc swap-in point is the url argument, driver jar absent in sandbox)."""
+    from data_pipeline_spark.sources.jdbc import read_external_table, subscribed_users
+
+    spark.createDataFrame(
+        [(1, "a@x.io", True), (2, "b@x.io", True), (3, "c@x.io", False)],
+        "user_id int, email string, is_active boolean",
+    ).createOrReplaceTempView("profiles")
+    spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (3, 10)],
+        "user_id int, variant_id int",
+    ).createOrReplaceTempView("userfavorites")
+    spark.createDataFrame(
+        [(1, True), (2, False), (3, True)],
+        "user_id int, notify_on_price_drop boolean",
+    ).createOrReplaceTempView("usernotificationsettings")
+
+    changed = spark.createDataFrame([(10,), (11,), (99,)], "variant_id int")
+    out = subscribed_users(
+        changed,
+        read_external_table(spark, "profiles"),
+        read_external_table(spark, "userfavorites"),
+        read_external_table(spark, "usernotificationsettings"),
+    )
+    got = {(r["variant_id"], r["email"]) for r in out.collect()}
+    # user 2 has notify off, user 3 inactive, variant 99 has no favorites
+    assert got == {(10, "a@x.io"), (11, "a@x.io")}
+    # dimension side broadcasts; the change relation never shuffles
+    assert_plan(out, contains=["BroadcastHashJoin"])
