@@ -110,6 +110,76 @@ def generate_change_log(
     return log
 
 
+def _u(seed: int, tag: int, a, b=None) -> F.Column:
+    """Portable integer LCG hash (exact BIGINT arithmetic — reproducible
+    verbatim in DuckDB/Trino SQL, unlike xxhash64).  Used by the portable
+    generator so a SQL oracle can recompute the whole change log."""
+    k = (
+        F.lit(seed * 1_000_003 + tag * 10_007).cast("long")
+        + _c_long(a) * F.lit(257)
+        + (_c_long(b) * F.lit(65_537) if b is not None else F.lit(0))
+    )
+    return F.pmod(k * F.lit(1103515245) + F.lit(12345), F.lit(2147483647))
+
+
+def _c_long(c) -> F.Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("long")
+
+
+def generate_change_log_portable(
+    spark: SparkSession,
+    n_events: int,
+    n_docs: int | None = None,
+    events_per_epoch: int = 100_000,
+    seed: int = 42,
+    hot_fraction: float = 0.30,
+    delete_pct: int = 5,
+    dup_pct: int = 2,
+    n_sources: int = 5,
+) -> DataFrame:
+    """Same shape/pathologies as :func:`generate_change_log`, but every
+    derived value comes from the portable LCG hash, so an ANSI-SQL oracle
+    recomputes the log — and therefore the post-replay FINAL STATE — from
+    scratch (the value-hash check for the flagship ``cdc_replay_icehouse``
+    path).  The xxhash64 generator remains the bench/production default.
+    """
+    n_docs = n_docs or max(n_events // 10, 10)
+    n_hot = max(n_docs // 100, 1)
+    rng = spark.range(0, n_events)
+    rid = F.col("id")
+
+    is_hot = (_u(seed, 1, rid) % 1000) < int(hot_fraction * 1000)
+    doc_num = F.when(is_hot, _u(seed, 2, rid) % n_hot).otherwise(_u(seed, 3, rid) % n_docs)
+    doc_id = F.concat(F.lit("doc_"), F.lpad(doc_num.cast("string"), 8, "0"))
+    op_roll = _u(seed, 4, rid) % 100
+    op = (
+        F.when(op_roll < delete_pct, F.lit("D"))
+        .when(op_roll < delete_pct + 40, F.lit("I"))
+        .otherwise(F.lit("U"))
+    )
+    n_tok = (MIN_TOKENS + (_u(seed, 5, rid, doc_num) % (MAX_TOKENS - MIN_TOKENS))).cast("int")
+    tokens = F.transform(
+        F.sequence(F.lit(1), n_tok),
+        lambda i: (_u(seed, 7, rid, doc_num * F.lit(128) + i) % VOCAB_SIZE).cast("int"),
+    )
+    source = F.concat(F.lit("src"), (_u(seed, 6, doc_num) % n_sources).cast("string"))
+
+    log = rng.select(
+        F.col("id").alias("lsn"),
+        (F.col("id") / events_per_epoch).cast("int").alias("epoch"),
+        op.alias("op"),
+        doc_id.alias("doc_id"),
+        F.when(op == "D", F.lit(None)).otherwise(tokens).alias("tokens"),
+        F.when(op == "D", F.lit(None).cast("int")).otherwise(n_tok).alias("n_tok"),
+        source.alias("source"),
+    )
+    if dup_pct > 0:
+        dupes = log.where((_u(seed, 8, F.col("lsn")) % 100) < dup_pct)
+        log = log.unionAll(dupes)
+    return log
+
+
 def materialize_change_log(spark: SparkSession, path: str, **kwargs) -> str:
     """Write the log epoch-partitioned (reads of 'epoch >= checkpoint' prune
     at the directory level — the tail-the-log access pattern)."""

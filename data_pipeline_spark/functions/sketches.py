@@ -104,6 +104,56 @@ def simhash64(shingles: Column | str) -> Column:
     return out
 
 
+def simhash64_portable(shingles: Column | str) -> Column:
+    """SimHash whose per-shingle hash is the lower 64 bits of md5 —
+    bit-identical to DuckDB/Trino ``md5_number_lower`` (little-endian of
+    digest bytes 8..15), so the WHOLE near-dup pipeline is oracle-checkable
+    in ANSI SQL.  Slower than :func:`simhash64` (8 hex→int conversions per
+    shingle vs one builtin xxhash64) — use that one when no cross-engine
+    parity is needed.
+
+    Bit mapping (verified against hashlib + DuckDB): bit ``b`` of the value
+    is bit ``b % 8`` of digest byte ``8 + b // 8``; the hex string exposes
+    byte ``j`` at 1-based positions ``2j+1 .. 2j+2``.
+    """
+    sh = _c(shingles)
+    hexes = F.transform(sh, lambda s: F.md5(s))
+    # bind the 8 relevant byte values ONCE per shingle (same CSE discipline
+    # as simhash64's bound xxhash64)
+    byte_arrays = F.transform(
+        hexes,
+        lambda h: F.transform(
+            F.sequence(F.lit(8), F.lit(15)),
+            lambda j: F.conv(h.substr(j * F.lit(2) + F.lit(1), F.lit(2)), 16, 10).cast("int"),
+        ),
+    )
+    votes = F.aggregate(
+        byte_arrays,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, bs: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.element_at(bs, b // 8 + 1), b % 8).bitwiseAND(F.lit(1)) == 1,
+                        1,
+                    ).otherwise(-1)
+                    for b in range(64)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    bit_vals = [1 << b for b in range(63)] + [-(1 << 63)]
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        out = out.bitwiseOR(
+            F.when(F.element_at(votes, b + 1) > 0, F.lit(bit_vals[b]).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return out
+
+
 def hamming64(a: Column | str, b: Column | str) -> Column:
     """Hamming distance between two 64-bit SimHashes (popcount of XOR)."""
     x = _c(a).bitwiseXOR(_c(b))

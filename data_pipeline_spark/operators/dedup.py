@@ -143,6 +143,13 @@ def ngram_jaccard_pairs(
     )
 
 
+def simhash_blocks(n_tables: int) -> list[tuple[int, int, int]]:
+    """Contiguous (table, lo_bit, hi_bit) block bounds covering all 64 bits
+    (sizes differ by ≤1) — shared by the Spark plan and oracle generators."""
+    bounds = [round(64 * t / n_tables) for t in range(n_tables + 1)]
+    return [(t, bounds[t], bounds[t + 1]) for t in range(n_tables)]
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -150,6 +157,7 @@ def simhash_near_duplicates(
     shingle_n: int = 2,
     max_hamming: int = 3,
     n_tables: int | None = None,
+    hash_fn=None,
 ) -> DataFrame:
     """SimHash near-dup pairs: (id_a, id_b, hamming).
 
@@ -161,27 +169,31 @@ def simhash_near_duplicates(
     least one full block — recall is EXACT, not heuristic (verified against
     brute force in tests/test_dedup.py).  Verification cost is Σ bucket²
     per table; pair dedup across tables happens in the final group-by.
+
+    ``hash_fn`` selects the per-shingle hash: the default
+    ``sketches.simhash64`` (builtin xxhash64 — fastest) or
+    ``sketches.simhash64_portable`` (md5-derived, reproducible in ANSI SQL
+    — what the oracle-checked catalog entry uses).
     """
     if n_tables is None:
         n_tables = max_hamming + 1
     if n_tables > 64:
         raise ValueError("n_tables must be <= 64 (64-bit sketch)")
-    # contiguous block boundaries covering all 64 bits (sizes differ by <=1)
-    bounds = [round(64 * t / n_tables) for t in range(n_tables + 1)]
+    sketch = hash_fn or simhash64
     sigs = df.select(
         F.col(id_col).alias("_id"),
-        simhash64(word_shingles(text_col, shingle_n)).alias("_sim"),
+        sketch(word_shingles(text_col, shingle_n)).alias("_sim"),
     )
     block_keys = F.array(
         *[
             F.concat_ws(
                 ":",
                 F.lit(str(t)),
-                F.shiftrightunsigned("_sim", bounds[t])
-                .bitwiseAND(F.lit((1 << (bounds[t + 1] - bounds[t])) - 1))
+                F.shiftrightunsigned("_sim", lo)
+                .bitwiseAND(F.lit((1 << (hi - lo)) - 1))
                 .cast("string"),
             )
-            for t in range(n_tables)
+            for t, lo, hi in simhash_blocks(n_tables)
         ]
     )
     blocked = sigs.select("_id", "_sim", F.explode(block_keys).alias("_block"))

@@ -124,33 +124,43 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def _lcg(seed: int, tag: int, id_col, i=None):
+    """Portable integer hash (same LCG family as similarity._hyperplane_sign):
+    exact BIGINT arithmetic any SQL engine reproduces verbatim — the
+    multimodal rollup's DuckDB oracle recomputes blob lengths / first bytes
+    from this formula without running the kernel."""
+    k = F.lit(seed * 1_000_003 + tag * 10_007).cast("long") + F.col(id_col).cast("long") * F.lit(257)
+    if i is not None:
+        k = k + i.cast("long")
+    return F.pmod(k * F.lit(1103515245) + F.lit(12345), F.lit(2147483647))
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
     """Deterministic fake media table (for tests/benches — no external data).
 
-    Blob bytes are generated Spark-side from xxhash64 — scales without driver
-    involvement.
+    Blob characters stay in the ASCII range (1 UTF-8 byte each) so byte
+    lengths equal character counts — the arithmetic an oracle recomputes.
+    Generated Spark-side; scales without driver involvement.
     """
-    h = lambda *cols: F.abs(F.xxhash64(*cols))  # noqa: E731
-    s = F.lit(seed)
     base = spark.range(n)
     mtype = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (h(s, "id") % 3 + 1).cast("int"),
+        (_lcg(seed, 1, "id") % 3 + 1).cast("int"),
     )
-    blob_len = (h(s, F.lit("len"), "id") % 200 + 16).cast("int")
+    blob_len = (_lcg(seed, 2, "id") % 200 + 16).cast("int")
     blob = F.aggregate(
         F.sequence(F.lit(1), blob_len),
         F.lit("").cast("string"),
-        lambda acc, i: F.concat(acc, F.chr(h(s, F.col("id"), i) % 256)),
+        lambda acc, i: F.concat(acc, F.chr(_lcg(seed, 3, "id", i) % 128)),
     ).cast("binary")
     return base.select(
         F.concat(F.lit("m_"), F.lpad(F.col("id").cast("string"), 6, "0")).alias("media_id"),
         mtype.alias("media_type"),
         blob.alias("content"),
         F.struct(
-            F.when(mtype == "image", (h(s, F.lit("w"), "id") % 1920 + 16).cast("int")).alias("width"),
-            F.when(mtype == "image", (h(s, F.lit("h"), "id") % 1080 + 16).cast("int")).alias("height"),
-            F.when(mtype != "image", (h(s, F.lit("d"), "id") % 30000 + 500).cast("int")).alias("duration_ms"),
+            F.when(mtype == "image", (_lcg(seed, 4, "id") % 1920 + 16).cast("int")).alias("width"),
+            F.when(mtype == "image", (_lcg(seed, 5, "id") % 1080 + 16).cast("int")).alias("height"),
+            F.when(mtype != "image", (_lcg(seed, 6, "id") % 30000 + 500).cast("int")).alias("duration_ms"),
             F.lit("fake/v1").alias("codec"),
         ).alias("meta"),
     )

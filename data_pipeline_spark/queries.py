@@ -971,15 +971,59 @@ def category_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", "parent", "level", "category", F.col("n_rows").alias("n_docs"))
 
 
-@q("simhash_neardup")  # rows-only: bit-sliced xxhash64 is Spark-specific
+def _simhash_oracle(max_hamming: int) -> str:
+    from .operators.dedup import simhash_blocks
+
+    values = ", ".join(f"({t}, {lo}, {hi})" for t, lo, hi in simhash_blocks(max_hamming + 1))
+    return rf"""
+    WITH sh AS (
+      SELECT doc_id, CASE WHEN len(wl) = 0 THEN [''] ELSE wl END AS shingles
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS wl
+            FROM documents)
+    ),
+    w AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    votes AS (
+      SELECT doc_id, b.b,
+             SUM(CASE WHEN ((md5_number_lower(s) >> b.b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+      FROM w, range(64) b(b) GROUP BY doc_id, b.b
+    ),
+    bits AS (SELECT doc_id, b, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit FROM votes),
+    blocks(t, lo, hi) AS (VALUES {values}),
+    keys AS (
+      SELECT doc_id, t, string_agg(bit::VARCHAR, '' ORDER BY b) AS bk
+      FROM bits JOIN blocks ON b >= lo AND b < hi
+      GROUP BY doc_id, t
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM keys a JOIN keys c ON a.t = c.t AND a.bk = c.bk AND a.doc_id < c.doc_id
+    )
+    SELECT cand.id_a, cand.id_b,
+           SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::INTEGER AS hamming
+    FROM cand JOIN bits x ON x.doc_id = cand.id_a
+              JOIN bits y ON y.doc_id = cand.id_b AND y.b = x.b
+    GROUP BY cand.id_a, cand.id_b
+    HAVING SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) <= {max_hamming}
+    """
+
+
+@q("simhash_neardup", _simhash_oracle(max_hamming=8))
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (64-bit sign sketch, Manku-style multi-block
     permutation tables — n_tables=max_hamming+1 gives EXACT recall by
-    pigeonhole; verified vs brute force in tests/test_dedup.py).  The
-    xxhash64 bit mixing has no ANSI-SQL twin, so this entry is checked
-    rows-only by the driver."""
+    pigeonhole; verified vs brute force in tests).  Uses the PORTABLE
+    md5-derived sketch (``sketches.simhash64_portable`` — bit-identical to
+    DuckDB's ``md5_number_lower``), so the oracle recomputes the whole
+    pipeline: shingles → votes → sign bits → block tables → candidate join
+    → Hamming verify.  The xxhash64 variant remains the fast path."""
+    from .functions.sketches import simhash64_portable
+
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, "doc_id", "text", shingle_n=1, max_hamming=8)
+    return simhash_near_duplicates(
+        docs, "doc_id", "text", shingle_n=1, max_hamming=8,
+        hash_fn=simhash64_portable,
+    )
 
 
 # Full from-scratch recomputation of the random-hyperplane LSH top-k
@@ -1065,12 +1109,35 @@ def ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("multimodal_features")  # rows-only: mapInPandas media kernel (stubbed decode)
+@q(
+    "multimodal_features",
+    """
+    WITH m AS (
+      SELECT id,
+             ((7*1000003 + 1*10007 + id*257)*1103515245 + 12345) % 2147483647 % 3 AS tix,
+             ((7*1000003 + 2*10007 + id*257)*1103515245 + 12345) % 2147483647 % 200 + 16 AS blen,
+             ((7*1000003 + 3*10007 + id*257 + 1)*1103515245 + 12345) % 2147483647 % 128 AS first
+      FROM range(256) r(id)
+    ),
+    f AS (
+      SELECT CASE tix WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             blen,
+             ((blen*2654435761 + first*40503) % 1000 / 999.0)::FLOAT AS f0
+      FROM m
+    )
+    SELECT media_type, COUNT(*)::BIGINT AS n_media, SUM(blen)::BIGINT AS total_bytes,
+           ROUND(AVG(f0), 4) AS avg_f0
+    FROM f GROUP BY media_type ORDER BY media_type
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthetic binary media table → Arrow-batched
     mapInPandas feature extraction (decode stubbed — see operators.multimodal)
-    → per-type rollup.  Deterministic output; schema/batch contract is the
-    tested artifact."""
+    → per-type rollup.  The synthetic generator and the fake-decode kernel
+    are pure integer arithmetic (portable LCG hash + ASCII-range blob bytes),
+    so the oracle recomputes blob lengths, first bytes, and feature[0]
+    WITHOUT running the kernel — the mapInPandas batch contract is what the
+    value-hash check then certifies."""
     from .operators.multimodal import extract_features, synthetic_media
 
     media = synthetic_media(spark, n=256, seed=7)
@@ -1086,17 +1153,56 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("cdc_replay_icehouse")  # rows-only: full engine path (icehouse commits + checkpoint)
+# Oracle for the flagship CDC replay: recompute the ENTIRE portable change
+# log (LCG-derived doc ids / ops / token counts / sources, matching
+# cdc.changelog.generate_change_log_portable with the constants below) and
+# its last-writer-wins + delete-wins final state, all in ANSI SQL.  The
+# engine's exactly-once commit protocol is the machinery under test; the
+# oracle certifies its OUTCOME byte-for-byte.
+_CDC_REPLAY_ORACLE = """
+    WITH e AS (
+      SELECT id AS lsn,
+        CASE WHEN ((42*1000003 + 1*10007 + id*257)*1103515245 + 12345) % 2147483647 % 1000 < 300
+             THEN ((42*1000003 + 2*10007 + id*257)*1103515245 + 12345) % 2147483647 % 5
+             ELSE ((42*1000003 + 3*10007 + id*257)*1103515245 + 12345) % 2147483647 % 500
+        END AS doc_num,
+        ((42*1000003 + 4*10007 + id*257)*1103515245 + 12345) % 2147483647 % 100 AS op_roll
+      FROM range(6000) r(id)
+    ),
+    ev AS (
+      SELECT lsn, doc_num,
+             CASE WHEN op_roll < 5 THEN 'D' ELSE 'IU' END AS op,
+             4 + ((42*1000003 + 5*10007 + lsn*257 + doc_num*65537)*1103515245 + 12345)
+                 % 2147483647 % 92 AS n_tok,
+             'src' || (((42*1000003 + 6*10007 + doc_num*257)*1103515245 + 12345)
+                 % 2147483647 % 5)::VARCHAR AS source
+      FROM e
+    ),
+    last AS (
+      SELECT doc_num, op, n_tok, source,
+             ROW_NUMBER() OVER (PARTITION BY doc_num ORDER BY lsn DESC) AS rn
+      FROM ev
+    )
+    SELECT source, COUNT(*)::BIGINT AS n_docs, SUM(n_tok)::BIGINT AS total_tokens,
+           ROUND(AVG(n_tok), 4) AS avg_tokens
+    FROM last WHERE rn = 1 AND op <> 'D'
+    GROUP BY source ORDER BY source
+    """
+
+
+@q("cdc_replay_icehouse", _CDC_REPLAY_ORACLE)
 def cdc_replay_icehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end engine flagship: synthesize a deterministic change log
     (north-rule shape: lsn/epoch/op/doc_id/tokens), replay it epoch-by-epoch
     through checkpointed exactly-once commits into an icehouse table, and
-    return the final state's per-source rollup.  DuckDB cannot express the
-    commit protocol; final-state equality vs a sequential oracle is asserted
-    in tests/test_cdc_core.py."""
+    return the final state's per-source rollup.  The log uses the PORTABLE
+    LCG generator, so the DuckDB oracle recomputes the log AND its LWW +
+    delete-wins final state from scratch — the commit protocol's outcome is
+    value-hash-checked, not just row-counted.  (Token-array equality and
+    crash/resume paths are additionally asserted in tests/test_cdc_core.py.)"""
     import tempfile
 
-    from .cdc.changelog import generate_change_log
+    from .cdc.changelog import generate_change_log_portable
     from .cdc.replay import ReplayRunner
     from .table.icehouse import IcehouseTable
     from pyspark.sql import types as T
@@ -1111,7 +1217,9 @@ def cdc_replay_icehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = tempfile.mkdtemp(prefix="icehouse_entry_")
     table = IcehouseTable.create(f"{root}/t", schema, key_col="doc_id", n_buckets=8)
-    log = generate_change_log(spark, n_events=6000, n_docs=500, events_per_epoch=2000, seed=42)
+    log = generate_change_log_portable(
+        spark, n_events=6000, n_docs=500, events_per_epoch=2000, seed=42
+    )
     ReplayRunner(table, f"{root}/ckpt.json").run(log)
     return (
         table.read(spark)
@@ -1367,11 +1475,28 @@ def token_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("token_pack_windows")  # rows-only: mapInPandas ragged->matrix kernel
+@q(
+    "token_pack_windows",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+                            w -> LENGTH(w)::INTEGER) AS tokens
+      FROM documents
+    )
+    SELECT SUM(GREATEST((len(tokens) + 31) // 32, 1))::BIGINT AS n_windows,
+           COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+           SUM(COALESCE(list_sum(tokens), 0))::BIGINT AS token_sum
+    FROM tok
+    """,
+)
 def token_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-window training-sample packing (Arrow mapInPandas kernel —
-    chunk each doc's token stream into 32-token windows, pad the tail).
-    Rollup output keeps the driver check small."""
+    chunk each doc's token stream into 32-token windows, pad the tail with
+    PAD_ID=0).  The rollup is oracle-checkable because the kernel's
+    invariants are arithmetic: windows per doc = max(ceil(n/32), 1), pad
+    contributes 0 to the token sum — DuckDB recomputes all three without
+    running the kernel."""
     from .functions.text import words
     from .functions.tokens import pack_fixed_windows
 
