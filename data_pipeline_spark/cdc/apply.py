@@ -72,6 +72,34 @@ class ApplyStats:
     deletes: int
 
 
+def batch_part_stats(table: IcehouseTable, changes: DataFrame, key_type=None) -> dict[int, dict]:
+    """Per-bucket event stats of a raw change batch (lineage + affected-
+    partition discovery): one columnar scan with map-side partial
+    aggregation over (lsn, op, key) only.
+
+    Exposed separately so callers can OVERLAP this job with the previous
+    epoch's merge+write (ReplayRunner prefetches the next epoch's stats
+    while the current epoch commits — the stats depend only on the change
+    log, never on table state).  The key is cast to the table's key type
+    first so the bucket hash matches the conformed merge exactly.
+    """
+    key = table.key_col
+    key_type = key_type or table.schema[key].dataType
+    rows = (
+        changes.select("lsn", "op", F.col(key).cast(key_type).alias(key))
+        .withColumn(PART_COL, table.bucket_expr())
+        .groupBy(PART_COL)
+        .agg(
+            F.min("lsn").alias("lsn_min"),
+            F.max("lsn").alias("lsn_max"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("events_deleted"),
+            F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).alias("events_upserted"),
+        )
+        .collect()
+    )
+    return {int(r[PART_COL]): r.asDict() for r in rows}
+
+
 def apply_changes(
     table: IcehouseTable,
     changes: DataFrame,
@@ -79,6 +107,7 @@ def apply_changes(
     count_input: bool = False,
     target_schema=None,
     epoch_source: str | None = None,
+    part_stats: dict[int, dict] | None = None,
 ) -> ApplyStats:
     """Apply one change-log batch to the table (one atomic commit).
 
@@ -113,30 +142,38 @@ def apply_changes(
     )
     # per-partition lineage + affected-partition discovery from the RAW
     # batch: a columnar scan with map-side partial aggregation — cheaper
-    # than materializing (persisting) the LWW output just for stats, so the
-    # LWW reduction is computed exactly once, inside the write pass.
-    # Lineage counts are EVENT-level (events consumed per partition per
-    # epoch — the CDC-conventional meaning); affected partitions are
-    # identical either way (LWW reduces rows per key, never the key set).
-    part_stats = {
-        int(r[PART_COL]): r
-        for r in conformed.withColumn(PART_COL, table.bucket_expr())
-        .groupBy(PART_COL)
-        .agg(
-            F.min("lsn").alias("lsn_min"),
-            F.max("lsn").alias("lsn_max"),
-            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("events_deleted"),
-            F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).alias("events_upserted"),
-        )
-        .collect()
-    }
-    affected = sorted(part_stats)
-    events_seen = sum(
-        int(r["events_deleted"] + r["events_upserted"]) for r in part_stats.values()
-    )
-    deletes = sum(int(r["events_deleted"]) for r in part_stats.values())
+    # than materializing (persisting) the LWW output just for stats
+    # (measured: persisting the reduction costs more in serialization than
+    # the rescan), so the LWW reduction is computed exactly once, inside
+    # the write pass.  Lineage counts are EVENT-level (events consumed per
+    # partition per epoch — the CDC-conventional meaning); affected
+    # partitions are identical either way (LWW reduces rows per key, never
+    # the key set).  ``part_stats`` may be precomputed (prefetched
+    # concurrently with the previous epoch's write — ReplayRunner does).
+    if part_stats is not None and target_schema[key].dataType != table.schema[key].dataType:
+        # key-type widening would change the bucket hash — a prefetched
+        # result (hashed with the pre-evolution type) is stale; recompute
+        part_stats = None
+    stats_future = None
+    if part_stats is None:
+        if not table.meta["partitions"]:
+            # EMPTY table: the affected-set prunes nothing (there is no base
+            # data to read), so the stats job is needed only for lineage —
+            # take it OFF the critical path entirely: run it on a pool
+            # thread concurrently with the merge write; the commit resolves
+            # it after the data files land (lineage_extra callable below).
+            from concurrent.futures import ThreadPoolExecutor
+
+            _pool = ThreadPoolExecutor(max_workers=1)
+            stats_future = _pool.submit(
+                batch_part_stats, table, changes, target_schema[key].dataType
+            )
+            _pool.shutdown(wait=False)
+        else:
+            part_stats = batch_part_stats(table, changes, key_type=target_schema[key].dataType)
+    affected = sorted(part_stats) if part_stats is not None else None
     latest = lww_latest(conformed, key=key).withColumn(PART_COL, table.bucket_expr())
-    if not affected:
+    if affected is not None and not affected:
         return ApplyStats(
             CommitResult(table.version, table.meta["snapshot_id"], epoch, skipped=False),
             0, 0, 0,
@@ -154,7 +191,10 @@ def apply_changes(
     # resolution.  The single real shuffle is the write-side bucket
     # repartition in overwrite_partitions.
     base = table.read(
-        latest.sparkSession, partitions=affected, with_part_col=True, with_meta=True
+        latest.sparkSession,
+        partitions=affected if affected is not None else [],
+        with_part_col=True,
+        with_meta=True,
     )
     base_norm = base.select(
         *[
@@ -182,22 +222,34 @@ def apply_changes(
     winners = lww_latest(contested, key=key, order=LSN_COL)
     merged = survivors.unionByName(winners)
 
-    lineage = {
-        p: {
-            "lsn_min": int(r["lsn_min"]),
-            "lsn_max": int(r["lsn_max"]),
-            "rows_upserted": int(r["events_upserted"]),
-            "rows_deleted": int(r["events_deleted"]),
+    def _lineage_of(stats: dict[int, dict]) -> dict:
+        return {
+            p: {
+                "lsn_min": int(r["lsn_min"]),
+                "lsn_max": int(r["lsn_max"]),
+                "rows_upserted": int(r["events_upserted"]),
+                "rows_deleted": int(r["events_deleted"]),
+            }
+            for p, r in stats.items()
         }
-        for p, r in part_stats.items()
-    }
+
     result = table.overwrite_partitions(
         merged,
         epoch=epoch,
-        lineage_extra=lineage,
+        lineage_extra=(
+            _lineage_of(part_stats)
+            if part_stats is not None
+            else (lambda: _lineage_of(stats_future.result()))
+        ),
         incoming_schema=target_schema if target_schema != table.schema else None,
         epoch_source=epoch_source,
     )
+    if part_stats is None:
+        part_stats = stats_future.result()
+    events_seen = sum(
+        int(r["events_deleted"] + r["events_upserted"]) for r in part_stats.values()
+    )
+    deletes = sum(int(r["events_deleted"]) for r in part_stats.values())
     events_in = changes.count() if count_input else events_seen
     return ApplyStats(result, events_in, events_seen, deletes)
 
@@ -206,6 +258,7 @@ def apply_changes_with_evolution(
     table: IcehouseTable,
     changes: DataFrame,
     epoch: int | None = None,
+    part_stats: dict[int, dict] | None = None,
 ) -> ApplyStats:
     """Like apply_changes, but first merges the batch's payload schema into the
     table schema under additive-evolution rules (new nullable columns /
@@ -220,4 +273,6 @@ def apply_changes_with_evolution(
         [f for f in changes.schema.fields if f.name not in ("lsn", "epoch", "op")]
     )
     new_schema, _changed = evolve_schema(table.schema, incoming_payload)
-    return apply_changes(table, changes, epoch=epoch, target_schema=new_schema)
+    return apply_changes(
+        table, changes, epoch=epoch, target_schema=new_schema, part_stats=part_stats
+    )

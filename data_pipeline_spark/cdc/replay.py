@@ -79,38 +79,66 @@ class ReplayRunner:
         change_log: DataFrame,
         epochs: list[int] | None = None,
         fail_after_commit_of: int | None = None,
+        prefetch_stats: bool = True,
     ) -> ReplayReport:
         """Replay epochs (ascending).  ``fail_after_commit_of`` simulates a
         crash between table commit and checkpoint write (resume-safety tests).
+
+        ``prefetch_stats``: overlap the NEXT epoch's lineage/affected-
+        partition stats scan with the current epoch's merge+write.  The
+        stats read only the change log (never table state), so prefetching
+        is side-effect-free: the exactly-once fence still runs at apply
+        time, and a prefetched result for a fenced epoch is just discarded.
+        Hides one stats-job latency per epoch behind executor-busy time.
         """
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .apply import batch_part_stats
+
         if epochs is None:
             epochs = sorted(
                 r["epoch"] for r in change_log.select("epoch").distinct().collect()
             )
         start_after = self.checkpoint.read()
         report = ReplayReport()
-        for ep in epochs:
-            t0 = time.time()
-            if ep <= start_after or self.table.epoch_committed(ep):
-                # exactly-once fence hit: repair the checkpoint if it lagged
-                if ep > start_after:
-                    self.checkpoint.write(ep, self.table.version)
+        batches = {
+            ep: change_log.where(F.col("epoch") == ep).drop("epoch") for ep in epochs
+        }
+        pool = ThreadPoolExecutor(max_workers=1) if prefetch_stats else None
+        futures: dict[int, object] = {}
+        try:
+            for i, ep in enumerate(epochs):
+                t0 = time.time()
+                if ep <= start_after or self.table.epoch_committed(ep):
+                    # exactly-once fence hit: repair the checkpoint if it lagged
+                    if ep > start_after:
+                        self.checkpoint.write(ep, self.table.version)
+                    report.epochs.append(
+                        EpochReport(ep, True, 0, 0, 0, time.time() - t0, self.table.version)
+                    )
+                    continue
+                batch = batches[ep]
+                if pool is not None and i + 1 < len(epochs):
+                    nxt = epochs[i + 1]
+                    futures[nxt] = pool.submit(batch_part_stats, self.table, batches[nxt])
+                fut = futures.pop(ep, None)
+                stats = apply_changes_with_evolution(
+                    self.table, batch, epoch=ep,
+                    part_stats=fut.result() if fut is not None else None,
+                )
+                if fail_after_commit_of is not None and ep == fail_after_commit_of:
+                    raise RuntimeError(f"injected crash after committing epoch {ep}")
+                self.checkpoint.write(ep, self.table.version)
+                dt = time.time() - t0
                 report.epochs.append(
-                    EpochReport(ep, True, 0, 0, 0, time.time() - t0, self.table.version)
+                    EpochReport(
+                        ep, stats.result.skipped, stats.events_in, stats.events_applied,
+                        stats.deletes, dt, self.table.version,
+                    )
                 )
-                continue
-            batch = change_log.where(F.col("epoch") == ep).drop("epoch")
-            stats = apply_changes_with_evolution(self.table, batch, epoch=ep)
-            if fail_after_commit_of is not None and ep == fail_after_commit_of:
-                raise RuntimeError(f"injected crash after committing epoch {ep}")
-            self.checkpoint.write(ep, self.table.version)
-            dt = time.time() - t0
-            report.epochs.append(
-                EpochReport(
-                    ep, stats.result.skipped, stats.events_in, stats.events_applied,
-                    stats.deletes, dt, self.table.version,
-                )
-            )
-            report.total_events += stats.events_in
-            report.total_seconds += dt
+                report.total_events += stats.events_in
+                report.total_seconds += dt
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False, cancel_futures=True)
         return report

@@ -439,6 +439,9 @@ class IcehouseTable:
                 }
             # drop partitions that became empty
             meta["partitions"] = {k: v for k, v in meta["partitions"].items() if v["rows"] > 0}
+            # lineage_extra may be a callable (lazy stats computed CONCURRENTLY
+            # with the data write — resolved here, after the write finished)
+            extra = lineage_extra() if callable(lineage_extra) else lineage_extra
             lineage_rows = [
                 {
                     "snapshot_id": snapshot_id,
@@ -446,7 +449,7 @@ class IcehouseTable:
                     "epoch": epoch,
                     "partition": p,
                     "rows_after": stats[p],
-                    **(lineage_extra or {}).get(p, (lineage_extra or {}).get(str(p), {})),
+                    **(extra or {}).get(p, (extra or {}).get(str(p), {})),
                 }
                 for p in affected
             ]
