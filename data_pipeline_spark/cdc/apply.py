@@ -35,7 +35,15 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..table.icehouse import DELETED_COL, LSN_COL, PART_COL, CommitResult, IcehouseTable
+from ..table.icehouse import (
+    DELETED_COL,
+    LSN_COL,
+    PART_COL,
+    CommitConflictError,
+    CommitResult,
+    ConcurrentCommitError,
+    IcehouseTable,
+)
 
 
 def lww_latest(changes: DataFrame, key: str = "doc_id", order: str = "lsn") -> DataFrame:
@@ -179,49 +187,6 @@ def apply_changes(
             0, 0, 0,
         )
 
-    # ORDER-INSENSITIVE merge: base rows carry their producing _lsn and
-    # deletes persist as tombstones, so the per-key winner is max(_lsn)
-    # regardless of the order batches arrive in (late replay / reordered
-    # micro-batches can never clobber newer state).  Rows from pre-CDC
-    # files have NULL _lsn -> coalesced to -1, losing to any real event.
-    #
-    # Shuffle budget: survivors (keys untouched by the batch) pass
-    # through via a broadcast ANTI join — no shuffle of base data; only
-    # the contested keys (<= batch size) enter the max_by conflict
-    # resolution.  The single real shuffle is the write-side bucket
-    # repartition in overwrite_partitions.
-    base = table.read(
-        latest.sparkSession,
-        partitions=affected if affected is not None else [],
-        with_part_col=True,
-        with_meta=True,
-    )
-    base_norm = base.select(
-        *[
-            F.col(f.name) if f.name in base.columns else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in target_schema.fields
-        ],
-        F.coalesce(F.col(LSN_COL), F.lit(-1)).alias(LSN_COL),
-        F.coalesce(F.col(DELETED_COL), F.lit(False)).alias(DELETED_COL),
-        PART_COL,
-    )
-    batch_norm = latest.select(
-        *logical_cols,
-        F.col("lsn").alias(LSN_COL),
-        (F.col("op") == "D").alias(DELETED_COL),
-        PART_COL,
-    )
-    # join strategy is left to AQE: it broadcasts the changed-key set
-    # when it is genuinely small and falls back to a shuffled hash join
-    # for mega-epochs.  (A forced broadcast of a 1.5M-key epoch measured
-    # 20% SLOWER than the AQE plan — driver collect + rebroadcast beats
-    # the shuffle only for small key sets, exactly what AQE detects.)
-    changed_keys = latest.select(key).distinct()
-    survivors = base_norm.join(changed_keys, key, "left_anti")
-    contested = base_norm.join(changed_keys, key, "left_semi").unionByName(batch_norm)
-    winners = lww_latest(contested, key=key, order=LSN_COL)
-    merged = survivors.unionByName(winners)
-
     def _lineage_of(stats: dict[int, dict]) -> dict:
         return {
             p: {
@@ -233,17 +198,89 @@ def apply_changes(
             for p, r in stats.items()
         }
 
-    result = table.overwrite_partitions(
-        merged,
-        epoch=epoch,
-        lineage_extra=(
-            _lineage_of(part_stats)
-            if part_stats is not None
-            else (lambda: _lineage_of(stats_future.result()))
-        ),
-        incoming_schema=target_schema if target_schema != table.schema else None,
-        epoch_source=epoch_source,
-    )
+    # ORDER-INSENSITIVE merge: base rows carry their producing _lsn and
+    # deletes persist as tombstones, so the per-key winner is max(_lsn)
+    # regardless of the order batches arrive in (late replay / reordered
+    # micro-batches can never clobber newer state).  Rows from pre-CDC
+    # files have NULL _lsn -> coalesced to -1, losing to any real event.
+    #
+    # Shuffle budget: survivors (keys untouched by the batch) pass
+    # through via a broadcast ANTI join — no shuffle of base data; only
+    # the contested keys (<= batch size) enter the max_by conflict
+    # resolution.  The single real shuffle is the write-side bucket
+    # repartition in overwrite_partitions.
+    #
+    # Serializable isolation: the merge plan reads the snapshot at
+    # ``read_version``; if a concurrent writer commits an overlapping
+    # partition first, the commit raises CommitConflictError and the WHOLE
+    # merge is rebuilt against the refreshed snapshot (Iceberg-style
+    # validate-and-retry — the plain CAS retry alone would lose the
+    # winner's rows, since the stale plan re-executes against old files).
+    for _merge_attempt in range(5):
+        read_version = table.version
+        base = table.read(
+            latest.sparkSession,
+            partitions=affected if affected is not None else [],
+            with_part_col=True,
+            with_meta=True,
+        )
+        base_norm = base.select(
+            *[
+                F.col(f.name) if f.name in base.columns else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in target_schema.fields
+            ],
+            F.coalesce(F.col(LSN_COL), F.lit(-1)).alias(LSN_COL),
+            F.coalesce(F.col(DELETED_COL), F.lit(False)).alias(DELETED_COL),
+            PART_COL,
+        )
+        batch_norm = latest.select(
+            *logical_cols,
+            F.col("lsn").alias(LSN_COL),
+            (F.col("op") == "D").alias(DELETED_COL),
+            PART_COL,
+        )
+        # join strategy is left to AQE: it broadcasts the changed-key set
+        # when it is genuinely small and falls back to a shuffled hash join
+        # for mega-epochs.  (A forced broadcast of a 1.5M-key epoch measured
+        # 20% SLOWER than the AQE plan — driver collect + rebroadcast beats
+        # the shuffle only for small key sets, exactly what AQE detects.)
+        changed_keys = latest.select(key).distinct()
+        survivors = base_norm.join(changed_keys, key, "left_anti")
+        contested = base_norm.join(changed_keys, key, "left_semi").unionByName(batch_norm)
+        winners = lww_latest(contested, key=key, order=LSN_COL)
+        merged = survivors.unionByName(winners)
+
+        try:
+            result = table.overwrite_partitions(
+                merged,
+                epoch=epoch,
+                lineage_extra=(
+                    _lineage_of(part_stats)
+                    if part_stats is not None
+                    else (lambda: _lineage_of(stats_future.result()))
+                ),
+                incoming_schema=target_schema if target_schema != table.schema else None,
+                epoch_source=epoch_source,
+                read_version=read_version,
+            )
+            break
+        except CommitConflictError:
+            table.refresh()
+            if epoch is not None and table.epoch_committed(epoch, epoch_source):
+                return ApplyStats(
+                    CommitResult(table.version, table.meta["snapshot_id"], epoch, skipped=True),
+                    0, 0, 0,
+                )
+            if part_stats is None:
+                # the empty-table fast path no longer applies after a
+                # conflict (the winner populated partitions): resolve the
+                # concurrent stats so the retry prunes its base read
+                part_stats = stats_future.result()
+                affected = sorted(part_stats)
+    else:
+        raise ConcurrentCommitError(
+            f"merge lost 5 consecutive snapshot-conflict races on {table.root}"
+        )
     if part_stats is None:
         part_stats = stats_future.result()
     events_seen = sum(

@@ -1,5 +1,6 @@
 from .icehouse import (
     PART_COL,
+    CommitConflictError,
     CommitResult,
     ConcurrentCommitError,
     IcehouseTable,
@@ -10,6 +11,7 @@ from .icehouse import (
 
 __all__ = [
     "PART_COL",
+    "CommitConflictError",
     "CommitResult",
     "ConcurrentCommitError",
     "IcehouseTable",

@@ -150,6 +150,13 @@ class ConcurrentCommitError(RuntimeError):
     pass
 
 
+class CommitConflictError(RuntimeError):
+    """A concurrent commit changed partitions this write had read (its merge
+    plan is stale) — the CALLER must rebuild its plan against the refreshed
+    snapshot and retry.  Distinct from the internal CAS retry, which is safe
+    only when the loser's input partitions were untouched."""
+
+
 class IcehouseTable:
     """Handle to one icehouse table rooted at a directory."""
 
@@ -311,6 +318,7 @@ class IcehouseTable:
         max_retries: int = 5,
         epoch_source: str | None = None,
         affected_partitions: list[int] | None = None,
+        read_version: int | None = None,
     ) -> CommitResult:
         """Atomically replace the bucket partitions present in ``df``.
 
@@ -329,6 +337,12 @@ class IcehouseTable:
         Concurrency: optimistic — the metadata version is claimed with an
         exclusive create; on collision the commit retries against the refreshed
         metadata (data files are snapshot-scoped so no partial state leaks).
+        ``read_version``: the snapshot version the caller's plan READ (merge
+        inputs).  If a concurrent commit has since changed any partition this
+        write touches, the plan is stale — the commit raises
+        :class:`CommitConflictError` so the caller rebuilds its merge against
+        the fresh snapshot (serializable isolation, Iceberg-style validation).
+        Commits over disjoint partitions still succeed via the plain retry.
         """
         if epoch is not None and self.epoch_committed(epoch, epoch_source):
             return CommitResult(self.version, self.meta["snapshot_id"], epoch, skipped=True)
@@ -365,6 +379,7 @@ class IcehouseTable:
         return self._commit_attempts(
             laid_out, epoch, lineage_extra, new_schema, schema_changed, max_retries,
             epoch_source=epoch_source, affected_partitions=affected_partitions,
+            read_version=read_version,
         )
 
     @staticmethod
@@ -400,6 +415,7 @@ class IcehouseTable:
     def _commit_attempts(
         self, laid_out, epoch, lineage_extra, new_schema, schema_changed, max_retries,
         epoch_source: str | None = None, affected_partitions: list[int] | None = None,
+        read_version: int | None = None,
     ) -> CommitResult:
         for _attempt in range(max_retries):
             self.refresh()
@@ -426,6 +442,26 @@ class IcehouseTable:
                 for p in affected_partitions:
                     stats.setdefault(int(p), 0)
             affected = sorted(stats)
+            if read_version is not None and self.version != read_version:
+                # serializable-isolation validation: a concurrent commit won
+                # a version race since our plan read its inputs.  Safe ONLY
+                # if none of the partitions we are about to replace changed;
+                # otherwise our output was derived from stale base rows
+                # (lost update) — hand the conflict back to the caller.
+                base_parts = IcehouseTable.load(self.root, version=read_version).meta[
+                    "partitions"
+                ]
+                cur_parts = self.meta["partitions"]
+                dirty = [
+                    p for p in affected if base_parts.get(str(p)) != cur_parts.get(str(p))
+                ]
+                if dirty:
+                    shutil.rmtree(sdir, ignore_errors=True)
+                    raise CommitConflictError(
+                        f"partitions {dirty} changed between read snapshot "
+                        f"v{read_version} and current v{self.version}; rebuild "
+                        "the merge against the refreshed snapshot"
+                    )
             # build next metadata
             meta = json.loads(json.dumps(self.meta))  # deep copy
             meta["version"] = new_version
@@ -539,18 +575,24 @@ class IcehouseTable:
         live rows to tombstones carrying ``lsn`` — a later out-of-order event
         with a lower LSN stays deleted, and the delete itself is fenced by
         ``epoch`` like any other commit."""
-        df = self.read(spark, with_part_col=True, with_meta=True)
-        live = ~F.coalesce(F.col(DELETED_COL), F.lit(False))
-        matched = F.coalesce(condition, F.lit(False))
-        out = df.select(
-            *[F.col(f.name) for f in self.schema.fields],
-            F.when(live & matched, F.lit(lsn)).otherwise(F.col(LSN_COL)).alias(LSN_COL),
-            F.when(live & matched, F.lit(True))
-            .otherwise(F.coalesce(F.col(DELETED_COL), F.lit(False)))
-            .alias(DELETED_COL),
-            PART_COL,
-        )
-        return self.overwrite_partitions(out, epoch=epoch)
+        for _ in range(5):
+            read_version = self.version
+            df = self.read(spark, with_part_col=True, with_meta=True)
+            live = ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+            matched = F.coalesce(condition, F.lit(False))
+            out = df.select(
+                *[F.col(f.name) for f in self.schema.fields],
+                F.when(live & matched, F.lit(lsn)).otherwise(F.col(LSN_COL)).alias(LSN_COL),
+                F.when(live & matched, F.lit(True))
+                .otherwise(F.coalesce(F.col(DELETED_COL), F.lit(False)))
+                .alias(DELETED_COL),
+                PART_COL,
+            )
+            try:
+                return self.overwrite_partitions(out, epoch=epoch, read_version=read_version)
+            except CommitConflictError:
+                self.refresh()
+        raise ConcurrentCommitError(f"delete_where lost 5 conflict races on {self.root}")
 
     def truncate(
         self, epoch: int | None = None, max_retries: int = 5,
@@ -609,9 +651,17 @@ class IcehouseTable:
         """Small-file compaction: rewrite current partitions into one sorted
         file per bucket (Iceberg rewrite_data_files analog).  Read+write of
         live+tombstone rows, no semantic change — lineage shows the commit."""
-        read_parts = [int(k) for k in self.meta["partitions"]]
-        df = self.read(spark, with_part_col=True, with_meta=True)
-        return self.overwrite_partitions(df, affected_partitions=read_parts)
+        for _ in range(5):
+            read_version = self.version
+            read_parts = [int(k) for k in self.meta["partitions"]]
+            df = self.read(spark, with_part_col=True, with_meta=True)
+            try:
+                return self.overwrite_partitions(
+                    df, affected_partitions=read_parts, read_version=read_version
+                )
+            except CommitConflictError:
+                self.refresh()
+        raise ConcurrentCommitError(f"compact lost 5 conflict races on {self.root}")
 
     def vacuum_tombstones(self, spark: SparkSession, lsn_watermark: int) -> CommitResult:
         """Reclaim tombstones with ``_lsn <= lsn_watermark`` (safe once every
@@ -620,15 +670,23 @@ class IcehouseTable:
         explicit affected-set, so a partition left 100%-tombstone is dropped
         from metadata (files reclaimed at expire_snapshots) instead of
         lingering with a stale pre-vacuum row count."""
-        read_parts = [int(k) for k in self.meta["partitions"]]
-        df = self.read(spark, with_part_col=True, with_meta=True)
-        keep = df.where(
-            ~(
-                F.coalesce(F.col(DELETED_COL), F.lit(False))
-                & (F.coalesce(F.col(LSN_COL), F.lit(-1)) <= lsn_watermark)
+        for _ in range(5):
+            read_version = self.version
+            read_parts = [int(k) for k in self.meta["partitions"]]
+            df = self.read(spark, with_part_col=True, with_meta=True)
+            keep = df.where(
+                ~(
+                    F.coalesce(F.col(DELETED_COL), F.lit(False))
+                    & (F.coalesce(F.col(LSN_COL), F.lit(-1)) <= lsn_watermark)
+                )
             )
-        )
-        return self.overwrite_partitions(keep, affected_partitions=read_parts)
+            try:
+                return self.overwrite_partitions(
+                    keep, affected_partitions=read_parts, read_version=read_version
+                )
+            except CommitConflictError:
+                self.refresh()
+        raise ConcurrentCommitError(f"vacuum lost 5 conflict races on {self.root}")
 
     def lineage_df(self, spark: SparkSession) -> DataFrame:
         """Per-partition lineage as a DataFrame (queryable audit log)."""

@@ -306,6 +306,41 @@ def test_epoch_namespaces_are_independent(spark, tmp_path):
     assert table.epoch_watermark == 0
 
 
+def test_concurrent_commits_cas_race(spark, tmp_path):
+    """Two table handles committing simultaneously: the exclusive-create
+    metadata CAS must serialize them — the loser retries against the
+    refreshed metadata and BOTH batches land (no lost update, no partial
+    state, consecutive versions)."""
+    import threading
+
+    root = str(tmp_path / "t")
+    IcehouseTable.create(root, TABLE_SCHEMA, n_buckets=4)
+    cols = "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string"
+    batches = {
+        "w1": spark.createDataFrame([(i, "I", f"a{i}", [i], 1, "s1") for i in range(1, 21)], cols),
+        "w2": spark.createDataFrame([(100 + i, "I", f"b{i}", [i], 1, "s2") for i in range(1, 21)], cols),
+    }
+    errors: list[Exception] = []
+
+    def writer(name: str) -> None:
+        try:
+            handle = IcehouseTable.load(root)  # independent handle per writer
+            apply_changes(handle, batches[name])
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(n,)) for n in batches]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, f"concurrent commit failed: {errors}"
+    final = IcehouseTable.load(root)
+    assert final.version == 2, "both writers must have committed (one after a CAS retry)"
+    state = table_state(final, spark)
+    assert len(state) == 40 and "a1" in state and "b1" in state
+
+
 def test_salted_join_matches_plain_join(spark):
     """skew.salted_join must equal the plain equi-join for a unique-key
     small side (its documented contract)."""
