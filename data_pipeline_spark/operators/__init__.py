@@ -26,8 +26,15 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_near_duplicates,
 )
-from .similarity import brute_force_topk, lsh_bucketed_topk, lsh_candidate_pairs
+from .similarity import (
+    brute_force_topk,
+    ivf_topk,
+    kmeans_centroids,
+    lsh_bucketed_topk,
+    lsh_candidate_pairs,
+)
 from .hierarchy import path_edges, subtree_rollup
+from .graph import connected_components, dedup_assignments
 
 __all__ = [
     "latest_per_key", "price_changes", "robust_zscore_anomalies",
@@ -35,6 +42,8 @@ __all__ = [
     "distinct_union", "insert_if_absent", "merge_update", "work_queue",
     "embedding_near_duplicates", "exact_duplicates", "minhash_lsh_candidates",
     "ngram_jaccard_pairs", "simhash_near_duplicates",
-    "brute_force_topk", "lsh_bucketed_topk", "lsh_candidate_pairs",
+    "brute_force_topk", "ivf_topk", "kmeans_centroids",
+    "lsh_bucketed_topk", "lsh_candidate_pairs",
     "path_edges", "subtree_rollup",
+    "connected_components", "dedup_assignments",
 ]

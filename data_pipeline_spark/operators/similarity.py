@@ -116,6 +116,151 @@ def lsh_bucket_keys(
     )
 
 
+def _dot_lit(vec_col: str, centroid: list[float]) -> F.Column:
+    """<v, centroid> with the centroid embedded as literals (codegen'd)."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.array(*[F.lit(float(x)) for x in centroid]),
+            lambda x, c: x.cast("double") * c,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means over an embedding column, expressed as
+    DataFrame aggregations (posexplode → per-(cluster, dim) avg).
+
+    Init = the ``n_centroids`` lowest-id vectors (deterministic and
+    replay-stable at any partitioning).  Centroids live on the driver
+    (n_centroids × dim floats — KB-scale; the data never leaves executors).
+    Assignment uses maximum dot product on L2-normalized vectors (spherical
+    k-means — the cosine-metric variant IVF indexes use).
+    """
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+        )
+    )
+    unit = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double") / norm).alias("_v"),
+    ).where(norm > 0)
+    centroids = [
+        r["_v"] for r in unit.orderBy("_id").limit(n_centroids).select("_v").collect()
+    ]
+    for _ in range(n_iters):
+        # bind the score array ONCE (a bare array_position(scores,
+        # array_max(scores)) would inline the 16x64 dot expression tree
+        # twice — the O(k²) codegen trap minhash already taught us)
+        assigned = (
+            unit.withColumn("_scores", F.array(*[_dot_lit("_v", c) for c in centroids]))
+            .withColumn(
+                "_c",
+                (F.array_position("_scores", F.array_max("_scores")) - 1).cast("int"),
+            )
+        )
+        dims = assigned.select("_c", F.posexplode("_v").alias("_pos", "_x"))
+        means = (
+            dims.groupBy("_c", "_pos").agg(F.avg("_x").alias("_m")).collect()
+        )
+        by_c: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_c.setdefault(int(r["_c"]), {})[int(r["_pos"])] = float(r["_m"])
+        dim = len(centroids[0])
+        new = []
+        for i, old in enumerate(centroids):
+            vals = by_c.get(i)
+            if not vals:
+                new.append(old)  # empty cluster keeps its centroid
+                continue
+            vec = [vals.get(p, 0.0) for p in range(dim)]
+            n = sum(x * x for x in vec) ** 0.5
+            new.append([x / n for x in vec] if n > 0 else old)
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    n_iters: int = 5,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-style approximate top-k: k-means cells instead of random planes.
+
+    Corpus vectors are assigned to their nearest centroid (the inverted
+    file); each query probes its ``n_probe`` nearest cells and exact-scores
+    only those cells' vectors — the FAISS IVF architecture (reference:
+    ``product_matcher.py:50-126``) on DataFrames.  Same output shape as
+    ``lsh_bucketed_topk``; recall tunes with n_probe/n_centroids.  Pass
+    ``centroids`` to reuse a trained codebook (e.g. train once, probe many
+    batches — at 100 TB the train step samples, the assignment is one scan).
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, corpus_id, vec_col, n_centroids, n_iters)
+
+    def cell_scores(col: str) -> F.Column:
+        return F.array(*[_dot_lit(col, c) for c in centroids])
+
+    # bind score arrays once per row before reusing them (codegen discipline)
+    c = (
+        corpus.select(F.col(corpus_id).alias("c_id"), F.col(vec_col).alias("_cv"))
+        .withColumn("_scores", cell_scores("_cv"))
+        .withColumn(
+            "cell", (F.array_position("_scores", F.array_max("_scores")) - 1).cast("int")
+        )
+        .drop("_scores")
+    )
+    q = (
+        queries.select(F.col(query_id).alias("q_id"), F.col(vec_col).alias("_qv"))
+        .withColumn("_scores", cell_scores("_qv"))
+    )
+    # per-query probed cells: indices of the n_probe best centroid scores
+    scored_cells = F.transform(
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda i: F.struct(
+            F.element_at(F.col("_scores"), i.cast("int") + 1).alias("s"), i.alias("i")
+        ),
+    )
+    probes = F.slice(F.reverse(F.array_sort(scored_cells)), 1, n_probe)
+    qb = q.withColumn(
+        "cell", F.explode(F.transform(probes, lambda p: p["i"].cast("int")))
+    ).drop("_scores")
+    cand = (
+        qb.join(c, "cell")
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", "_qv", "_cv")
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    scored = cand.withColumn("cosine", F.round(cosine_similarity("_qv", "_cv"), 6))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias(query_id + "_q"),
+            F.col("c_id").alias(corpus_id + "_c"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,

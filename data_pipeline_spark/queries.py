@@ -838,6 +838,56 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_components",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS shingles
+      FROM documents WHERE doc_id < 120
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id
+        AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+            len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      -- transitive closure by min-label fixpoint (recursive CTE)
+      WITH RECURSIVE r(node, label) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+        UNION
+        SELECT s.v, r.label FROM r JOIN sym s ON s.u = r.node
+      )
+      SELECT node, MIN(label) AS component FROM r GROUP BY node
+    ),
+    sizes AS (SELECT component, COUNT(*) AS n FROM reach GROUP BY component)
+    SELECT reach.node::BIGINT AS doc_id,
+           reach.component::BIGINT AS canonical_id,
+           (reach.node = reach.component) AS is_canonical,
+           sizes.n::BIGINT AS cluster_size
+    FROM reach JOIN sizes USING (component)
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: Jaccard pair graph → connected
+    components → canonical-doc assignment (reference: FAISS match-group
+    membership, ``product_matcher.py:50-126`` / ``FactProductMatch``).
+    The Spark side iterates distributed min-label propagation (one shuffle
+    per round, diameter-bounded); the oracle proves the FIXPOINT via a
+    recursive CTE — an iterative DataFrame algorithm value-checked exactly."""
+    from .operators.graph import dedup_assignments
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=1, min_jaccard=0.5)
+    return dedup_assignments(pairs)
+
+
+@q(
     "embedding_topk",
     """
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20)
@@ -1079,6 +1129,71 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id_q").alias("query_id"),
         F.col("vec_id_c").alias("neighbor_id"),
         "cosine", "rank",
+    )
+
+
+@q("ann_ivf_topk")  # rows-only: iterative k-means training is not SQL-expressible
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: spherical k-means cells (Lloyd's
+    iterations as DataFrame aggregations, deterministic lowest-id init)
+    replace the random hyperplanes — the FAISS-IVF architecture (reference:
+    ``product_matcher.py:50-126``) on DataFrames.  The train loop is
+    iterative, so no tractable ANSI oracle exists; recall vs the exact
+    baseline and codebook-reuse equality are asserted in
+    tests/test_dedup_similarity.py."""
+    from .operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb.where(F.col("vec_id") < 20), emb, "vec_id", "vec_id", "embedding",
+        n_centroids=16, n_probe=4, k=10, n_iters=3,
+    )
+    return out.select(
+        F.col("vec_id_q").alias("query_id"),
+        F.col("vec_id_c").alias("neighbor_id"),
+        "cosine", "rank",
+    )
+
+
+@q(
+    "stratified_sample",
+    """
+    SELECT source,
+           COUNT(*)::BIGINT AS n_sampled,
+           SUM(n_chars)::BIGINT AS chars_sampled
+    FROM documents
+    WHERE ((7*1000003 + 9*10007 + doc_id*257)*1103515245 + 12345) % 2147483647 % 1000 < 200
+    GROUP BY source ORDER BY source
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (training-data mixture control): keep a
+    fixed fraction per key via the portable LCG — replay-stable, join-stable
+    (the same doc_id samples identically everywhere), no RNG state.  The
+    oracle recomputes membership exactly; at 100 TB this is a pushed-down
+    filter, zero shuffle before the rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    gate = (
+        F.pmod(
+            (
+                F.lit(7 * 1_000_003 + 9 * 10_007).cast("long")
+                + F.col("doc_id").cast("long") * F.lit(257)
+            )
+            * F.lit(1103515245)
+            + F.lit(12345),
+            F.lit(2147483647),
+        )
+        % 1000
+        < 200
+    )
+    return (
+        docs.where(gate)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("chars_sampled"),
+        )
+        .orderBy("source")
     )
 
 

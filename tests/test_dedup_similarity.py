@@ -174,3 +174,41 @@ def test_lsh_topk_recall(spark, vectors):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
     # the planted near-dup must be found by LSH for query 0
     assert (0, 100) in a
+
+
+def test_ivf_topk_recall(spark, vectors):
+    """IVF (k-means cells) approximate top-k: planted near-dup found,
+    recall vs brute force reasonable, and a pre-trained codebook reused
+    across probe batches gives identical results."""
+    from data_pipeline_spark.operators.similarity import ivf_topk, kmeans_centroids
+
+    exact = brute_force_topk(
+        vectors.where("vec_id < 5"), vectors, "vec_id", "vec_id", "embedding", k=5
+    )
+    approx = ivf_topk(
+        vectors.where("vec_id < 5"), vectors, "vec_id", "vec_id", "embedding",
+        n_centroids=6, n_probe=3, k=5, n_iters=3,
+    )
+    e = {(r["vec_id_q"], r["vec_id_c"]) for r in exact.collect()}
+    a = {(r["vec_id_q"], r["vec_id_c"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    assert (0, 100) in a  # planted near-dup probes into vec 0's cell
+
+    # train-once reuse: explicit codebook == internally trained codebook
+    cb = kmeans_centroids(vectors, "vec_id", "embedding", n_centroids=6, n_iters=3)
+    again = ivf_topk(
+        vectors.where("vec_id < 5"), vectors, "vec_id", "vec_id", "embedding",
+        n_probe=3, k=5, centroids=cb,
+    )
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in approx.collect()}
+
+
+def test_kmeans_centroids_deterministic_across_partitioning(spark, vectors):
+    from data_pipeline_spark.operators.similarity import kmeans_centroids
+
+    a = kmeans_centroids(vectors.repartition(5), "vec_id", "embedding", 4, 2)
+    b = kmeans_centroids(vectors.coalesce(1), "vec_id", "embedding", 4, 2)
+    assert len(a) == len(b) == 4
+    for ca, cb in zip(a, b):
+        assert all(abs(x - y) < 1e-9 for x, y in zip(ca, cb))
