@@ -1197,6 +1197,76 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "product_match_groups",
+    """
+    WITH sv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    signs AS (
+      SELECT sv.vec_id, t.t, b.b,
+             CASE WHEN list_sum(list_transform(range(64), i ->
+               sv.v[i+1] * ((((13*1000003 + t.t*10007 + b.b*101 + i)*1103515245 + 12345)
+                             % 2147483647) % 2000003 / 1000001.5 - 1.0)
+             )) >= 0 THEN 1 ELSE 0 END AS s
+      FROM sv, range(4) t(t), range(6) b(b)
+    ),
+    keys AS (
+      SELECT vec_id, 't' || t || ':' || string_agg(s::VARCHAR, '' ORDER BY b) AS bucket
+      FROM signs GROUP BY vec_id, t
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM keys a JOIN keys c USING (bucket)
+      WHERE a.vec_id < c.vec_id
+    ),
+    pairs AS (
+      SELECT cand.id_a, cand.id_b
+      FROM cand JOIN sv a ON a.vec_id = cand.id_a JOIN sv b ON b.vec_id = cand.id_b
+      WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.42
+    ),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      WITH RECURSIVE r(node, label) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+        UNION
+        SELECT s.v, r.label FROM r JOIN sym s ON s.u = r.node
+      )
+      SELECT node, MIN(label) AS component FROM r GROUP BY node
+    ),
+    sizes AS (SELECT component, COUNT(*) AS n FROM reach GROUP BY component)
+    SELECT reach.node::BIGINT AS vec_id,
+           reach.component::BIGINT AS group_id,
+           (reach.node = reach.component) AS is_canonical,
+           sizes.n::BIGINT AS group_size
+    FROM reach JOIN sizes USING (component)
+    """,
+)
+def product_match_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's product-matching pipeline end-to-end (``FAISS top-k →
+    threshold → group assignment``, ``product_matcher.py:50-126`` +
+    ``FactProductMatch`` membership rows), Spark-first: LSH candidate pairs
+    (portable hyperplanes) → exact-cosine verify on candidates only →
+    transitive connected components → (vec_id, group_id, is_canonical,
+    group_size).  Every stage is recomputed from scratch by the oracle —
+    LSH buckets via the integer-LCG planes, the cosine gate, and the
+    transitive closure via a recursive CTE — so the composed approximate +
+    iterative pipeline is value-hash-checked exactly."""
+    from .operators.graph import dedup_assignments
+    from .operators.similarity import lsh_candidate_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = lsh_candidate_pairs(emb, "vec_id", "embedding", dim=64, n_tables=4, n_bits=6)
+    pairs = embedding_near_duplicates(
+        emb, "vec_id", "embedding", min_cosine=0.42, candidates=cand
+    )
+    out = dedup_assignments(pairs)
+    return out.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("canonical_id").alias("group_id"),
+        "is_canonical",
+        F.col("cluster_size").alias("group_size"),
+    )
+
+
 @q("ann_index_incremental", _ANN_LSH_ORACLE)
 def ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persistent ANN index maintained INCREMENTALLY through the engine's
