@@ -7,13 +7,22 @@ Cluster deployment (the production shape this engine targets):
       --py-files data_pipeline_spark.zip \
       jobs/replay_job.py \
       --log-path  s3a://bucket/changelog \
-      --table     s3a://bucket/tables/token_sequences \
-      --checkpoint s3a://bucket/checkpoints/token_sequences.json \
+      --table     /shared/tables/token_sequences \
+      --checkpoint /shared/checkpoints/token_sequences.json \
       [--from-epoch N] [--n-buckets 4096] [--streaming]
+
+Storage contract: ``--log-path`` may be any Spark-readable URI (s3a/hdfs/
+local — it is only scanned).  ``--table`` and ``--checkpoint`` must live on
+a filesystem with POSIX exclusive-create semantics visible to the DRIVER
+(local disk, NFS, fuse-mounted stores): the icehouse commit protocol's CAS
+is an O_EXCL metadata create (table/icehouse.py:_write_metadata), and
+raw object stores without atomic create would need a CAS-capable catalog
+service in front — the documented integration boundary.
 
 Run the identical job at N and 4N executors on the same input to measure
 throughput scaling (BASELINE.md criterion); in this sandbox the two
-parallelism levels are local[8]/local[32] via bench.py.
+cluster sizes are cpuset-pinned 1-core vs 4-core workers via bench.py
+(see BENCH.md for the protocol).
 
 The job is resumable: re-submitting after any failure continues from the
 checkpoint, and epochs already committed to the table are skipped by the
