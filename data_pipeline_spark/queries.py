@@ -1058,7 +1058,7 @@ def _simhash_oracle(max_hamming: int) -> str:
     """
 
 
-@q("simhash_neardup", _simhash_oracle(max_hamming=8))
+@q("simhash_neardup", _simhash_oracle(max_hamming=4))
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (64-bit sign sketch, Manku-style multi-block
     permutation tables — n_tables=max_hamming+1 gives EXACT recall by
@@ -1071,7 +1071,7 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return simhash_near_duplicates(
-        docs, "doc_id", "text", shingle_n=1, max_hamming=8,
+        docs, "doc_id", "text", shingle_n=1, max_hamming=4,
         hash_fn=simhash64_portable,
     )
 

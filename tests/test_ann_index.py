@@ -53,6 +53,25 @@ def test_index_persists_and_reloads(spark, tmp_path):
     )
 
 
+def test_topk_scan_prunes_to_probed_buckets(spark, tmp_path):
+    """The query path's ``bucket IN (probed…)`` filter must be PUSHED to the
+    parquet scan of the entry table — the disk-backed analog of FAISS probing
+    only matching cells.  With bucket-prefix-sorted files this prunes row
+    groups, so the scan genuinely reads only probed neighborhoods."""
+    from data_pipeline_spark.plans.inspect import assert_plan, plan_text
+
+    vecs, _ = _vecs(spark, list(range(20)))
+    idx = AnnIndex.create(str(tmp_path / "ix"), dim=16, n_tables=4, n_bits=4)
+    idx.upsert_vectors(vecs, "vec_id", "embedding", epoch=0)
+
+    out = idx.topk(vecs.where("vec_id < 3"), "vec_id", "embedding", k=3)
+    plan = plan_text(out)
+    assert "PushedFilters: [" in plan
+    # the IN(bucket, ...) predicate reaches the scan, not just a post-scan Filter
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("In(bucket" in ln for ln in pushed), "\n".join(pushed) or plan
+
+
 def test_upsert_is_exactly_once_per_epoch(spark, tmp_path):
     vecs, _ = _vecs(spark, list(range(15)))
     idx = AnnIndex.create(str(tmp_path / "ix"), dim=16)
