@@ -1876,3 +1876,204 @@ def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(qs, 3), 4).alias("value_q99"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 12. temporal joins, SCD2 history, incremental aggregate maintenance
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "asof_view_before_purchase",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS value
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           ROUND(p.value, 6) AS purchase_value,
+           v.ts AS view_ts, ROUND(v.value, 6) AS view_value
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+)
+def asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: every purchase event picks up the user's
+    LATEST prior-or-simultaneous 'view' event — the "what was on screen when
+    they bought?" probe the reference answers with per-lookup latest-price
+    queries (``notification_service/bigquery_queries.py:68-101``).  The
+    operator is the single-shuffle union+forward-fill form
+    (``operators/temporal.asof_join``); the oracle is DuckDB's native
+    ASOF LEFT JOIN — two entirely different algorithms, same rows."""
+    from .operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.round("value", 6).alias("purchase_value"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = asof_join(
+        purchases, views, ["user_id"], "purchase_ts", "ts", ["value"],
+        tie_col="event_id",
+    )
+    return out.select(
+        "purchase_id", "user_id", "purchase_ts", "purchase_value",
+        F.col("ts_asof").alias("view_ts"),
+        F.round("value_asof", 6).alias("view_value"),
+    )
+
+
+@q(
+    "signup_day1_clicks",
+    """
+    WITH s AS (
+      SELECT event_id AS signup_id, user_id, ts AS start_ts,
+             ts + INTERVAL 24 HOUR AS end_ts
+      FROM events WHERE event_type = 'signup'
+    ),
+    c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT s.signup_id, s.user_id,
+           COUNT(c.ts)::BIGINT AS n_clicks,
+           COALESCE(SUM(CAST(ROUND(c.value * 1000000) AS BIGINT)), 0)::BIGINT
+             AS click_value_micros
+    FROM s LEFT JOIN c
+      ON c.user_id = s.user_id AND c.ts >= s.start_ts AND c.ts < s.end_ts
+    GROUP BY s.signup_id, s.user_id
+    """,
+)
+def signup_day1_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: clicks landing inside each signup's first-24h
+    window, per signup.  The engine side uses the binned range join
+    (``operators/temporal.interval_point_join``, 6h bins → explode factor 5,
+    one equi-shuffle) — the oracle is the naive inequality join DuckDB can
+    afford at oracle scale.  Sums are fixed-point micros so the comparison
+    is order-independent."""
+    from .operators.temporal import interval_point_join
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 24 HOURS")).alias("end_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    hits = interval_point_join(
+        clicks, signups, "ts", "start_ts", "end_ts",
+        bin_seconds=6 * 3600, keys=["user_id"],
+    )
+    agg = hits.groupBy("signup_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("click_value_micros"),
+    )
+    return (
+        signups.select("signup_id", "user_id")
+        .join(agg, "signup_id", "left")
+        .select(
+            "signup_id", "user_id",
+            F.coalesce("n_clicks", F.lit(0)).cast("long").alias("n_clicks"),
+            F.coalesce("click_value_micros", F.lit(0)).cast("long").alias("click_value_micros"),
+        )
+    )
+
+
+@q(
+    "scd2_user_tiers",
+    """
+    WITH ch AS (
+      SELECT user_id, event_id AS lsn,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             CAST(FLOOR(value / 10) AS INT) AS tier
+      FROM events
+    ),
+    lagged AS (
+      SELECT *, LAG(op) OVER w AS prev_op, LAG(tier) OVER w AS prev_tier
+      FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY lsn)
+    ),
+    surv AS (
+      SELECT * FROM lagged
+      WHERE op = 'D' OR prev_op IS NULL
+         OR NOT (prev_op <> 'D' AND tier IS NOT DISTINCT FROM prev_tier)
+    ),
+    versions AS (
+      SELECT user_id, tier, op, lsn AS valid_from,
+             LEAD(lsn) OVER (PARTITION BY user_id ORDER BY lsn) AS valid_to
+      FROM surv
+    )
+    SELECT user_id, tier, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM versions WHERE op <> 'D'
+    """,
+)
+def scd2_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension history from a change stream (``cdc/scd.py``):
+    events become per-user tier changes (op = D on 'error', tier =
+    value/10 bucket so consecutive no-op changes actually occur and the
+    skip-unchanged suppression is exercised); output is one row per
+    SURVIVING version with [valid_from, valid_to) LSN bounds and
+    is_current.  The reference keeps only latest-state dims
+    (``dim_shop_product.py`` in-place upserts) — this is the history form
+    those upserts discard, built in one keyed shuffle."""
+    from .cdc.scd import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        "user_id",
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.floor(F.col("value") / 10).cast("int").alias("tier"),
+    )
+    return scd2_history(changes, ["user_id"], ["tier"], "lsn")
+
+
+@q(
+    "incremental_group_aggs",
+    """
+    WITH latest AS (
+      SELECT user_id, arg_max(event_type, event_id) AS event_type,
+             arg_max(value, event_id) AS value
+      FROM events GROUP BY user_id
+    )
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n_rows,
+           SUM(CAST(ROUND(value * 1000000) AS BIGINT))::BIGINT AS value_sum_scaled
+    FROM latest WHERE event_type <> 'error'
+    GROUP BY event_type
+    """,
+)
+def incremental_group_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (``operators/incremental.py``):
+    the maintained aggregate after applying a CDC delta batch must equal a
+    from-scratch GROUP BY over the final state — which is exactly what the
+    oracle computes.  Events split at LSN C = max(event_id)*4 div 5: the
+    older 80% build the base state + base aggregate, the newer 20% arrive
+    as an I/U/D batch ('error' ⇒ D) applied via signed group deltas.  The
+    base table is never rescanned — the incremental path touches only the
+    batch and the prior rows of its changed keys (the pruned-read shape at
+    icehouse scale)."""
+    from .cdc.apply import lww_latest
+    from .operators.incremental import group_contributions, maintain_group_aggs
+
+    ev = _t(spark, sf_dir, "events")
+    cut = ev.agg(F.expr("max(event_id) * 4 div 5").alias("_cut"))
+    evc = ev.crossJoin(F.broadcast(cut))
+    as_changes = lambda df: df.select(
+        "user_id",
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "event_type", "value",
+    )
+    base_latest = lww_latest(as_changes(evc.where("event_id < _cut")), key="user_id", order="lsn")
+    base_state = base_latest.where(F.col("op") != "D").select("user_id", "event_type", "value")
+    old_agg = group_contributions(base_state, ["event_type"], "value")
+    batch = as_changes(evc.where("event_id >= _cut"))
+    prior = base_state.join(batch.select("user_id").distinct(), "user_id", "left_semi")
+    return maintain_group_aggs(
+        old_agg, prior, batch, key_col="user_id",
+        group_cols=["event_type"], value_col="value",
+    ).select("event_type", F.col("n_rows").cast("long").alias("n_rows"), "value_sum_scaled")
