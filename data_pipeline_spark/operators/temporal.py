@@ -54,8 +54,11 @@ def asof_join(
 
     Plan: dedup right with a partial-aggregable ``max_by`` → union tagged
     sides → one window over keys ordered by (ts, side) with a running
-    ``last(payload, ignorenulls)`` → keep left rows.  One shuffle, one
-    sort, zero range explosion.
+    ``last(payload, ignorenulls)`` → keep left rows.  Two exchanges total:
+    the tie-dedup shuffles right on (keys, ts) WITH map-side combine (hot
+    (key, ts) pairs pre-reduce per task), then the union shuffles once on
+    keys for the window sort.  Zero range explosion; AQE splits skewed
+    keys on the window exchange.
     """
     keys = list(keys)
     tie = tie_col or right_cols[0]

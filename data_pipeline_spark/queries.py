@@ -2077,3 +2077,118 @@ def incremental_group_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         old_agg, prior, batch, key_col="user_id",
         group_cols=["event_type"], value_col="value",
     ).select("event_type", F.col("n_rows").cast("long").alias("n_rows"), "value_sum_scaled")
+
+
+@q(
+    "resample_user_daily",
+    """
+    WITH b AS (
+      SELECT user_id, date_trunc('day', MIN(ts)) AS d0, date_trunc('day', MAX(ts)) AS d1
+      FROM events GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM b
+    ),
+    obs AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS value
+      FROM events GROUP BY user_id, ts
+    ),
+    sp AS (SELECT user_id, day, day + INTERVAL 1 DAY AS day_end FROM spine)
+    SELECT sp.user_id, sp.day,
+           ROUND(o.value, 6) AS value_ffill
+    FROM sp ASOF LEFT JOIN obs o
+      ON sp.user_id = o.user_id AND o.ts < sp.day_end
+    """,
+)
+def resample_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification + forward-fill (the reference's forecasting
+    prep: ``priceforecasting/data_processor.py:81-96`` reindexes each
+    product's price series onto a daily calendar and ffills).  Spark side:
+    per-key day spine via sequence+explode, then the engine's own
+    ``asof_join`` pulls the last observation on-or-before each day's end —
+    an operator-composition showcase (spine generation is pure column
+    exprs; the as-of is the single-window form, so the whole thing is two
+    shuffles).  Oracle: generate_series + native ASOF JOIN."""
+    from .operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("_d0"),
+        F.date_trunc("day", F.max("ts")).alias("_d1"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("_d0", "_d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    ).withColumn("day_end", F.col("day") + F.expr("INTERVAL 1 DAY"))
+    obs = ev.select("user_id", "ts", "value", "event_id")
+    out = asof_join(
+        spine, obs, ["user_id"], "day_end", "ts", ["value"],
+        tie_col="event_id", strict=True,
+    )
+    return out.select(
+        "user_id", "day", F.round("value_asof", 6).alias("value_ffill")
+    )
+
+
+@q(
+    "pivot_event_type_counts",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click')::BIGINT    AS n_click,
+           COUNT(*) FILTER (event_type = 'view')::BIGINT     AS n_view,
+           COUNT(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+           COUNT(*) FILTER (event_type = 'signup')::BIGINT   AS n_signup,
+           COUNT(*) FILTER (event_type = 'error')::BIGINT    AS n_error
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot: per-user event-type counts as columns.  The value list
+    is FIXED (no extra distinct-discovery job, stable schema at any scale —
+    the form `groupBy().pivot(col)` without values would not have); plan is
+    one partial-aggregable shuffle.  The reference builds exactly this
+    shape when featurizing user/product activity for its ML stages."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .count()
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(f"n_{k}") for k in kinds],
+        )
+    )
+
+
+@q(
+    "value_histogram",
+    """
+    WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+    binned AS (
+      SELECT event_type,
+             LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 20)) AS INT), 19) AS bin
+      FROM events, b
+    )
+    SELECT event_type, bin, COUNT(*)::BIGINT AS n
+    FROM binned GROUP BY event_type, bin
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per group — the scalable profiling shape
+    (vs NTILE/quantile binning, whose exact form needs a per-group global
+    sort): bounds come from a 1-row scalar aggregate broadcast to the
+    scan, binning is pure arithmetic, counting is one partial-aggregable
+    shuffle.  Bit-exact across engines because bin edges divide the SAME
+    doubles on both sides."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.agg(F.min("value").alias("_lo"), F.max("value").alias("_hi"))
+    binned = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.least(
+            F.floor((F.col("value") - F.col("_lo")) / ((F.col("_hi") - F.col("_lo")) / 20)).cast("int"),
+            F.lit(19),
+        ).alias("bin"),
+    )
+    return binned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("n"))
