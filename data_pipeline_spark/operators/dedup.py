@@ -247,3 +247,46 @@ def embedding_near_duplicates(
         .where(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def blocked_levenshtein_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    max_distance: int = 3,
+) -> DataFrame:
+    """Fuzzy string-match pairs (id_a, id_b, distance) with edit distance ≤
+    ``max_distance``, compared only WITHIN equality blocks — the classic
+    record-linkage shape for the reference's cross-shop product-title
+    matching (``product_matching/prediction_pipeline/product_matcher.py``
+    prunes with FAISS before scoring; here cheap attribute blocks prune
+    before the O(len²) Levenshtein).
+
+    Scale: one equi-shuffle on the block key; verify cost is Σ block² —
+    callers pick blocks that bound block cardinality (brand/category/
+    size attributes), same contract as the LSH bucket tables.  Spark's
+    ``levenshtein(l, r, threshold)`` form short-circuits the DP at the
+    threshold, so the verify is O(len·max_distance) per pair, not O(len²).
+    """
+    a = df.select(
+        *block_cols,
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("_t_a"),
+    )
+    b = df.select(
+        *block_cols,
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("_t_b"),
+    )
+    return (
+        a.join(b, block_cols)
+        .where(F.col("id_a") < F.col("id_b"))
+        # threshold form returns -1 beyond max_distance: filter then recompute
+        # exact distance only for survivors (cheap: survivors are few)
+        .where(F.levenshtein("_t_a", "_t_b", max_distance) >= 0)
+        .select(
+            "id_a", "id_b",
+            F.levenshtein("_t_a", "_t_b").cast("int").alias("distance"),
+        )
+    )

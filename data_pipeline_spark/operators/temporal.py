@@ -40,6 +40,7 @@ def asof_join(
     right_cols: Sequence[str],
     tie_col: str | None = None,
     strict: bool = False,
+    segment_seconds: int | None = None,
 ) -> DataFrame:
     """For every left row, attach the LATEST right row with
     ``right_ts <= left_ts`` (``<`` when ``strict``) on the same equality
@@ -57,8 +58,16 @@ def asof_join(
     ``last(payload, ignorenulls)`` → keep left rows.  Two exchanges total:
     the tie-dedup shuffles right on (keys, ts) WITH map-side combine (hot
     (key, ts) pairs pre-reduce per task), then the union shuffles once on
-    keys for the window sort.  Zero range explosion; AQE splits skewed
-    keys on the window exchange.
+    keys for the window sort.  Zero range explosion.
+
+    **Skewed keys** (one key holding a large share of all rows) straggle
+    the plain form — the window sorts a whole key's history in ONE task.
+    ``segment_seconds`` switches to the segmented two-pass prefix-fill:
+    rows partition on (keys, time-segment) so a hot key parallelizes
+    across its time range; per-segment local fills are patched with a
+    carry-in computed on the tiny (keys, segment) summary frame.  Exactly
+    equal output (asserted in tests), cost = the big data shuffles on the
+    finer (keys, segment) grain + one summary-sized shuffle on keys.
     """
     keys = list(keys)
     tie = tie_col or right_cols[0]
@@ -82,17 +91,56 @@ def asof_join(
         F.lit(True).alias("_is_left"),
     )
     u = l.unionByName(r, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(*keys)
+    out_fields = [right_ts + "_asof"] + [c + "_asof" for c in right_cols]
+
+    if segment_seconds is None:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("_ts", "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = u.withColumn("_match", F.last("_payload", ignorenulls=True).over(w))
+        return filled.where("_is_left").select(
+            *[F.col(c) for c in left.columns],
+            *[F.col("_match")[f].alias(f) for f in out_fields],
+        )
+
+    # segmented two-pass prefix fill ---------------------------------------
+    width = segment_seconds * 1_000_000
+    u = u.withColumn("_seg", F.floor(F.unix_micros(F.col("_ts").cast("timestamp")) / width))
+    # pass 1: local fill inside each (keys, segment) slice — parallel
+    # across a hot key's time range
+    w_local = (
+        Window.partitionBy(*keys, "_seg")
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u.withColumn("_match", F.last("_payload", ignorenulls=True).over(w))
-    out_cols = [F.col(c) for c in left.columns] + [
-        F.col("_match")[f].alias(f)
-        for f in [right_ts + "_asof"] + [c + "_asof" for c in right_cols]
-    ]
-    return filled.where("_is_left").select(*out_cols)
+    local = u.withColumn("_local", F.last("_payload", ignorenulls=True).over(w_local))
+    # pass 2: carry-in per (keys, segment) = last right payload of any
+    # EARLIER segment.  Built on the summary frame (one row per (keys,
+    # segment) present on either side) — tiny relative to the data.
+    seg_last = (
+        u.where(~F.col("_is_left"))
+        .groupBy(*keys, "_seg")
+        .agg(F.max_by("_payload", F.col("_ts")).alias("_seg_last"))
+    )
+    segs = u.select(*keys, "_seg").distinct()
+    w_carry = (
+        Window.partitionBy(*keys)
+        .orderBy("_seg")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        segs.join(seg_last, keys + ["_seg"], "left")
+        .withColumn("_carry", F.last("_seg_last", ignorenulls=True).over(w_carry))
+        .select(*keys, "_seg", "_carry")
+    )
+    patched = local.where("_is_left").join(carry, keys + ["_seg"], "left")
+    match = F.coalesce("_local", "_carry")
+    return patched.select(
+        *[F.col(c) for c in left.columns],
+        *[match[f].alias(f) for f in out_fields],
+    )
 
 
 def interval_point_join(

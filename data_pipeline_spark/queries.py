@@ -2192,3 +2192,29 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bin"),
     )
     return binned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "fuzzy_name_pairs",
+    """
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           levenshtein(a.p_name, b.p_name)::INTEGER AS distance
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage: part-name pairs within (brand, size)
+    blocks at edit distance ≤ 3 (``operators/dedup.blocked_levenshtein_
+    pairs``) — the attribute-blocked form of the reference's product-title
+    matching.  Spark verifies with the THRESHOLDED levenshtein (DP
+    short-circuits beyond the limit); the oracle is the plain inequality
+    join DuckDB can afford at oracle scale."""
+    from .operators.dedup import blocked_levenshtein_pairs
+
+    part = _t(spark, sf_dir, "part")
+    return blocked_levenshtein_pairs(
+        part, "p_partkey", "p_name", ["p_brand", "p_size"], max_distance=3
+    )

@@ -199,3 +199,54 @@ def test_incremental_agg_drops_emptied_group(spark):
     )
     got = maintain_group_aggs(old, base, chg, "k", ["g"], "value")
     assert got.count() == 0
+
+
+def _random_frames(spark, n_keys=5, n_left=200, n_right=150, seed=3):
+    import random
+
+    rng = random.Random(seed)
+    base = TS("2024-01-01 00:00:00")
+    left = spark.createDataFrame(
+        [
+            Row(lid=i, k=rng.randrange(n_keys),
+                ts=base + dt.timedelta(seconds=rng.randrange(100_000)))
+            for i in range(n_left)
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=rng.randrange(n_keys),
+                rts=base + dt.timedelta(seconds=rng.randrange(100_000)),
+                px=float(i), rid=i)
+            for i in range(n_right)
+        ]
+    )
+    return left, right
+
+
+def test_asof_segmented_equals_plain(spark):
+    left, right = _random_frames(spark)
+    for strict in (False, True):
+        plain = sorted(
+            map(tuple, asof_join(left, right, ["k"], "ts", "rts", ["px"],
+                                 tie_col="rid", strict=strict).collect())
+        )
+        seg = sorted(
+            map(tuple, asof_join(left, right, ["k"], "ts", "rts", ["px"],
+                                 tie_col="rid", strict=strict,
+                                 segment_seconds=3600).collect())
+        )
+        assert seg == plain and len(seg) == 200
+
+
+def test_asof_segmented_carries_across_empty_segments(spark):
+    # right activity only at the very start; left probes many segments later
+    left = spark.createDataFrame(
+        [Row(lid=1, k=1, ts=TS("2024-01-05 00:00:00"))]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, rts=TS("2024-01-01 00:00:00"), px=42.0, rid=1)]
+    )
+    out = asof_join(left, right, ["k"], "ts", "rts", ["px"],
+                    tie_col="rid", segment_seconds=3600).collect()
+    assert out[0].px_asof == 42.0
