@@ -2218,3 +2218,42 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_levenshtein_pairs(
         part, "p_partkey", "p_name", ["p_brand", "p_size"], max_distance=3
     )
+
+
+@q(
+    "streaming_windowed_counts",
+    """
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*)::BIGINT AS n_events,
+           SUM(CAST(ROUND(value * 1000000) AS BIGINT))::BIGINT AS value_scaled
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Structured Streaming run, value-hash-checked: the events
+    table is consumed as a file stream (availableNow micro-batches), the
+    watermarked tumbling-window aggregation (``streaming/ingest.
+    windowed_event_counts``) drains into a memory sink, and the result must
+    equal the oracle's batch tumbling window — stream/batch unification
+    made checkable.  Fixed-point sums keep the comparison order-exact
+    across micro-batch boundaries."""
+    import uuid
+
+    from .streaming.ingest import windowed_event_counts
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = windowed_event_counts(stream, "1 hour", "2 hours", value_scale=1_000_000)
+    sink = f"winagg_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

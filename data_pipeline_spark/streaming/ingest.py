@@ -106,25 +106,34 @@ def windowed_event_counts(
     window_duration: str = "1 hour",
     watermark_delay: str = "2 hours",
     ts_col: str = "ts",
+    value_scale: int | None = None,
 ) -> DataFrame:
     """Watermarked tumbling-window aggregation for late-arriving event
     streams: counts + value sum per (window, event_type).  State for windows
     older than the watermark is dropped — bounded state at any stream length
     (works identically on batch DataFrames, where the watermark is a no-op).
+
+    ``value_scale`` switches the sum to fixed-point BIGINT
+    (``value_scaled = Σ round(value·scale)``) — order-independent and
+    bit-exact across engines, for oracle-checked comparisons.
     """
     # watermarks require TIMESTAMP (tz-aware); parquet NTZ timestamps are
     # cast here — session tz is pinned to UTC so the instant is unchanged
     events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if value_scale is None:
+        total = F.round(F.sum("value"), 2).alias("total_value")
+    else:
+        total = F.sum(F.round(F.col("value") * value_scale).cast("long")).alias(
+            "value_scaled"
+        )
     return (
         events.withWatermark(ts_col, watermark_delay)
         .groupBy(F.window(ts_col, window_duration).alias("win"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_events"), total)
         .select(
             F.col("win.start").alias("window_start"),
             F.col("win.end").alias("window_end"),
-            "event_type", "n_events", "total_value",
+            "event_type", "n_events",
+            "total_value" if value_scale is None else "value_scaled",
         )
     )
