@@ -57,21 +57,21 @@ def scd2_history(
         # opens nor closes, so it must vanish before the lead() pass.  A
         # change after a D always survives (re-insert opens a new version).
         prev_op = F.lag(op_col).over(w)
-        prev_attrs = [F.lag(a).over(w).alias(f"_prev_{a}") for a in attrs]
-        df = df.select("*", prev_op.alias("_prev_op"), *prev_attrs)
-        unchanged = (F.col("_prev_op") != F.lit("D")) & F.concat_ws(
-            "\x1f", *[F.coalesce(F.col(a).cast("string"), F.lit("\x00")) for a in attrs]
-        ).eqNullSafe(
-            F.concat_ws(
-                "\x1f",
-                *[F.coalesce(F.col(f"_prev_{a}").cast("string"), F.lit("\x00")) for a in attrs],
-            )
+        # struct equality with eqNullSafe — collision-free (a string
+        # encoding with separator/NULL sentinels can be forged by attr
+        # values containing the sentinel bytes) and NULL-exact
+        prev_attrs = F.lag(F.struct(*attrs)).over(w)
+        df = df.select(
+            "*", prev_op.alias("_prev_op"), prev_attrs.alias("_prev_attrs")
+        )
+        unchanged = (F.col("_prev_op") != F.lit("D")) & F.struct(*attrs).eqNullSafe(
+            F.col("_prev_attrs")
         )
         # NOTE the propagation subtlety: lag() sees the RAW previous row,
         # so a run of identical no-op U's collapses to its first row —
         # each later row compares equal to its immediate predecessor.
         df = df.where((F.col(op_col) == "D") | F.col("_prev_op").isNull() | ~unchanged)
-        df = df.drop("_prev_op", *[f"_prev_{a}" for a in attrs])
+        df = df.drop("_prev_op", "_prev_attrs")
 
     closed = df.select(
         *keys,

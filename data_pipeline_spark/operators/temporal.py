@@ -70,7 +70,9 @@ def asof_join(
     finer (keys, segment) grain + one summary-sized shuffle on keys.
     """
     keys = list(keys)
-    tie = tie_col or right_cols[0]
+    right_cols = list(right_cols)
+    # timestamp-only payload (right_cols=[]) is legal: tie on the ts itself
+    tie = tie_col or (right_cols[0] if right_cols else right_ts)
     payload_t = F.struct(
         F.col(right_ts).cast("timestamp").alias(right_ts + "_asof"),
         *[F.col(c).alias(c + "_asof") for c in right_cols],
@@ -164,6 +166,16 @@ def interval_point_join(
     check — one shuffle, no range cross-join.
     """
     keys = list(keys)
+    overlap = (set(points.columns) - set(keys)) & set(intervals.columns)
+    if overlap:
+        raise ValueError(
+            f"points and intervals share non-key column names {sorted(overlap)}; "
+            "rename one side — the joined output would be ambiguous"
+        )
+    # an inverted/empty interval (end <= start) can match nothing, but fed
+    # to sequence() its default step becomes -1 and it explodes a huge
+    # DESCENDING bin list — drop such rows before exploding
+    intervals = intervals.where(F.col(end_col) > F.col(start_col))
     # exact integer microsecond arithmetic — unix_timestamp() truncates to
     # seconds, which mis-bins sub-second interval bounds.  The cast accepts
     # TIMESTAMP_NTZ (what parquet scans produce) — both sides cast the same

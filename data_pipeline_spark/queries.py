@@ -2042,7 +2042,7 @@ def scd2_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*)::BIGINT AS n_rows,
            SUM(CAST(ROUND(value * 1000000) AS BIGINT))::BIGINT AS value_sum_scaled
-    FROM latest WHERE event_type <> 'error'
+    FROM latest WHERE event_type IS DISTINCT FROM 'error'
     GROUP BY event_type
     """,
 )
@@ -2168,7 +2168,9 @@ def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
     binned AS (
       SELECT event_type,
-             LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 20)) AS INT), 19) AS bin
+             CASE WHEN hi = lo THEN 0
+                  ELSE LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 20)) AS INT), 19)
+             END AS bin
       FROM events, b
     )
     SELECT event_type, bin, COUNT(*)::BIGINT AS n
@@ -2184,12 +2186,21 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles on both sides."""
     ev = _t(spark, sf_dir, "events")
     b = ev.agg(F.min("value").alias("_lo"), F.max("value").alias("_hi"))
+    # degenerate hi == lo would make the width 0.0 (NaN bins, and the
+    # oracle's CAST(FLOOR(NaN)) errors) — short-circuit to bin 0 like the
+    # oracle's CASE
     binned = ev.crossJoin(F.broadcast(b)).select(
         "event_type",
-        F.least(
-            F.floor((F.col("value") - F.col("_lo")) / ((F.col("_hi") - F.col("_lo")) / 20)).cast("int"),
-            F.lit(19),
-        ).alias("bin"),
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("_lo")) / ((F.col("_hi") - F.col("_lo")) / 20)
+                ).cast("int"),
+                F.lit(19),
+            )
+        )
+        .alias("bin"),
     )
     return binned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("n"))
 
@@ -2256,4 +2267,11 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .outputMode("complete").trigger(availableNow=True).start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    # materialize the (small) windowed aggregate and drop the memory sink —
+    # repeated invocations in one long-lived session must not accumulate
+    # full aggregate copies in the driver
+    result = spark.table(sink)
+    rows = result.collect()
+    out = spark.createDataFrame(rows, result.schema)
+    spark.catalog.dropTempView(sink)
+    return out

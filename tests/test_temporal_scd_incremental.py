@@ -250,3 +250,45 @@ def test_asof_segmented_carries_across_empty_segments(spark):
     out = asof_join(left, right, ["k"], "ts", "rts", ["px"],
                     tie_col="rid", segment_seconds=3600).collect()
     assert out[0].px_asof == 42.0
+
+
+def test_interval_join_drops_inverted_intervals(spark):
+    # end <= start can match nothing; must not explode a descending bin list
+    iv = spark.createDataFrame(
+        [Row(wid=1, s=TS("2024-01-10 00:00:00"), e=TS("2024-01-01 00:00:00")),
+         Row(wid=2, s=TS("2024-01-01 00:00:00"), e=TS("2024-01-01 00:00:00"))]
+    )
+    pts = spark.createDataFrame([Row(pid=1, p=TS("2024-01-05 00:00:00"))])
+    assert interval_point_join(pts, iv, "p", "s", "e", 60).count() == 0
+
+
+def test_interval_join_rejects_shared_nonkey_columns(spark):
+    import pytest as _pytest
+
+    iv = spark.createDataFrame([Row(s=TS("2024-01-01 00:00:00"),
+                                    e=TS("2024-01-02 00:00:00"), value=1.0)])
+    pts = spark.createDataFrame([Row(p=TS("2024-01-01 01:00:00"), value=2.0)])
+    with _pytest.raises(ValueError, match="share non-key column"):
+        interval_point_join(pts, iv, "p", "s", "e", 3600)
+
+
+def test_asof_timestamp_only_payload(spark):
+    trades, quotes = _trades_quotes(spark)
+    out = {r.tid: r.qts_asof
+           for r in asof_join(trades, quotes, ["sym"], "ts", "qts", []).collect()}
+    assert out[1] == TS("2024-01-01 10:00:00") and out[3] is None
+
+
+def test_scd2_attrs_containing_separator_bytes_are_distinct(spark):
+    # regression: a string encoding with \x1f/\x00 sentinels conflated
+    # these two genuinely-different attribute states
+    ch = spark.createDataFrame(
+        [Row(k=1, lsn=1, op="I", a="x\x1f", b="y"),
+         Row(k=1, lsn=2, op="U", a="x", b="\x1fy")]
+    )
+    assert scd2_history(ch, ["k"], ["a", "b"], "lsn").count() == 2
+    ch2 = spark.createDataFrame(
+        [Row(k=1, lsn=1, op="I", a=None, b="y"),
+         Row(k=1, lsn=2, op="U", a="\x00", b="y")]
+    )
+    assert scd2_history(ch2, ["k"], ["a", "b"], "lsn").count() == 2
