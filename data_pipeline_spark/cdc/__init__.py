@@ -5,7 +5,9 @@ from .changelog import (
     materialize_change_log,
     read_change_log,
 )
+from .cdf import snapshot_diff
 from .replay import Checkpoint, ReplayReport, ReplayRunner
+from .scd import scd2_history
 from .skew import detect_hot_keys, salted_join, salted_lww_latest
 
 __all__ = [
@@ -24,4 +26,6 @@ __all__ = [
     "detect_hot_keys",
     "salted_join",
     "salted_lww_latest",
+    "scd2_history",
+    "snapshot_diff",
 ]
