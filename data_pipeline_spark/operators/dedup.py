@@ -30,6 +30,7 @@ from ..functions.sketches import (
     lsh_band_keys,
     minhash_signature,
     simhash64,
+    simhash64_portable,
 )
 from ..functions.text import doc_fingerprint, word_shingles
 
@@ -180,10 +181,22 @@ def simhash_near_duplicates(
     if n_tables > 64:
         raise ValueError("n_tables must be <= 64 (64-bit sketch)")
     sketch = hash_fn or simhash64
-    sigs = df.select(
-        F.col(id_col).alias("_id"),
-        sketch(word_shingles(text_col, shingle_n)).alias("_sim"),
-    )
+    shingles = word_shingles(text_col, shingle_n)
+    if sketch in (simhash64, simhash64_portable):
+        # known sketches route through the explode+aggregate frame kernel
+        # (bit-identical, whole-stage-codegen'd — the Column array-fold is
+        # interpreted and ~2× slower end-to-end; see sketches.py)
+        from ..functions.sketches import simhash64_sketch_frame
+
+        sigs = simhash64_sketch_frame(
+            df.select(F.col(id_col).alias("_id"), shingles.alias("_sh")),
+            "_id", "_sh", portable=(sketch is simhash64_portable),
+        )
+    else:
+        sigs = df.select(
+            F.col(id_col).alias("_id"),
+            sketch(shingles).alias("_sim"),
+        )
     block_keys = F.array(
         *[
             F.concat_ws(
@@ -196,7 +209,13 @@ def simhash_near_duplicates(
             for t, lo, hi in simhash_blocks(n_tables)
         ]
     )
-    blocked = sigs.select("_id", "_sim", F.explode(block_keys).alias("_block"))
+    # materialize ONCE before the self-join: the two aliased sides are
+    # different subplans to Spark, so without this the (expensive) sketch
+    # computation runs twice.  The blocked frame is tiny — n_tables rows of
+    # (id, 64-bit sketch, block key) per doc.
+    blocked = sigs.select(
+        "_id", "_sim", F.explode(block_keys).alias("_block")
+    ).localCheckpoint(eager=True)
     a = blocked.select(F.col("_id").alias("id_a"), F.col("_sim").alias("_sim_a"), "_block")
     b = blocked.select(F.col("_id").alias("id_b"), F.col("_sim").alias("_sim_b"), "_block")
     return (

@@ -212,3 +212,28 @@ def test_kmeans_centroids_deterministic_across_partitioning(spark, vectors):
     assert len(a) == len(b) == 4
     for ca, cb in zip(a, b):
         assert all(abs(x - y) < 1e-9 for x, y in zip(ca, cb))
+
+
+def test_simhash_frame_kernel_bit_identical_to_column_forms(spark, docs_df=None):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark.functions.sketches import (
+        simhash64,
+        simhash64_portable,
+        simhash64_sketch_frame,
+    )
+    from data_pipeline_spark.functions.text import word_shingles
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["the quick brown fox", "the quick brown fox", "lazy dog", "", "one"]
+        )],
+        "doc_id int, text string",
+    )
+    for portable, colfn in [(True, simhash64_portable), (False, simhash64)]:
+        col = {r.doc_id: r._sim for r in docs.select(
+            "doc_id", colfn(word_shingles("text", 1)).alias("_sim")).collect()}
+        frm = {r.doc_id: r._sim for r in simhash64_sketch_frame(
+            docs.select("doc_id", word_shingles("text", 1).alias("_sh")),
+            "doc_id", "_sh", portable=portable).collect()}
+        assert col == frm and len(col) == 5
