@@ -86,6 +86,11 @@ def _hyperplane_sign(vec_col: str, table: int, bit: int, dim: int, seed: int) ->
         (((base + i) * 1103515245 + 12345) % 2147483647) % 2_000_003 / 1_000_001.5 - 1.0
         for i in range(dim)
     ]
+    # zip_with + aggregate over a LITERAL component array.  (An unrolled
+    # element_at multiply-add chain was tried and measured 6× SLOWER —
+    # 24 planes × 64 terms = 1536 scalar nodes per row blow past the
+    # codegen method-size limits and fall back to interpreted projection,
+    # which is worse than the interpreted-but-compact array fold.)
     dot = F.aggregate(
         F.zip_with(
             F.col(vec_col),
@@ -280,7 +285,11 @@ def lsh_candidate_pairs(
     scoring runs on retrieved candidates only).
     """
     keys = lsh_bucket_keys(vec_col, dim, n_tables, n_bits, seed)
-    buckets = df.select(F.col(id_col).alias("_id"), F.explode(keys).alias("bucket"))
+    # materialize ONCE before the self-join — the two aliased sides are
+    # distinct subplans, so without this the signature scan runs twice
+    buckets = df.select(
+        F.col(id_col).alias("_id"), F.explode(keys).alias("bucket")
+    ).localCheckpoint(eager=True)
     a = buckets.select("bucket", F.col("_id").alias("id_a"))
     b = buckets.select("bucket", F.col("_id").alias("id_b"))
     return (

