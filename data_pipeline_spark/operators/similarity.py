@@ -155,10 +155,17 @@ def kmeans_centroids(
             F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
         )
     )
-    unit = vectors.select(
-        F.col(id_col).alias("_id"),
-        F.transform(vec_col, lambda x: x.cast("double") / norm).alias("_v"),
-    ).where(norm > 0)
+    unit = (
+        vectors.select(
+            F.col(id_col).alias("_id"),
+            F.transform(vec_col, lambda x: x.cast("double") / norm).alias("_v"),
+        )
+        .where(norm > 0)
+        # materialize once: the init collect + every Lloyd iteration is an
+        # action, and the normalization (interpreted array fold) would
+        # otherwise re-execute per round
+        .localCheckpoint(eager=True)
+    )
     centroids = [
         r["_v"] for r in unit.orderBy("_id").limit(n_centroids).select("_v").collect()
     ]
