@@ -45,14 +45,28 @@ def snapshot_diff(
     old_t = IcehouseTable.load(root, version=v_from)
     new_t = IcehouseTable.load(root, version=v_to)
     key = old_t.key_col
-    value_cols = [f.name for f in old_t.schema.fields if f.name != key]
+    # value columns come from the UNION of both schemas: additive schema
+    # evolution between the versions must surface in the feed (a column
+    # added after v_from reads as NULL from the old snapshot — exactly how
+    # the table itself reads pre-evolution files).  Union also keeps a
+    # reversed diff (v_from newer) working.
+    fields: dict[str, object] = {}
+    for f in list(old_t.schema.fields) + list(new_t.schema.fields):
+        if f.name != key and f.name not in fields:
+            fields[f.name] = f.dataType
+    value_cols = list(fields)
 
-    old = old_t.read(spark).select(
-        F.col(key).alias("_k"), F.struct(*value_cols).alias("_before")
-    )
-    new = new_t.read(spark).select(
-        F.col(key).alias("_k"), F.struct(*value_cols).alias("_after")
-    )
+    def _image(t: IcehouseTable, alias: str):
+        df = t.read(spark)
+        have = set(df.columns)
+        cols = [
+            F.col(c) if c in have else F.lit(None).cast(fields[c]).alias(c)
+            for c in value_cols
+        ]
+        return df.select(F.col(key).alias("_k"), F.struct(*cols).alias(alias))
+
+    old = _image(old_t, "_before")
+    new = _image(new_t, "_after")
     j = old.join(new, "_k", "full_outer")
     op = (
         F.when(F.col("_before").isNull(), "I")

@@ -59,12 +59,21 @@ def scd2_history(
         prev_op = F.lag(op_col).over(w)
         # struct equality with eqNullSafe — collision-free (a string
         # encoding with separator/NULL sentinels can be forged by attr
-        # values containing the sentinel bytes) and NULL-exact
-        prev_attrs = F.lag(F.struct(*attrs)).over(w)
+        # values containing the sentinel bytes) and NULL-exact.  Map-typed
+        # attrs are unorderable (eqNullSafe rejects them at analysis time):
+        # compare their JSON serialization instead — conservative in the
+        # safe direction (a spurious representation difference opens an
+        # extra version; it never silently DROPS one).
+        field_types = dict(df.dtypes)
+        cmp_attrs = [
+            F.to_json(F.col(a)).alias(a) if field_types.get(a, "").startswith("map") else F.col(a).alias(a)
+            for a in attrs
+        ]
+        prev_attrs = F.lag(F.struct(*cmp_attrs)).over(w)
         df = df.select(
             "*", prev_op.alias("_prev_op"), prev_attrs.alias("_prev_attrs")
         )
-        unchanged = (F.col("_prev_op") != F.lit("D")) & F.struct(*attrs).eqNullSafe(
+        unchanged = (F.col("_prev_op") != F.lit("D")) & F.struct(*cmp_attrs).eqNullSafe(
             F.col("_prev_attrs")
         )
         # NOTE the propagation subtlety: lag() sees the RAW previous row,

@@ -63,6 +63,21 @@ def lsh_band_keys(signature: Column | str, bands: int, rows_per_band: int) -> Co
     )
 
 
+def _assemble_sketch64(bit_is_set) -> Column:
+    """Pack 64 boolean bit predicates into one BIGINT sketch.  ``bit_is_set``
+    maps bit index → BooleanColumn.  Bit 63 is the long sign bit, encoded as
+    ``-(1<<63)`` — shared by every SimHash variant so the subtle encoding
+    lives in exactly one place."""
+    bit_vals = [1 << b for b in range(63)] + [-(1 << 63)]
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        out = out.bitwiseOR(
+            F.when(bit_is_set(b), F.lit(bit_vals[b]).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return out
+
+
 def simhash64(shingles: Column | str) -> Column:
     """64-bit SimHash over a shingle array, fully JVM-side.
 
@@ -94,14 +109,7 @@ def simhash64(shingles: Column | str) -> Column:
             lambda a, v: a + v,
         ),
     )
-    bit_vals = [1 << b for b in range(63)] + [-(1 << 63)]  # bit 63 = long sign bit
-    out = F.lit(0).cast("long")
-    for b in range(64):
-        out = out.bitwiseOR(
-            F.when(F.element_at(votes, b + 1) > 0, F.lit(bit_vals[b]).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-    return out
+    return _assemble_sketch64(lambda b: F.element_at(votes, b + 1) > 0)
 
 
 def simhash64_portable(shingles: Column | str) -> Column:
@@ -144,14 +152,7 @@ def simhash64_portable(shingles: Column | str) -> Column:
             lambda a, v: a + v,
         ),
     )
-    bit_vals = [1 << b for b in range(63)] + [-(1 << 63)]
-    out = F.lit(0).cast("long")
-    for b in range(64):
-        out = out.bitwiseOR(
-            F.when(F.element_at(votes, b + 1) > 0, F.lit(bit_vals[b]).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-    return out
+    return _assemble_sketch64(lambda b: F.element_at(votes, b + 1) > 0)
 
 
 def hamming64(a: Column | str, b: Column | str) -> Column:
@@ -208,7 +209,10 @@ def simhash64_sketch_frame(
     at sf0.1 (see BENCH.md).
 
     Sign rule: bit set iff strictly more than half the shingles vote 1
-    (``2·ones > n``) — identical to the vote-sum-positive rule.
+    (``2·ones > n``) — identical to the vote-sum-positive rule.  Empty
+    shingle arrays sketch to 0 exactly like the Column forms; NULL arrays
+    (Column form: NULL) coalesce to 0 here.  ``id_col`` must be unique per
+    row (duplicates would merge their votes into one sketch).
     """
     ex = df.select(F.col(id_col), F.explode(_c(shingles)).alias("_s"))
     if portable:
@@ -228,11 +232,14 @@ def simhash64_sketch_frame(
         F.count(F.lit(1)).alias("_n"),
         *[F.sum(bit(b)).alias(f"_o{b}") for b in range(64)],
     )
-    bit_vals = [1 << b for b in range(63)] + [-(1 << 63)]
-    out = F.lit(0).cast("long")
-    for b in range(64):
-        out = out.bitwiseOR(
-            F.when(2 * F.col(f"_o{b}") > F.col("_n"), F.lit(bit_vals[b]).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-    return agg.select(id_col, out.alias("_sim"))
+    sketch = _assemble_sketch64(lambda b: 2 * F.col(f"_o{b}") > F.col("_n"))
+    sketched = agg.select(id_col, sketch.alias("_sim"))
+    # docs whose shingle array is EMPTY or NULL vanish in the explode; the
+    # Column forms give them sketch 0 (empty vote fold) — restore them so
+    # the kernel is bit-identical at the API boundary too.  Requires ids
+    # unique (duplicate ids would merge votes — document, don't pay a
+    # distinct job to police it).
+    ids = df.select(F.col(id_col))
+    return ids.join(sketched, id_col, "left").select(
+        id_col, F.coalesce("_sim", F.lit(0).cast("long")).alias("_sim")
+    )

@@ -215,7 +215,7 @@ def simhash_near_duplicates(
     # (id, 64-bit sketch, block key) per doc.
     blocked = sigs.select(
         "_id", "_sim", F.explode(block_keys).alias("_block")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     a = blocked.select(F.col("_id").alias("id_a"), F.col("_sim").alias("_sim_a"), "_block")
     b = blocked.select(F.col("_id").alias("id_b"), F.col("_sim").alias("_sim_b"), "_block")
     return (

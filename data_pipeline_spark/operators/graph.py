@@ -50,7 +50,7 @@ def connected_components(
         # round ends in an action — without this the (often expensive)
         # upstream edge pipeline re-executes per round.  68s → 9s on the
         # composed LSH→cosine→CC catalog entry at sf0.1.
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
         "component", F.col("node")
@@ -76,7 +76,7 @@ def connected_components(
             )
         )
         if (it + 1) % checkpoint_every == 0:
-            updated = updated.localCheckpoint(eager=True)
+            updated = updated.localCheckpoint(eager=False)
         n_changed = updated.where("_changed").limit(1).count()
         labels = updated.drop("_changed")
         if n_changed == 0:

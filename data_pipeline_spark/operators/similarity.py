@@ -164,7 +164,7 @@ def kmeans_centroids(
         # materialize once: the init collect + every Lloyd iteration is an
         # action, and the normalization (interpreted array fold) would
         # otherwise re-execute per round
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     centroids = [
         r["_v"] for r in unit.orderBy("_id").limit(n_centroids).select("_v").collect()
@@ -296,7 +296,7 @@ def lsh_candidate_pairs(
     # distinct subplans, so without this the signature scan runs twice
     buckets = df.select(
         F.col(id_col).alias("_id"), F.explode(keys).alias("bucket")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     a = buckets.select("bucket", F.col("_id").alias("id_a"))
     b = buckets.select("bucket", F.col("_id").alias("id_b"))
     return (

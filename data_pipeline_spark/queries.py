@@ -962,7 +962,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (35 s → 13 s at sf0.1)
     cand = lsh_candidate_pairs(
         emb, "vec_id", "embedding", dim=64, n_tables=4, n_bits=6
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     return embedding_near_duplicates(
         emb, "vec_id", "embedding", min_cosine=0.42, candidates=cand
     )

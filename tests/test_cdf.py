@@ -95,3 +95,31 @@ def test_diff_of_identical_versions_is_empty(spark, tmp_path):
     apply_changes(t, _batch(spark, [(1, "I", "a", [1])]), epoch=0)
     v = t.version
     assert snapshot_diff(spark, root, v, v).count() == 0
+
+
+def test_diff_surfaces_schema_evolved_columns(spark, tmp_path):
+    """A column added between v_from and v_to must appear in the feed and
+    updates touching only it must be emitted; the replay contract must
+    survive evolution."""
+    from pyspark.sql import Row as R
+
+    from data_pipeline_spark.cdc.apply import apply_changes_with_evolution
+
+    root = str(tmp_path / "t")
+    t = IcehouseTable.create(root, SCHEMA, key_col="doc_id", n_buckets=4)
+    apply_changes(t, _batch(spark, [(1, "I", "a", [1]), (2, "I", "b", [2])]), epoch=0)
+    v1 = t.version
+
+    evolved = spark.createDataFrame(
+        [R(lsn=10, op="U", doc_id="a", tokens=[1], n_tok=1, lang="en"),
+         R(lsn=11, op="I", doc_id="c", tokens=[3], n_tok=1, lang="fr")],
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int, lang string",
+    )
+    apply_changes_with_evolution(t, evolved, epoch=1)
+    v2 = t.version
+
+    feed = snapshot_diff(spark, root, v1, v2)
+    assert "lang" in feed.columns
+    got = {r["doc_id"]: (r["op"], r["lang"]) for r in feed.collect()}
+    # 'a' changed ONLY via the evolved column; 'b' untouched
+    assert got == {"a": ("U", "en"), "c": ("I", "fr")}

@@ -214,7 +214,7 @@ def test_kmeans_centroids_deterministic_across_partitioning(spark, vectors):
         assert all(abs(x - y) < 1e-9 for x, y in zip(ca, cb))
 
 
-def test_simhash_frame_kernel_bit_identical_to_column_forms(spark, docs_df=None):
+def test_simhash_frame_kernel_bit_identical_to_column_forms(spark):
     from pyspark.sql import functions as F
 
     from data_pipeline_spark.functions.sketches import (
@@ -237,3 +237,23 @@ def test_simhash_frame_kernel_bit_identical_to_column_forms(spark, docs_df=None)
             docs.select("doc_id", word_shingles("text", 1).alias("_sh")),
             "doc_id", "_sh", portable=portable).collect()}
         assert col == frm and len(col) == 5
+
+
+def test_simhash_frame_kernel_empty_and_null_arrays_sketch_zero(spark):
+    from data_pipeline_spark.functions.sketches import (
+        simhash64,
+        simhash64_sketch_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, []), (3, None)],
+        "doc_id int, _sh array<string>",
+    )
+    col = {r.doc_id: r._sim for r in docs.select(
+        "doc_id", simhash64("_sh").alias("_sim")).collect()}
+    frm = {r.doc_id: r._sim for r in simhash64_sketch_frame(
+        docs, "doc_id", "_sh", portable=False).collect()}
+    assert len(frm) == 3 and frm[2] == 0 and frm[3] == 0
+    # column form: empty array -> 0; NULL array -> NULL (aggregate of NULL)
+    # — the kernel coalesces both to 0, documented
+    assert frm[1] == col[1]

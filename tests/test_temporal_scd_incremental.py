@@ -292,3 +292,18 @@ def test_scd2_attrs_containing_separator_bytes_are_distinct(spark):
          Row(k=1, lsn=2, op="U", a="\x00", b="y")]
     )
     assert scd2_history(ch2, ["k"], ["a", "b"], "lsn").count() == 2
+
+
+def test_scd2_map_typed_attrs(spark):
+    # map attrs are unorderable for eqNullSafe; the JSON-compare fallback
+    # must keep them working (regression: analysis-time rejection)
+    ch = spark.createDataFrame(
+        [Row(k=1, lsn=1, op="I", prefs={"a": "1"}),
+         Row(k=1, lsn=2, op="U", prefs={"a": "1"}),   # no-op
+         Row(k=1, lsn=3, op="U", prefs={"a": "2"})],
+        "k int, lsn int, op string, prefs map<string,string>",
+    )
+    h = scd2_history(ch, ["k"], ["prefs"], "lsn").orderBy("valid_from").collect()
+    assert [(r.valid_from, r.valid_to, r.is_current) for r in h] == [
+        (1, 3, False), (3, None, True)
+    ]
