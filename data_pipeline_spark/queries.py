@@ -2306,3 +2306,57 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.createDataFrame(rows, result.schema)
     spark.catalog.dropTempView(sink)
     return out
+
+
+@q(
+    "data_expectations",
+    """
+    WITH rowrules AS (
+      SELECT COUNT(*)::BIGINT AS n_rows,
+             SUM(CASE WHEN COALESCE(o_totalprice > 0, FALSE) THEN 0 ELSE 1 END)::BIGINT AS v0,
+             SUM(CASE WHEN COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 0 ELSE 1 END)::BIGINT AS v1,
+             SUM(CASE WHEN COALESCE(regexp_matches(o_orderpriority, '^[1-5]-'), FALSE) THEN 0 ELSE 1 END)::BIGINT AS v2,
+             SUM(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END)::BIGINT AS v3
+      FROM orders
+    ),
+    ref AS (
+      SELECT COUNT(*)::BIGINT AS orphans
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey IS NULL
+    )
+    SELECT rule, n_rows, n_violations,
+           ROUND((n_rows - n_violations) / n_rows::DOUBLE, 6) AS pass_rate
+    FROM (
+      SELECT 'totalprice_positive' AS rule, n_rows, v0 AS n_violations FROM rowrules
+      UNION ALL SELECT 'status_in_domain', n_rows, v1 FROM rowrules
+      UNION ALL SELECT 'priority_format', n_rows, v2 FROM rowrules
+      UNION ALL SELECT 'orderdate_not_null', n_rows, v3 FROM rowrules
+      UNION ALL SELECT 'o_custkey_references_c_custkey', n_rows, orphans FROM rowrules, ref
+    )
+    """,
+)
+def data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (``operators/expectations.py``): four
+    row-level rules over orders evaluated in ONE aggregate scan (k rules =
+    1 scan, not k) plus a referential rule (custkey must exist in customer
+    — broadcast anti-join, the fact never shuffles).  The report shape —
+    (rule, n_rows, n_violations, pass_rate) — is what a pipeline gate
+    thresholds on; the reference runs each validation as its own query
+    (``staging_schema.py:75-91``)."""
+    from .operators.expectations import (
+        Expectation,
+        check_expectations,
+        referential_violations,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rules = [
+        Expectation("totalprice_positive", F.col("o_totalprice") > 0),
+        Expectation("status_in_domain", F.col("o_orderstatus").isin("O", "F", "P")),
+        Expectation("priority_format", F.col("o_orderpriority").rlike("^[1-5]-")),
+        Expectation("orderdate_not_null", F.col("o_orderdate").isNotNull()),
+    ]
+    report = check_expectations(orders, rules)
+    ref = referential_violations(orders, cust, "o_custkey", "c_custkey")
+    return report.unionByName(ref)

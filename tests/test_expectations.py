@@ -1,0 +1,46 @@
+"""Data-expectations tests: one-scan rule evaluation, NULL = violation,
+referential orphan counting."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_pipeline_spark.operators.expectations import (
+    Expectation,
+    check_expectations,
+    referential_violations,
+)
+
+
+def test_rules_evaluate_in_one_pass_and_null_is_violation(spark):
+    df = spark.createDataFrame(
+        [Row(x=1, s="ok"), Row(x=-1, s="ok"), Row(x=None, s=None)],
+        "x int, s string",
+    )
+    out = {
+        r.rule: (r.n_rows, r.n_violations, r.pass_rate)
+        for r in check_expectations(
+            df,
+            [
+                Expectation("x_positive", F.col("x") > 0),   # NULL -> violation
+                Expectation("s_not_null", F.col("s").isNotNull()),
+            ],
+        ).collect()
+    }
+    assert out == {
+        "x_positive": (3, 2, 0.333333),
+        "s_not_null": (3, 1, 0.666667),
+    }
+    # one aggregate scan: plan has exactly one Aggregate over the relation
+    plan = check_expectations(
+        df, [Expectation(f"r{i}", F.col("x") > i) for i in range(10)]
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") <= 2  # partial+final, never 10 scans
+
+
+def test_referential_orphans(spark):
+    child = spark.createDataFrame([Row(fk=1), Row(fk=2), Row(fk=99)])
+    parent = spark.createDataFrame([Row(pk=1), Row(pk=2)])
+    r = referential_violations(child, parent, "fk", "pk").collect()[0]
+    assert (r.rule, r.n_rows, r.n_violations, r.pass_rate) == (
+        "fk_references_pk", 3, 1, 0.666667,
+    )
