@@ -2360,3 +2360,86 @@ def data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     report = check_expectations(orders, rules)
     ref = referential_violations(orders, cust, "o_custkey", "c_custkey")
     return report.unionByName(ref)
+
+
+@q(
+    "top_unshipped_orders",
+    """
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))::BIGINT AS revenue_c4
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_c4 DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered star join, grouped revenue, global
+    top-10.  Plan: customer dim broadcasts (filter first), lineitem's date
+    predicate pushes to the scan, one shuffle for the group, and the
+    top-10 is a TakeOrderedAndProject (per-partition heap + driver merge
+    of 10-row heads — never a global sort).  Ties broken by orderkey for
+    deterministic output; money in fixed-point cents²."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    rev = F.sum(
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    ).alias("revenue_c4")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev)
+        .orderBy(F.col("revenue_c4").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "promo_revenue_share",
+    """
+    SELECT ROUND(
+             100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%' THEN
+                 CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) ELSE 0 END)
+             / SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))),
+           4) AS promo_share_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-part revenue share for one month.  The part
+    dim broadcasts; the month predicate pushes to the lineitem scan; the
+    conditional sums are exact BIGINT fixed-point, divided once at the
+    end (the only IEEE rounding — deterministic at any partitioning)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0)))
+            / F.sum(rev),
+            4,
+        ).alias("promo_share_pct")
+    )

@@ -137,3 +137,41 @@ def windowed_event_counts(
             "total_value" if value_scale is None else "value_scaled",
         )
     )
+
+
+def interval_join_streams(
+    anchors: DataFrame,
+    points: DataFrame,
+    key: str,
+    anchor_ts: str,
+    point_ts: str,
+    within: str = "24 hours",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each point row matches anchor rows of
+    the same key with ``anchor_ts <= point_ts < anchor_ts + within``.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can expire buffered state — the REQUIRED shape for
+    an unbounded stream-stream inner join (without the time bound, state
+    grows forever).  Works identically on batch frames (watermark no-op),
+    which is how the drain-equals-batch test proves it.
+
+    Column names other than ``key`` must be disjoint between the sides;
+    output = anchor columns + point columns (key once).
+    """
+    overlap = (set(anchors.columns) & set(points.columns)) - {key}
+    if overlap:
+        raise ValueError(f"anchor/point column overlap {sorted(overlap)}; rename one side")
+    a = anchors.withColumn(anchor_ts, F.col(anchor_ts).cast("timestamp")).withWatermark(
+        anchor_ts, watermark
+    )
+    p = points.withColumn(point_ts, F.col(point_ts).cast("timestamp")).withWatermark(
+        point_ts, watermark
+    )
+    cond = (
+        (a[key] == p[key])
+        & (p[point_ts] >= a[anchor_ts])
+        & (p[point_ts] < a[anchor_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return a.join(p, cond, "inner").drop(p[key])

@@ -141,3 +141,45 @@ def test_streaming_windowed_counts(spark, tmp_path):
     sealed_rows = {tuple(r) for r in sealed.collect()}
     assert sealed_rows <= got_rows
     assert len(got_rows) >= len(sealed_rows) > 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream inner join with event-time bounds: draining two file
+    streams must produce exactly the batch inequality-join result (and the
+    bounded condition is what lets Spark expire join state)."""
+    from data_pipeline_spark.streaming.ingest import interval_join_streams
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    signups = ev.where("event_type = 'signup'").select(
+        F.col("event_id").alias("signup_id"), F.col("user_id").alias("uid"),
+        F.col("ts").alias("signup_ts"),
+    )
+    clicks = ev.where("event_type = 'click'").select(
+        F.col("user_id").alias("uid"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    sdir, cdir = str(tmp_path / "s"), str(tmp_path / "c")
+    signups.write.parquet(sdir)
+    clicks.write.parquet(cdir)
+
+    s_stream = spark.readStream.schema(signups.schema).parquet(sdir)
+    c_stream = spark.readStream.schema(clicks.schema).parquet(cdir)
+    joined = interval_join_streams(
+        s_stream, c_stream, "uid", "signup_ts", "click_ts", within="24 hours"
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ssjoin")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r.signup_id, r.click_id) for r in spark.table("ssjoin").collect()
+    )
+    want = sorted(
+        (r.signup_id, r.click_id)
+        for r in interval_join_streams(
+            signups, clicks, "uid", "signup_ts", "click_ts", within="24 hours"
+        ).collect()
+    )
+    assert got == want and got, "stream drain must equal the batch join"
+    spark.catalog.dropTempView("ssjoin")
