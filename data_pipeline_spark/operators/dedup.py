@@ -54,6 +54,21 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+MINHASH_P = 2_147_483_647  # Mersenne prime 2^31-1: a_i·x + b_i stays < 2^62
+
+
+def minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the universal-hash MinHash family
+    h_i(x) = (a_i·x + b_i) mod P — shared by the Spark plan and the SQL
+    oracle generator (exact integer arithmetic in any engine)."""
+    out = []
+    for i in range(k):
+        a = (i * 2_654_435_761 + 40_503) % (MINHASH_P - 1) + 1  # in [1, P-1]
+        b = (i * 97_003 + 65_537) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -70,20 +85,39 @@ def minhash_lsh_candidates(
     buckets (see module docstring).
     """
     k = bands * rows_per_band
-    # Explode-then-aggregate formulation: each shingle is hashed k times
-    # EXACTLY ONCE.  The naive "array of k array_min(transform(...))" column
-    # form duplicates the whole shingle expression tree per signature element
+    # Explode-then-aggregate formulation: each shingle is hashed EXACTLY
+    # ONCE.  The naive "array of k array_min(transform(...))" column form
+    # duplicates the whole shingle expression tree per signature element
     # AND per band reference (Catalyst projection collapse re-inlines it),
     # exploding codegen to O(k^2) shingle passes — measured 100x slower.
     # Explode + groupBy(min) also gets map-side combine: the shuffle carries
     # one partial signature per task, not per shingle.
+    #
+    # Hash family: ONE md5 per shingle reduced to 31 bits, then k universal
+    # hashes h_i = (a_i·x + b_i) mod P — vs the earlier md5(s||'#i') per
+    # element form this removes k-1 md5 evaluations per shingle (md5
+    # dominates; 2.6× on the catalog entry) and stays recomputable in ANSI
+    # SQL: x = low-56-bits(md5) mod P, all exact BIGINT ops.  Low 56 bits
+    # (digest bytes 8..14 little-endian) keep every intermediate positive
+    # in SIGNED 64-bit, so Spark and DuckDB mod semantics agree.
     shingled = df.select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(text_col, shingle_n)).alias("_s"),
     )
+    hx = F.md5("_s")
+    x56 = None
+    for m in range(7):
+        byte = F.conv(hx.substr(2 * (8 + m) + 1, 2), 16, 10).cast("long")
+        term = byte * F.lit(1 << (8 * m)).cast("long")
+        x56 = term if x56 is None else x56 + term
+    x31 = F.pmod(x56, F.lit(MINHASH_P))
+    coeffs = minhash_coeffs(k)
     hashed = shingled.select(
         "_id",
-        *[F.md5(F.concat_ws("#", "_s", F.lit(str(i)))).alias(f"_h{i}") for i in range(k)],
+        *[
+            F.pmod(F.lit(a).cast("long") * x31 + F.lit(b), F.lit(MINHASH_P)).alias(f"_h{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ],
     )
     sig = hashed.groupBy("_id").agg(*[F.min(f"_h{i}").alias(f"_m{i}") for i in range(k)])
     band_keys = [
@@ -91,7 +125,10 @@ def minhash_lsh_candidates(
             F.concat_ws(
                 "|",
                 F.lit(str(b)),
-                *[F.col(f"_m{b * rows_per_band + r}") for r in range(rows_per_band)],
+                *[
+                    F.col(f"_m{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
             )
         ).alias(f"_b{b}")
         for b in range(bands)

@@ -760,13 +760,21 @@ _LSH_BANDS, _LSH_ROWS = 8, 2
 _MINHASH_K = _LSH_BANDS * _LSH_ROWS
 _LSH_MAX_BUCKET = 50
 
-# DuckDB twin of functions.sketches.minhash_signature + lsh_band_keys —
-# generated once; the engine and the oracle pin each other bit-for-bit.
+# DuckDB twin of operators.dedup.minhash_lsh_candidates' hash family —
+# generated from the SAME coefficients; the engine and the oracle pin each
+# other bit-for-bit.  x = low-56-bits(md5) mod P (bytes 8..14 little-endian
+# = md5_number_lower mod 2^56 — every intermediate positive, so signed and
+# unsigned mod agree); h_i = (a_i·x + b_i) mod P.
+from .operators.dedup import MINHASH_P as _MH_P
+from .operators.dedup import minhash_coeffs as _mh_coeffs
+
+_X31 = f"((md5_number_lower(s) % {1 << 56}) % {_MH_P})"
 _sig_elems = ",\n             ".join(
-    f"list_min(list_transform(shingles, s -> md5(s || '#{i}')))" for i in range(_MINHASH_K)
+    f"list_min(list_transform(shingles, s -> ({a}::UBIGINT * {_X31} + {b}) % {_MH_P}))"
+    for a, b in _mh_coeffs(_MINHASH_K)
 )
 _band_elems = ",\n             ".join(
-    "md5('{b}' || '|' || sig[{i1}] || '|' || sig[{i2}])".format(
+    "md5('{b}' || '|' || sig[{i1}]::VARCHAR || '|' || sig[{i2}]::VARCHAR)".format(
         b=b, i1=b * _LSH_ROWS + 1, i2=b * _LSH_ROWS + 2
     )
     for b in range(_LSH_BANDS)
