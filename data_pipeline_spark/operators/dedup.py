@@ -133,7 +133,12 @@ def minhash_lsh_candidates(
         ).alias(f"_b{b}")
         for b in range(bands)
     ]
-    buckets = sig.select("_id", F.explode(F.array(*band_keys)).alias("band_key"))
+    # materialize ONCE: buckets feeds the size histogram AND both aliased
+    # sides of the self-join — three distinct subplans that would each
+    # re-execute the shingle→signature pipeline (the expensive part)
+    buckets = sig.select(
+        "_id", F.explode(F.array(*band_keys)).alias("band_key")
+    ).localCheckpoint(eager=False)
     sized = buckets.join(
         buckets.groupBy("band_key").agg(F.count(F.lit(1)).alias("_bsz")),
         "band_key",
