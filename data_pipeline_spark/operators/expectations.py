@@ -42,8 +42,11 @@ def check_expectations(df: DataFrame, expectations: list[Expectation]) -> DataFr
     ``pass_rate`` rounded to 6 so reports hash-compare across engines.
     """
     viol = [
-        F.sum(
-            F.when(F.coalesce(e.predicate, F.lit(False)), 0).otherwise(1)
+        # coalesce the SUM too: over zero rows it is NULL, and an empty
+        # input must still report (n_violations=0, pass_rate defined)
+        F.coalesce(
+            F.sum(F.when(F.coalesce(e.predicate, F.lit(False)), 0).otherwise(1)),
+            F.lit(0),
         ).alias(f"_v{i}")
         for i, e in enumerate(expectations)
     ]
@@ -63,9 +66,13 @@ def check_expectations(df: DataFrame, expectations: list[Expectation]) -> DataFr
             F.col("_p.rule").alias("rule"),
             "n_rows",
             F.col("_p.n_violations").alias("n_violations"),
-            F.round(
-                (F.col("n_rows") - F.col("_p.n_violations")) / F.col("n_rows"), 6
-            ).alias("pass_rate"),
+            F.when(F.col("n_rows") == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    (F.col("n_rows") - F.col("_p.n_violations")) / F.col("n_rows"), 6
+                )
+            )
+            .alias("pass_rate"),
         )
     )
 
@@ -79,17 +86,29 @@ def referential_violations(
 ) -> DataFrame:
     """Referential-integrity rule: child rows whose key has no parent.
 
-    Same report shape as :func:`check_expectations` (one row).  Plan: the
-    child scans once; the parent key set joins broadcast/AQE anti — the
-    child never shuffles.  NULL child keys are orphans by definition here
-    (use a row-level not-null rule to report them separately)."""
-    n_rows = child.count()
-    orphans = child.join(
-        parent.select(F.col(parent_key).alias(child_key)), child_key, "left_anti"
-    ).count()
-    spark = child.sparkSession
+    Same report shape as :func:`check_expectations` (one row), built as a
+    LAZY plan (constructing the report runs no jobs): one aggregate for
+    the total count crossJoined with the anti-join violation count — the
+    parent key set joins broadcast/AQE anti, and the child never shuffles.
+    Rounding uses the same F.round (HALF_UP) regime as the row-level
+    rules, so mixed reports hash-compare consistently against SQL oracles.
+    NULL child keys are orphans by definition here (use a row-level
+    not-null rule to report them separately)."""
     name = rule or f"{child_key}_references_{parent_key}"
-    return spark.createDataFrame(
-        [(name, n_rows, orphans, round((n_rows - orphans) / n_rows, 6) if n_rows else 1.0)],
-        "rule string, n_rows long, n_violations long, pass_rate double",
+    total = child.agg(F.count(F.lit(1)).alias("n_rows"))
+    orphans = (
+        child.join(
+            parent.select(F.col(parent_key).alias(child_key)), child_key, "left_anti"
+        )
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+    return total.crossJoin(orphans).select(
+        F.lit(name).alias("rule"),
+        "n_rows",
+        "n_violations",
+        F.when(F.col("n_rows") == 0, F.lit(1.0))
+        .otherwise(
+            F.round((F.col("n_rows") - F.col("n_violations")) / F.col("n_rows"), 6)
+        )
+        .alias("pass_rate"),
     )

@@ -808,10 +808,12 @@ _MINHASH_ORACLE = rf"""
 @q("minhash_lsh_pairs", _MINHASH_ORACLE)
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup candidate pairs (shingle→signature→band→bucket
-    join).  The md5-lexicographic-min hash family makes signatures
-    recomputable by any engine — the DuckDB oracle rebuilds them from
-    scratch.  Shuffle volume is bands·n keys; degenerate buckets are capped
-    (see operators.dedup docstring for the 100-TB skew story)."""
+    join).  Hash family: one md5 per shingle reduced to 31 bits, then k
+    universal hashes h_i = (a_i·x + b_i) mod 2³¹−1 with numeric min —
+    exact-integer recomputable by any engine, and the DuckDB oracle
+    rebuilds the signatures from scratch with the same coefficients.
+    Shuffle volume is bands·n keys; degenerate buckets are capped (see
+    operators.dedup docstring for the 100-TB skew story)."""
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_candidates(
         docs, "doc_id", "text",

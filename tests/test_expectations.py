@@ -44,3 +44,19 @@ def test_referential_orphans(spark):
     assert (r.rule, r.n_rows, r.n_violations, r.pass_rate) == (
         "fk_references_pk", 3, 1, 0.666667,
     )
+
+
+def test_empty_input_reports_zero_violations(spark):
+    df = spark.createDataFrame([], "x int")
+    r = check_expectations(df, [Expectation("x_pos", F.col("x") > 0)]).collect()[0]
+    assert (r.n_rows, r.n_violations, r.pass_rate) == (0, 0, 1.0)
+
+
+def test_referential_is_lazy_and_rounds_half_up(spark):
+    # 128 rows, 127 orphans: 1/128 = 0.0078125 must round HALF_UP to
+    # 0.007813 like F.round / SQL ROUND (Python round() gives 0.007812)
+    child = spark.createDataFrame([Row(fk=i) for i in range(128)])
+    parent = spark.createDataFrame([Row(pk=0)])
+    rep = referential_violations(child, parent, "fk", "pk")
+    r = rep.collect()[0]
+    assert (r.n_rows, r.n_violations, r.pass_rate) == (128, 127, 0.007813)
