@@ -6,6 +6,12 @@ from .changelog import (
     read_change_log,
 )
 from .cdf import snapshot_diff
+from .quarantine import (
+    DeadLetterSink,
+    apply_changes_with_dlq,
+    classify_events,
+    split_valid,
+)
 from .replay import Checkpoint, ReplayReport, ReplayRunner
 from .scd import scd2_history
 from .skew import detect_hot_keys, salted_join, salted_lww_latest
@@ -28,4 +34,8 @@ __all__ = [
     "salted_lww_latest",
     "scd2_history",
     "snapshot_diff",
+    "DeadLetterSink",
+    "apply_changes_with_dlq",
+    "classify_events",
+    "split_valid",
 ]

@@ -1,0 +1,186 @@
+"""Dead-letter routing for malformed change events (ingest quarantine).
+
+A CDC tail at 10^10-event scale WILL see garbage: producer bugs emit unknown
+op codes, null keys, payloads whose declared stats contradict the data
+(``n_tok != size(tokens)``), or values that no longer cast to the table
+schema.  Failing the whole batch on one bad row stalls the pipeline; silently
+dropping rows loses data.  The engine's contract instead:
+
+1. **classify** every event with a deterministic, column-expression-only rule
+   chain (first failing rule names the ``reject_reason`` — no Python row
+   loop, the whole classifier is one Catalyst projection),
+2. **split** the batch: valid events proceed to the normal exactly-once
+   LWW merge (`cdc.apply.apply_changes`), rejects are routed to a
+   **dead-letter sink** partitioned by epoch,
+3. the DLQ write is **idempotent per epoch** (same overwrite-the-epoch-dir
+   discipline as the lake layout the reference uses for its daily files —
+   ``scrapers/simplytek/main.py:82-84`` upload with overwrite=True), so a
+   replayed epoch produces byte-identical quarantine output, never
+   duplicates.
+
+Reference parity: the reference validates at the edge with Pydantic and
+*drops* invalid products inside each scraper (``scrapers/simplytek/models/
+product_models.py:64-91`` raises ``ValueError`` per record, caught and
+skipped per item).  The engine generalizes that to an auditable quarantine
+table instead of a log line.
+
+Scale notes: the classifier is a single whole-stage-codegen projection over
+the batch; the split is two filters over the same scan (Spark reads the
+parquet batch twice — columnar, pushed, and cheaper than persisting the
+classified frame for the typical <<1% reject rate).  Nothing collects to the
+driver; the DLQ write shuffles only the rejects.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+REASON_COL = "reject_reason"
+
+#: stable DLQ schema — any malformed payload fits (the original row rides
+#: along as one JSON string, so even rows whose columns cannot conform to
+#: the table schema are representable).
+DLQ_SCHEMA = T.StructType(
+    [
+        T.StructField("lsn", T.LongType(), True),
+        T.StructField("op", T.StringType(), True),
+        T.StructField("key_raw", T.StringType(), True),
+        T.StructField(REASON_COL, T.StringType(), False),
+        T.StructField("payload_json", T.StringType(), True),
+    ]
+)
+
+
+def classify_events(
+    changes: DataFrame,
+    schema: T.StructType | None = None,
+    key: str = "doc_id",
+    valid_ops: tuple[str, ...] = ("I", "U", "D"),
+    invariants: list[tuple[str, F.Column]] | None = None,
+) -> DataFrame:
+    """Append ``reject_reason`` (NULL = valid) to a change batch.
+
+    Rule chain, first match wins (deterministic — the DLQ is replayable):
+
+    1. ``null_key``      — key NULL or whitespace-empty,
+    2. ``bad_op``        — op not in ``valid_ops``,
+    3. ``null_lsn``      — ordering column missing,
+    4. ``uncastable:F``  — column F is non-NULL in the batch but its cast to
+       the table schema's type is NULL (per-field, only where the batch type
+       differs from the table type — equal types never fail),
+    5. ``violates:NAME`` — caller invariants, each ``(NAME, bool Column)``;
+       a row is rejected when the condition is *false* (NULL passes — guard
+       op-dependent rules yourself, e.g. ``(op=='D') | (size(tokens)==n_tok)``).
+    """
+    reason = F.when(
+        F.col(key).isNull() | (F.trim(F.col(key).cast("string")) == ""), F.lit("null_key")
+    ).when(~F.col("op").isin(*valid_ops), F.lit("bad_op")).when(
+        F.col("lsn").isNull(), F.lit("null_lsn")
+    )
+    if schema is not None:
+        batch_types = dict(changes.dtypes)
+        for f in schema.fields:
+            if f.name in changes.columns and batch_types[f.name] != f.dataType.simpleString():
+                # try_cast, not cast: under ANSI mode a plain cast THROWS on
+                # malformed input — the classifier's whole job is to keep the
+                # batch alive, so the probe must be null-on-failure.
+                reason = reason.when(
+                    F.col(f.name).isNotNull() & F.col(f.name).try_cast(f.dataType).isNull(),
+                    F.lit(f"uncastable:{f.name}"),
+                )
+    for name, cond in invariants or []:
+        reason = reason.when(~F.coalesce(cond, F.lit(True)), F.lit(f"violates:{name}"))
+    return changes.withColumn(REASON_COL, reason)
+
+
+def split_valid(
+    changes: DataFrame,
+    schema: T.StructType | None = None,
+    key: str = "doc_id",
+    valid_ops: tuple[str, ...] = ("I", "U", "D"),
+    invariants: list[tuple[str, F.Column]] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(valid, rejects): valid keeps the original batch schema; rejects are
+    projected to :data:`DLQ_SCHEMA` (original row serialized into
+    ``payload_json``)."""
+    classified = classify_events(changes, schema, key, valid_ops, invariants)
+    valid = classified.where(F.col(REASON_COL).isNull()).drop(REASON_COL)
+    rejects = classified.where(F.col(REASON_COL).isNotNull()).select(
+        F.col("lsn").try_cast("long").alias("lsn"),
+        F.col("op").try_cast("string").alias("op"),
+        F.col(key).try_cast("string").alias("key_raw"),
+        F.col(REASON_COL),
+        F.to_json(F.struct(*[c for c in changes.columns])).alias("payload_json"),
+    )
+    return valid, rejects
+
+
+class DeadLetterSink:
+    """Epoch-partitioned parquet quarantine with exactly-once epoch writes.
+
+    Layout ``root/epoch=N/``; a committed epoch (``_SUCCESS`` present) is
+    never rewritten — replaying an epoch skips the DLQ write entirely, the
+    same fence discipline as the icehouse ``committed_epochs`` registry.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _epoch_dir(self, epoch: int) -> str:
+        return os.path.join(self.root, f"epoch={epoch}")
+
+    def epoch_committed(self, epoch: int) -> bool:
+        return os.path.exists(os.path.join(self._epoch_dir(epoch), "_SUCCESS"))
+
+    def append(self, rejects: DataFrame, epoch: int) -> bool:
+        """Write one epoch's rejects; no-op (False) if already committed."""
+        if self.epoch_committed(epoch):
+            return False
+        # coalesce(1): reject volume is <<1% of the batch by contract; one
+        # file per epoch keeps the quarantine browsable.  If an upstream
+        # incident floods the DLQ, raise this — correctness is unaffected.
+        rejects.coalesce(1).write.mode("overwrite").parquet(self._epoch_dir(epoch))
+        return True
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        epochs = [d for d in os.listdir(self.root) if d.startswith("epoch=")]
+        if not epochs:
+            return spark.createDataFrame(
+                [], T.StructType(DLQ_SCHEMA.fields + [T.StructField("epoch", T.IntegerType())])
+            )
+        return spark.read.option("basePath", self.root).parquet(
+            *[os.path.join(self.root, d) for d in epochs]
+        )
+
+
+def apply_changes_with_dlq(
+    table,
+    dlq: DeadLetterSink,
+    changes: DataFrame,
+    epoch: int | None = None,
+    invariants: list[tuple[str, F.Column]] | None = None,
+    **apply_kwargs,
+):
+    """Split a batch, quarantine the rejects, merge the valid events.
+
+    Both sides are idempotent under replay: the merge via the table's
+    committed-epochs fence, the DLQ via its per-epoch ``_SUCCESS`` fence —
+    so a crash between the two writes is safe to re-run in either order.
+    Returns ``(ApplyStats, n_rejected)``.
+    """
+    from .apply import apply_changes
+
+    if epoch is None:
+        raise ValueError("apply_changes_with_dlq needs an epoch (both fences key on it)")
+    valid, rejects = split_valid(
+        changes, schema=table.schema, key=table.key_col, invariants=invariants
+    )
+    dlq.append(rejects, epoch)
+    stats = apply_changes(table, valid, epoch=epoch, **apply_kwargs)
+    n_rejected = dlq.read(valid.sparkSession).where(F.col("epoch") == epoch).count()
+    return stats, n_rejected

@@ -319,8 +319,12 @@ class IcehouseTable:
         epoch_source: str | None = None,
         affected_partitions: list[int] | None = None,
         read_version: int | None = None,
+        meta_updates: dict[str, Any] | None = None,
     ) -> CommitResult:
         """Atomically replace the bucket partitions present in ``df``.
+
+        ``meta_updates``: extra table-metadata fields committed atomically
+        with the data (partition-spec evolution — see :meth:`rebucket`).
 
         ``df`` must contain the logical columns plus ``_part``; ONLY the
         distinct ``_part`` values present are rewritten — all other partitions
@@ -373,13 +377,14 @@ class IcehouseTable:
             *meta_cols,
             F.col(PART_COL).cast("int").alias(PART_COL),
         )
-        laid_out = out.repartition(self.n_buckets, F.col(PART_COL)).sortWithinPartitions(
+        layout_buckets = (meta_updates or {}).get("n_buckets", self.n_buckets)
+        laid_out = out.repartition(layout_buckets, F.col(PART_COL)).sortWithinPartitions(
             PART_COL, self.key_col
         )
         return self._commit_attempts(
             laid_out, epoch, lineage_extra, new_schema, schema_changed, max_retries,
             epoch_source=epoch_source, affected_partitions=affected_partitions,
-            read_version=read_version,
+            read_version=read_version, meta_updates=meta_updates,
         )
 
     @staticmethod
@@ -415,7 +420,7 @@ class IcehouseTable:
     def _commit_attempts(
         self, laid_out, epoch, lineage_extra, new_schema, schema_changed, max_retries,
         epoch_source: str | None = None, affected_partitions: list[int] | None = None,
-        read_version: int | None = None,
+        read_version: int | None = None, meta_updates: dict[str, Any] | None = None,
     ) -> CommitResult:
         for _attempt in range(max_retries):
             self.refresh()
@@ -464,6 +469,7 @@ class IcehouseTable:
                     )
             # build next metadata
             meta = json.loads(json.dumps(self.meta))  # deep copy
+            meta.update(meta_updates or {})
             meta["version"] = new_version
             meta["parent_version"] = self.version
             meta["snapshot_id"] = snapshot_id
@@ -662,6 +668,52 @@ class IcehouseTable:
             except CommitConflictError:
                 self.refresh()
         raise ConcurrentCommitError(f"compact lost 5 conflict races on {self.root}")
+
+    def rebucket(self, spark: SparkSession, new_n_buckets: int) -> CommitResult:
+        """Partition-spec evolution: rewrite the table under a new bucket
+        count in ONE atomic commit (Iceberg analog: update the partition
+        spec + rewrite_data_files).
+
+        A table sized for 10^8 rows will skew its way to hot 100-GB buckets
+        at 10^10 — rebucketing is how the layout keeps up without any change
+        to the logical state.  The whole current snapshot (live rows AND
+        tombstones, carrying their ``_lsn``) is re-hashed with the new
+        modulus and rewritten; the commit atomically updates ``n_buckets`` /
+        ``partition_spec``, so every later merge buckets with the new hash.
+        Old bucket ids not re-populated are passed as the explicit
+        affected-set and dropped.  Serializable: a concurrent writer that
+        commits mid-rewrite triggers CommitConflictError and the rebuild
+        retries against the fresh snapshot — no lost updates, and the loser
+        re-buckets the winner's rows too.
+
+        Shuffle budget: one full-table shuffle (the write-side repartition on
+        the new bucket column) — the unavoidable minimum for a re-hash.
+        """
+        if new_n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        if new_n_buckets == self.n_buckets:
+            return CommitResult(self.version, self.meta["snapshot_id"], None, skipped=True)
+        for _ in range(5):
+            read_version = self.version
+            read_parts = [int(k) for k in self.meta["partitions"]]
+            df = self.read(spark, with_part_col=False, with_meta=True)
+            out = df.withColumn(
+                PART_COL,
+                F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(new_n_buckets)).cast("int"),
+            )
+            try:
+                return self.overwrite_partitions(
+                    out,
+                    affected_partitions=read_parts,
+                    read_version=read_version,
+                    meta_updates={
+                        "n_buckets": new_n_buckets,
+                        "partition_spec": f"bucket({self.key_col}, {new_n_buckets}) -> {PART_COL}",
+                    },
+                )
+            except CommitConflictError:
+                self.refresh()
+        raise ConcurrentCommitError(f"rebucket lost 5 conflict races on {self.root}")
 
     def vacuum_tombstones(self, spark: SparkSession, lsn_watermark: int) -> CommitResult:
         """Reclaim tombstones with ``_lsn <= lsn_watermark`` (safe once every

@@ -1,0 +1,193 @@
+"""Partition-spec evolution (rebucket) and dead-letter quarantine tests.
+
+Rebucket: the logical state is invariant under a bucket-count change, later
+merges use the new hash, and tombstones keep their delete-wins power across
+the rewrite.  DLQ: malformed events are classified deterministically, routed
+to an epoch-fenced quarantine sink, and the whole split is replay-idempotent.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_pipeline_spark.cdc import ReplayRunner, apply_changes, generate_change_log
+from data_pipeline_spark.cdc.quarantine import (
+    DeadLetterSink,
+    apply_changes_with_dlq,
+    classify_events,
+    split_valid,
+)
+from data_pipeline_spark.table import IcehouseTable
+
+from tests.test_cdc_core import TABLE_SCHEMA, sequential_oracle, table_state
+
+CHANGE_SCHEMA = T.StructType(
+    [
+        T.StructField("lsn", T.LongType(), True),
+        T.StructField("op", T.StringType(), True),
+        T.StructField("doc_id", T.StringType(), True),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, CHANGE_SCHEMA)
+
+
+# -- rebucket ---------------------------------------------------------------
+
+
+def test_rebucket_preserves_state_and_future_merges(spark, tmp_path):
+    log = generate_change_log(
+        spark, n_events=4000, n_docs=300, events_per_epoch=1000, seed=7
+    ).persist()
+    table = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=4)
+    ckpt = str(tmp_path / "ckpt.json")
+    ReplayRunner(table, ckpt).run(log, epochs=[0, 1])
+    mid_state = table_state(table, spark)
+
+    res = table.rebucket(spark, 16)
+    assert not res.skipped
+    assert table.n_buckets == 16
+    assert "bucket(doc_id, 16)" in table.meta["partition_spec"]
+    assert table_state(table, spark) == mid_state, "rebucket must not change logical state"
+    # physical layout actually re-hashed: populated buckets may exceed old modulus
+    assert all(0 <= int(k) < 16 for k in table.meta["partitions"])
+
+    # merges AFTER the rebucket must hash with the new modulus — final state
+    # still matches the sequential oracle over the full log
+    ReplayRunner(table, ckpt).run(log)
+    assert table_state(table, spark) == sequential_oracle(log.collect())
+    log.unpersist()
+
+
+def test_rebucket_same_count_is_noop(spark, tmp_path):
+    table = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=8)
+    res = table.rebucket(spark, 8)
+    assert res.skipped
+    with pytest.raises(ValueError):
+        table.rebucket(spark, 0)
+
+
+def test_rebucket_carries_tombstones(spark, tmp_path):
+    """Delete-wins must survive the rewrite: an out-of-order UPDATE with an
+    older LSN arriving after the rebucket still loses to the tombstone."""
+    table = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=2)
+    apply_changes(
+        table,
+        _batch(
+            spark,
+            [
+                (1, "I", "a", [1, 2], 2, "s1"),
+                (2, "I", "b", [3], 1, "s1"),
+                (5, "D", "a", None, None, None),
+            ],
+        ),
+        epoch=0,
+    )
+    table.rebucket(spark, 8)
+    # late event for "a" with lsn 4 < tombstone lsn 5 — must NOT resurrect
+    apply_changes(table, _batch(spark, [(4, "U", "a", [9], 1, "s2")]), epoch=1)
+    assert table_state(table, spark) == {"b": ((3,), 1, "s1")}
+
+
+# -- quarantine / DLQ -------------------------------------------------------
+
+
+def test_classify_first_match_wins_and_reasons(spark):
+    rows = [
+        (1, "I", "ok", [1, 2], 2, "s"),
+        (2, "I", None, [1], 1, "s"),        # null_key
+        (3, "X", "k3", [1], 1, "s"),        # bad_op
+        (None, "I", "k4", [1], 1, "s"),     # null_lsn
+        (5, "I", "k5", [1, 2, 3], 2, "s"),  # violates:tok_len
+        (6, "D", "k6", None, None, None),   # delete: invariant guarded by op
+        (7, "I", "  ", [1], 1, "s"),        # whitespace key -> null_key
+        (8, "X", None, [1], 1, "s"),        # null_key wins over bad_op
+    ]
+    inv = [("tok_len", (F.col("op") == "D") | (F.size("tokens") == F.col("n_tok")))]
+    got = {
+        (r["lsn"], r["op"]): r["reject_reason"]
+        for r in classify_events(_batch(spark, rows), key="doc_id", invariants=inv).collect()
+    }
+    assert got[(1, "I")] is None
+    assert got[(2, "I")] == "null_key"
+    assert got[(3, "X")] == "bad_op"
+    assert got[(None, "I")] == "null_lsn"
+    assert got[(5, "I")] == "violates:tok_len"
+    assert got[(6, "D")] is None
+    assert got[(7, "I")] == "null_key"
+    assert got[(8, "X")] == "null_key", "rule order is deterministic: first match wins"
+
+
+def test_classify_uncastable_against_table_schema(spark):
+    """A batch whose n_tok arrives as string is rejected per-row only where
+    the cast to the table's int type fails."""
+    loose = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+            T.StructField("n_tok", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    batch = spark.createDataFrame(
+        [(1, "I", "a", [1], "1", "s"), (2, "I", "b", [1], "one", "s")], loose
+    )
+    got = {
+        r["doc_id"]: r["reject_reason"]
+        for r in classify_events(batch, schema=TABLE_SCHEMA, key="doc_id").collect()
+    }
+    assert got == {"a": None, "b": "uncastable:n_tok"}
+
+
+def test_split_valid_payload_roundtrip(spark):
+    valid, rejects = split_valid(
+        _batch(spark, [(1, "I", "ok", [1], 1, "s"), (2, "Z", "bad", [1], 1, "s")]),
+        key="doc_id",
+    )
+    assert [r["doc_id"] for r in valid.collect()] == ["ok"]
+    rej = rejects.collect()
+    assert len(rej) == 1 and rej[0]["key_raw"] == "bad"
+    # the original row survives verbatim as JSON for forensic replay
+    assert '"op":"Z"' in rej[0]["payload_json"].replace(" ", "")
+
+
+def test_apply_with_dlq_is_replay_idempotent(spark, tmp_path):
+    table = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=4)
+    dlq = DeadLetterSink(str(tmp_path / "dlq"))
+    inv = [("tok_len", (F.col("op") == "D") | (F.size("tokens") == F.col("n_tok")))]
+    batch = _batch(
+        spark,
+        [
+            (1, "I", "a", [1, 2], 2, "s"),
+            (2, "I", None, [1], 1, "s"),
+            (3, "I", "c", [1], 5, "s"),
+        ],
+    )
+    stats, n_rej = apply_changes_with_dlq(table, dlq, batch, epoch=0, invariants=inv)
+    assert not stats.result.skipped and n_rej == 2
+    assert table_state(table, spark) == {"a": ((1, 2), 2, "s")}
+
+    # replay the same epoch: merge fenced, DLQ fenced — byte-identical outcome
+    v1 = table.version
+    stats2, n_rej2 = apply_changes_with_dlq(table, dlq, batch, epoch=0, invariants=inv)
+    assert stats2.result.skipped and n_rej2 == 2
+    assert table.version == v1
+    assert dlq.read(spark).count() == 2, "no duplicate quarantine rows on replay"
+    reasons = {r["reject_reason"] for r in dlq.read(spark).collect()}
+    assert reasons == {"null_key", "violates:tok_len"}
+    # epoch partition column readable
+    assert {r["epoch"] for r in dlq.read(spark).collect()} == {0}
+
+
+def test_apply_with_dlq_requires_epoch(spark, tmp_path):
+    table = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=2)
+    dlq = DeadLetterSink(str(tmp_path / "dlq"))
+    with pytest.raises(ValueError):
+        apply_changes_with_dlq(table, dlq, _batch(spark, []), epoch=None)
