@@ -1459,6 +1459,142 @@ def cdc_replay_icehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle for the quarantined replay: recompute the portable log (same
+# constants as _CDC_REPLAY_ORACLE), apply the SAME deterministic corruption
+# the Spark path injects (lsn%101 -> NULL key, lsn%97 -> unknown op,
+# lsn%103 -> n_tok off-by-one), classify with the first-match-wins rule
+# chain of cdc.quarantine.classify_events, and derive BOTH sides: the DLQ
+# rollup (rejects, lsn checksum) and the valid-side LWW+delete-wins live
+# state.  The engine path additionally rebuckets the table 4->16 between
+# epochs — invisible here by design: the value-hash equality certifies that
+# partition-spec evolution leaves logical state untouched.
+_CDC_DLQ_ORACLE = """
+    WITH base AS (
+      SELECT id AS lsn,
+        CASE WHEN ((42*1000003 + 1*10007 + id*257)*1103515245 + 12345) % 2147483647 % 1000 < 300
+             THEN ((42*1000003 + 2*10007 + id*257)*1103515245 + 12345) % 2147483647 % 5
+             ELSE ((42*1000003 + 3*10007 + id*257)*1103515245 + 12345) % 2147483647 % 500
+        END AS doc_num,
+        ((42*1000003 + 4*10007 + id*257)*1103515245 + 12345) % 2147483647 % 100 AS op_roll
+      FROM range(6000) r(id)
+    ),
+    ev0 AS (
+      SELECT lsn, doc_num,
+             CASE WHEN op_roll < 5 THEN 'D' ELSE 'IU' END AS op,
+             CASE WHEN op_roll < 5 THEN NULL
+                  ELSE 4 + ((42*1000003 + 5*10007 + lsn*257 + doc_num*65537)*1103515245 + 12345)
+                       % 2147483647 % 92 END AS n_tok,
+             'src' || (((42*1000003 + 6*10007 + doc_num*257)*1103515245 + 12345)
+                 % 2147483647 % 5)::VARCHAR AS source
+      FROM base
+    ),
+    withdup AS (
+      SELECT * FROM ev0
+      UNION ALL
+      SELECT * FROM ev0
+      WHERE ((42*1000003 + 8*10007 + lsn*257)*1103515245 + 12345) % 2147483647 % 100 < 2
+    ),
+    classified AS (
+      SELECT *,
+        CASE WHEN lsn % 101 = 0 THEN 'null_key'
+             WHEN lsn % 97 = 0 THEN 'bad_op'
+             WHEN lsn % 103 = 0 AND op <> 'D' THEN 'violates:tok_len'
+        END AS reason
+      FROM withdup
+    ),
+    dlq AS (
+      SELECT 'dlq:' || reason AS grp, COUNT(*)::BIGINT AS n, SUM(lsn)::BIGINT AS checksum
+      FROM classified WHERE reason IS NOT NULL GROUP BY reason
+    ),
+    last AS (
+      SELECT doc_num, op, n_tok, source,
+             ROW_NUMBER() OVER (PARTITION BY doc_num ORDER BY lsn DESC) AS rn
+      FROM classified WHERE reason IS NULL
+    ),
+    live AS (
+      SELECT 'live:' || source AS grp, COUNT(*)::BIGINT AS n, SUM(n_tok)::BIGINT AS checksum
+      FROM last WHERE rn = 1 AND op <> 'D' GROUP BY source
+    )
+    SELECT grp, n, checksum FROM dlq
+    UNION ALL
+    SELECT grp, n, checksum FROM live
+    ORDER BY grp
+    """
+
+
+@q("cdc_quarantine_dlq", _CDC_DLQ_ORACLE)
+def cdc_quarantine_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-hardening flagship: replay a deterministically CORRUPTED
+    portable change log through the dead-letter split
+    (``cdc.quarantine.apply_changes_with_dlq``) with a partition-spec
+    ``rebucket`` 4→16 dropped between epochs, then return the DLQ rollup
+    unioned with the live-state rollup.  Certifies three contracts at once
+    against one SQL oracle: (1) the classifier's first-match-wins reject
+    reasons, (2) rejects never reach the merge (valid-side LWW state matches
+    an oracle that filters them out), (3) rebucketing mid-stream is
+    invisible to logical state.  Reference parity: the reference drops
+    invalid records per-item inside each scraper
+    (scrapers/simplytek/models/product_models.py:64-91); the engine
+    generalizes that to an auditable, epoch-fenced quarantine table."""
+    import tempfile
+
+    from .cdc.changelog import generate_change_log_portable
+    from .cdc.quarantine import DeadLetterSink, apply_changes_with_dlq
+    from .table.icehouse import IcehouseTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+            T.StructField("n_tok", T.IntegerType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="icehouse_dlq_")
+    table = IcehouseTable.create(f"{root}/t", schema, key_col="doc_id", n_buckets=4)
+    dlq = DeadLetterSink(f"{root}/dlq")
+    log = generate_change_log_portable(
+        spark, n_events=6000, n_docs=500, events_per_epoch=2000, seed=42
+    )
+    corrupted = (
+        log.withColumn(
+            "doc_id",
+            F.when(F.col("lsn") % 101 == 0, F.lit(None).cast("string")).otherwise(
+                F.col("doc_id")
+            ),
+        )
+        .withColumn(
+            "op", F.when(F.col("lsn") % 97 == 0, F.lit("??")).otherwise(F.col("op"))
+        )
+        .withColumn(
+            "n_tok",
+            F.when(F.col("lsn") % 103 == 0, F.col("n_tok") + 1).otherwise(F.col("n_tok")),
+        )
+    ).persist()
+    inv = [("tok_len", (F.col("op") == "D") | (F.size("tokens") == F.col("n_tok")))]
+    for epoch in range(3):
+        apply_changes_with_dlq(
+            table, dlq, corrupted.where(F.col("epoch") == epoch), epoch=epoch, invariants=inv
+        )
+        if epoch == 0:
+            table.rebucket(spark, 16)  # layout evolution mid-replay: state-invariant
+    corrupted.unpersist()
+    dlq_rollup = (
+        dlq.read(spark)
+        .groupBy("reject_reason")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("lsn").alias("checksum"))
+        .select(F.concat(F.lit("dlq:"), F.col("reject_reason")).alias("grp"), "n", "checksum")
+    )
+    live_rollup = (
+        table.read(spark)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tok").cast("long").alias("checksum"))
+        .select(F.concat(F.lit("live:"), F.col("source")).alias("grp"), "n", "checksum")
+    )
+    return dlq_rollup.unionAll(live_rollup).orderBy("grp")
+
+
 # ---------------------------------------------------------------------------
 # 8. secondary-model + normalization operators  (SURVEY §1.6, §2.8 F4/F5/F11/F16, §2.4 A9)
 # ---------------------------------------------------------------------------
