@@ -56,6 +56,14 @@ class StreamingIngest:
     checkpoint_dir: str
     max_files_per_trigger: int = 8
     stream_id: str | None = None
+    #: optional dead-letter sink (cdc.quarantine.DeadLetterSink): when set,
+    #: every micro-batch is split through the quarantine classifier and only
+    #: valid events reach the merge; rejects land in the DLQ fenced by the
+    #: same batchId, so redelivery is a no-op on BOTH sides.  The sink is
+    #: owned by this stream (one DLQ root per checkpoint) — batchIds from a
+    #: different stream would collide in its epoch namespace.
+    dlq: "object | None" = None
+    invariants: "list | None" = None
     applied: list[ApplyStats] = field(default_factory=list)
 
     def __post_init__(self) -> None:
@@ -79,9 +87,20 @@ class StreamingIngest:
         # restart the last uncommitted batch is re-delivered with the SAME id,
         # so using it as the icehouse epoch (namespaced by stream_id) turns
         # redelivery into a no-op without colliding with batch-replay epochs.
+        batch = batch_df.drop("epoch")
+        if self.dlq is not None:
+            from ..cdc.quarantine import split_valid
+
+            batch, rejects = split_valid(
+                batch,
+                schema=self.table.schema,
+                key=self.table.key_col,
+                invariants=self.invariants,
+            )
+            self.dlq.append(rejects, int(batch_id))
         stats = apply_changes(
             self.table,
-            batch_df.drop("epoch"),
+            batch,
             epoch=int(batch_id),
             epoch_source=self.stream_id,
         )

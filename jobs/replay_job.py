@@ -60,6 +60,9 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--streaming", action="store_true",
                     help="tail via Structured Streaming instead of batch replay")
+    ap.add_argument("--dlq", default=None,
+                    help="dead-letter root: classify each batch and quarantine "
+                         "malformed events instead of failing or dropping them")
     args = ap.parse_args()
 
     from data_pipeline_spark.cdc.changelog import read_change_log
@@ -77,19 +80,37 @@ def main() -> None:
             args.table, TABLE_SCHEMA, key_col="doc_id", n_buckets=args.n_buckets
         )
 
+    dlq = None
+    if args.dlq:
+        from data_pipeline_spark.cdc.quarantine import DeadLetterSink
+
+        dlq = DeadLetterSink(args.dlq)
+
     if args.streaming:
         from data_pipeline_spark.streaming import StreamingIngest
 
-        ingest = StreamingIngest(table, args.checkpoint + ".stream")
+        ingest = StreamingIngest(table, args.checkpoint + ".stream", dlq=dlq)
         q = ingest.start(spark, args.log_path, trigger_once=True)
         q.awaitTermination()
         applied = len([s for s in ingest.applied if not s.result.skipped])
-        print(json.dumps({"mode": "streaming", "batches_applied": applied,
-                          "table_version": table.version}))
+        out = {"mode": "streaming", "batches_applied": applied,
+               "table_version": table.version}
+        if dlq is not None:
+            out["quarantined"] = dlq.read(spark).count()
+        print(json.dumps(out))
     else:
         log = read_change_log(spark, args.log_path, from_epoch=args.from_epoch)
+        if dlq is not None:
+            from data_pipeline_spark.cdc.quarantine import split_valid
+
+            # batch mode splits ONCE up front (one classify scan over the
+            # whole log); per-epoch DLQ fencing belongs to streaming, where
+            # redelivery is a real possibility — batch replay is already
+            # epoch-fenced on the merge side
+            log, rejects = split_valid(log, schema=table.schema, key=table.key_col)
+            dlq.append(rejects, epoch=0)
         report = ReplayRunner(table, args.checkpoint).run(log)
-        print(json.dumps({
+        out = {
             "mode": "batch",
             "epochs": len(report.epochs),
             "events": report.total_events,
@@ -97,7 +118,10 @@ def main() -> None:
             "events_per_sec": round(report.events_per_sec, 1),
             "table_version": table.version,
             "live_rows": table.read(spark).count(),
-        }))
+        }
+        if dlq is not None:
+            out["quarantined"] = dlq.read(spark).count()
+        print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -183,3 +183,54 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     )
     assert got == want and got, "stream drain must equal the batch join"
     spark.catalog.dropTempView("ssjoin")
+
+
+def test_stream_with_dlq_quarantines_and_matches_batch(spark, tmp_path):
+    """Streaming ingest with a dead-letter sink: corrupt a fraction of the
+    log on disk, stream it with quarantine enabled — final table state must
+    equal a BATCH apply of the same corrupted log through the same split,
+    and the DLQ must hold exactly the rejects (no valid rows lost)."""
+    from data_pipeline_spark.cdc import DeadLetterSink, apply_changes_with_dlq
+    from data_pipeline_spark.cdc.changelog import read_change_log
+
+    raw = str(tmp_path / "raw")
+    corrupted_path = str(tmp_path / "log")
+    materialize_change_log(
+        spark, raw, n_events=3000, n_docs=250, events_per_epoch=1000, seed=9
+    )
+    corrupted = (
+        read_change_log(spark, raw)
+        .withColumn(
+            "op", F.when(F.col("lsn") % 53 == 0, F.lit("??")).otherwise(F.col("op"))
+        )
+        .withColumn(
+            "doc_id",
+            F.when(F.col("lsn") % 59 == 0, F.lit(None).cast("string")).otherwise(
+                F.col("doc_id")
+            ),
+        )
+    )
+    corrupted.write.partitionBy("epoch").parquet(corrupted_path)
+
+    table = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=8)
+    dlq = DeadLetterSink(str(tmp_path / "dlq"))
+    ingest = StreamingIngest(
+        table, str(tmp_path / "ckpt"), max_files_per_trigger=4, dlq=dlq
+    )
+    q = ingest.start(spark, corrupted_path, trigger_once=True)
+    q.awaitTermination(300)
+
+    # batch twin over the identical corrupted log
+    bt = IcehouseTable.create(str(tmp_path / "bt"), TABLE_SCHEMA, n_buckets=8)
+    bdlq = DeadLetterSink(str(tmp_path / "bdlq"))
+    apply_changes_with_dlq(bt, bdlq, read_change_log(spark, corrupted_path), epoch=0)
+
+    assert _final_state(table, spark) == _final_state(bt, spark)
+    n_bad = (
+        read_change_log(spark, corrupted_path)
+        .where((F.col("lsn") % 53 == 0) | (F.col("lsn") % 59 == 0))
+        .count()
+    )
+    assert dlq.read(spark).count() == n_bad == bdlq.read(spark).count()
+    reasons = {r["reject_reason"] for r in dlq.read(spark).collect()}
+    assert reasons == {"bad_op", "null_key"}
