@@ -33,6 +33,7 @@ driver; the DLQ write shuffles only the rejects.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -76,9 +77,13 @@ def classify_events(
        a row is rejected when the condition is *false* (NULL passes — guard
        op-dependent rules yourself, e.g. ``(op=='D') | (size(tokens)==n_tok)``).
     """
+    # coalesce(..., False): `op isin (...)` is NULL (not false) for a NULL op,
+    # so without it a null-op row would skip the bad_op rule and pass as valid
     reason = F.when(
         F.col(key).isNull() | (F.trim(F.col(key).cast("string")) == ""), F.lit("null_key")
-    ).when(~F.col("op").isin(*valid_ops), F.lit("bad_op")).when(
+    ).when(
+        ~F.coalesce(F.col("op").isin(*valid_ops), F.lit(False)), F.lit("bad_op")
+    ).when(
         F.col("lsn").isNull(), F.lit("null_lsn")
     )
     if schema is not None:
@@ -103,10 +108,14 @@ def split_valid(
     key: str = "doc_id",
     valid_ops: tuple[str, ...] = ("I", "U", "D"),
     invariants: list[tuple[str, F.Column]] | None = None,
+    passthrough: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame]:
     """(valid, rejects): valid keeps the original batch schema; rejects are
     projected to :data:`DLQ_SCHEMA` (original row serialized into
-    ``payload_json``)."""
+    ``payload_json``).  ``passthrough`` names extra batch columns to carry on
+    the rejects frame (e.g. the change-log ``epoch``, so a multi-epoch batch
+    can be quarantined with per-epoch fencing — see
+    :meth:`DeadLetterSink.append_epochs`)."""
     classified = classify_events(changes, schema, key, valid_ops, invariants)
     valid = classified.where(F.col(REASON_COL).isNull()).drop(REASON_COL)
     rejects = classified.where(F.col(REASON_COL).isNotNull()).select(
@@ -115,6 +124,7 @@ def split_valid(
         F.col(key).try_cast("string").alias("key_raw"),
         F.col(REASON_COL),
         F.to_json(F.struct(*[c for c in changes.columns])).alias("payload_json"),
+        *[F.col(c) for c in passthrough],
     )
     return valid, rejects
 
@@ -125,11 +135,38 @@ class DeadLetterSink:
     Layout ``root/epoch=N/``; a committed epoch (``_SUCCESS`` present) is
     never rewritten — replaying an epoch skips the DLQ write entirely, the
     same fence discipline as the icehouse ``committed_epochs`` registry.
+
+    ``owner`` guards the epoch namespace: the DLQ fence keys on a bare
+    integer, so a batch replay (source epochs) and a streaming checkpoint
+    (batchIds, restarting from 0) sharing one root would collide and
+    silently drop rejects.  The first writer claims the root
+    (``_owner.json``); a later writer with a different owner string fails
+    LOUDLY instead.
     """
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, owner: str | None = None):
         self.root = root
+        self.owner = owner
         os.makedirs(root, exist_ok=True)
+
+    def _claim_owner(self) -> None:
+        if self.owner is None:
+            return
+        marker = os.path.join(self.root, "_owner.json")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                recorded = json.load(fh)["owner"]
+            if recorded != self.owner:
+                raise ValueError(
+                    f"DLQ root {self.root} is owned by {recorded!r}; writer "
+                    f"{self.owner!r} would collide in its integer epoch "
+                    "namespace — use a separate DLQ root per producer"
+                )
+            return
+        tmp = f"{marker}.{os.getpid()}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"owner": self.owner}, fh)
+        os.replace(tmp, marker)
 
     def _epoch_dir(self, epoch: int) -> str:
         return os.path.join(self.root, f"epoch={epoch}")
@@ -139,6 +176,7 @@ class DeadLetterSink:
 
     def append(self, rejects: DataFrame, epoch: int) -> bool:
         """Write one epoch's rejects; no-op (False) if already committed."""
+        self._claim_owner()
         if self.epoch_committed(epoch):
             return False
         # coalesce(1): reject volume is <<1% of the batch by contract; one
@@ -146,6 +184,27 @@ class DeadLetterSink:
         # incident floods the DLQ, raise this — correctness is unaffected.
         rejects.coalesce(1).write.mode("overwrite").parquet(self._epoch_dir(epoch))
         return True
+
+    def append_epochs(self, rejects: DataFrame, epoch_col: str = "epoch") -> list[int]:
+        """Quarantine a multi-epoch rejects frame with PER-EPOCH fencing.
+
+        This is the batch-replay entry point: fencing the whole run under one
+        synthetic epoch would make every later run over the same root a
+        silent no-op (new epochs' rejects discarded).  Fencing per source
+        epoch makes resumed/extended replays (``--from-epoch N``) quarantine
+        exactly the not-yet-committed epochs.  Epochs with zero rejects write
+        nothing — re-running them re-finds zero rejects, so nothing is lost.
+        Returns the epochs actually written.
+        """
+        epochs = sorted(
+            r[0] for r in rejects.select(epoch_col).distinct().collect()
+        )  # few epochs by construction — the collect is a handful of ints
+        written = []
+        for ep in epochs:
+            one = rejects.where(F.col(epoch_col) == ep).drop(epoch_col)
+            if self.append(one, int(ep)):
+                written.append(int(ep))
+        return written
 
     def read(self, spark: SparkSession) -> DataFrame:
         epochs = [d for d in os.listdir(self.root) if d.startswith("epoch=")]
@@ -156,6 +215,14 @@ class DeadLetterSink:
         return spark.read.option("basePath", self.root).parquet(
             *[os.path.join(self.root, d) for d in epochs]
         )
+
+    def read_epoch(self, spark: SparkSession, epoch: int) -> DataFrame:
+        """One epoch's rejects only — scans a single epoch directory instead
+        of the whole quarantine (the whole-DLQ read would make a per-epoch
+        replay loop O(N²) in parquet opens)."""
+        if not self.epoch_committed(epoch):
+            return spark.createDataFrame([], DLQ_SCHEMA)
+        return spark.read.schema(DLQ_SCHEMA).parquet(self._epoch_dir(epoch))
 
 
 def apply_changes_with_dlq(
@@ -182,5 +249,5 @@ def apply_changes_with_dlq(
     )
     dlq.append(rejects, epoch)
     stats = apply_changes(table, valid, epoch=epoch, **apply_kwargs)
-    n_rejected = dlq.read(valid.sparkSession).where(F.col("epoch") == epoch).count()
+    n_rejected = dlq.read_epoch(valid.sparkSession, epoch).count()
     return stats, n_rejected

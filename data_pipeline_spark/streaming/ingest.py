@@ -74,6 +74,11 @@ class StreamingIngest:
                 os.path.abspath(self.checkpoint_dir).encode()
             ).hexdigest()[:12]
             self.stream_id = f"stream-{digest}"
+        # claim the DLQ root for THIS stream: its epoch fence keys on bare
+        # batchIds, which restart from 0 per checkpoint — a root shared with
+        # batch replay or another stream would silently no-op real rejects
+        if self.dlq is not None and getattr(self.dlq, "owner", None) is None:
+            self.dlq.owner = self.stream_id
 
     def source(self, spark: SparkSession, log_path: str) -> DataFrame:
         return (

@@ -259,13 +259,18 @@ class IcehouseTable:
     def epoch_committed(self, epoch: int, source: str | None = None) -> bool:
         return self._epoch_key(epoch, source) in self.meta["committed_epochs"]
 
-    def bucket_expr(self, col: str | None = None):
+    def bucket_expr(self, col: str | None = None, n_buckets: int | None = None):
         """The bucket partitioner: pmod(xxhash64(key), n_buckets).
 
         xxhash64 is Spark's builtin, bit-stable across runs/versions — replay
         equality depends on this determinism (reference analog: xxhash32
-        surrogate keys, dim_shop_product.py:225-245)."""
-        return F.pmod(F.xxhash64(F.col(col or self.key_col)), F.lit(self.n_buckets)).cast("int")
+        surrogate keys, dim_shop_product.py:225-245).  This is the ONLY place
+        the formula lives — every writer (merge, rebucket) must route through
+        it so the addressing can never silently fork.  ``n_buckets`` overrides
+        the modulus for partition-spec evolution (:meth:`rebucket`)."""
+        return F.pmod(
+            F.xxhash64(F.col(col or self.key_col)), F.lit(n_buckets or self.n_buckets)
+        ).cast("int")
 
     # -- read path ------------------------------------------------------------
 
@@ -320,6 +325,7 @@ class IcehouseTable:
         affected_partitions: list[int] | None = None,
         read_version: int | None = None,
         meta_updates: dict[str, Any] | None = None,
+        conflict_scope: str = "partitions",
     ) -> CommitResult:
         """Atomically replace the bucket partitions present in ``df``.
 
@@ -385,6 +391,7 @@ class IcehouseTable:
             laid_out, epoch, lineage_extra, new_schema, schema_changed, max_retries,
             epoch_source=epoch_source, affected_partitions=affected_partitions,
             read_version=read_version, meta_updates=meta_updates,
+            conflict_scope=conflict_scope,
         )
 
     @staticmethod
@@ -421,6 +428,7 @@ class IcehouseTable:
         self, laid_out, epoch, lineage_extra, new_schema, schema_changed, max_retries,
         epoch_source: str | None = None, affected_partitions: list[int] | None = None,
         read_version: int | None = None, meta_updates: dict[str, Any] | None = None,
+        conflict_scope: str = "partitions",
     ) -> CommitResult:
         for _attempt in range(max_retries):
             self.refresh()
@@ -457,9 +465,21 @@ class IcehouseTable:
                     "partitions"
                 ]
                 cur_parts = self.meta["partitions"]
-                dirty = [
-                    p for p in affected if base_parts.get(str(p)) != cur_parts.get(str(p))
-                ]
+                if conflict_scope == "table":
+                    # whole-table validation: a commit that rewrites the
+                    # table's ADDRESSING (rebucket) conflicts with ANY
+                    # concurrent change — a new partition outside our read
+                    # set would otherwise carry over still hashed under the
+                    # old modulus and become permanently unreachable to merges
+                    dirty = sorted(
+                        int(k)
+                        for k in set(base_parts) | set(cur_parts)
+                        if base_parts.get(k) != cur_parts.get(k)
+                    )
+                else:
+                    dirty = [
+                        p for p in affected if base_parts.get(str(p)) != cur_parts.get(str(p))
+                    ]
                 if dirty:
                     shutil.rmtree(sdir, ignore_errors=True)
                     raise CommitConflictError(
@@ -697,10 +717,7 @@ class IcehouseTable:
             read_version = self.version
             read_parts = [int(k) for k in self.meta["partitions"]]
             df = self.read(spark, with_part_col=False, with_meta=True)
-            out = df.withColumn(
-                PART_COL,
-                F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(new_n_buckets)).cast("int"),
-            )
+            out = df.withColumn(PART_COL, self.bucket_expr(n_buckets=new_n_buckets))
             try:
                 return self.overwrite_partitions(
                     out,
@@ -710,6 +727,11 @@ class IcehouseTable:
                         "n_buckets": new_n_buckets,
                         "partition_spec": f"bucket({self.key_col}, {new_n_buckets}) -> {PART_COL}",
                     },
+                    # rebucket rewrites the ADDRESSING: conflict with any
+                    # concurrent commit, even to partitions outside our read
+                    # set (those rows would stay bucketed under the old
+                    # modulus and become unreachable to future merges)
+                    conflict_scope="table",
                 )
             except CommitConflictError:
                 self.refresh()

@@ -84,7 +84,12 @@ def main() -> None:
     if args.dlq:
         from data_pipeline_spark.cdc.quarantine import DeadLetterSink
 
-        dlq = DeadLetterSink(args.dlq)
+        # owner guard: batch replay fences the DLQ by SOURCE epoch, streaming
+        # by the checkpoint's batchId sequence — the integer namespaces
+        # collide, so a root is claimed by exactly one producer (loud error
+        # instead of silently skipped quarantine writes).  Streaming mode
+        # leaves owner unset: StreamingIngest claims it with its stream_id.
+        dlq = DeadLetterSink(args.dlq, owner=None if args.streaming else "batch")
 
     if args.streaming:
         from data_pipeline_spark.streaming import StreamingIngest
@@ -103,12 +108,15 @@ def main() -> None:
         if dlq is not None:
             from data_pipeline_spark.cdc.quarantine import split_valid
 
-            # batch mode splits ONCE up front (one classify scan over the
-            # whole log); per-epoch DLQ fencing belongs to streaming, where
-            # redelivery is a real possibility — batch replay is already
-            # epoch-fenced on the merge side
-            log, rejects = split_valid(log, schema=table.schema, key=table.key_col)
-            dlq.append(rejects, epoch=0)
+            # ONE classify projection over the whole log, but the DLQ write
+            # is fenced PER SOURCE EPOCH (append_epochs): a later run with
+            # --from-epoch N quarantines exactly the new epochs' rejects —
+            # fencing the whole run under one synthetic epoch would make
+            # every re-run a silent no-op that discards fresh rejects
+            log, rejects = split_valid(
+                log, schema=table.schema, key=table.key_col, passthrough=("epoch",)
+            )
+            dlq.append_epochs(rejects)
         report = ReplayRunner(table, args.checkpoint).run(log)
         out = {
             "mode": "batch",

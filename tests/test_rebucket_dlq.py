@@ -191,3 +191,99 @@ def test_apply_with_dlq_requires_epoch(spark, tmp_path):
     dlq = DeadLetterSink(str(tmp_path / "dlq"))
     with pytest.raises(ValueError):
         apply_changes_with_dlq(table, dlq, _batch(spark, []), epoch=None)
+
+
+def test_classify_null_op_is_rejected(spark):
+    """op=NULL must quarantine as bad_op — `op isin(...)` is NULL (not false)
+    for a NULL op, so an unguarded negation would classify the row valid and
+    merge garbage into the table."""
+    got = {
+        r["lsn"]: r["reject_reason"]
+        for r in classify_events(
+            _batch(spark, [(1, None, "k", [1], 1, "s"), (2, "I", "ok", [1], 1, "s")]),
+            key="doc_id",
+        ).collect()
+    }
+    assert got == {1: "bad_op", 2: None}
+
+
+def test_dlq_owner_guard(spark, tmp_path):
+    """A DLQ root is claimed by one producer: batch source-epochs and
+    streaming batchIds are colliding integer namespaces, so a second producer
+    must fail loudly instead of silently no-opping its quarantine writes."""
+    root = str(tmp_path / "dlq")
+    rejects = split_valid(_batch(spark, [(1, "Z", "bad", [1], 1, "s")]), key="doc_id")[1]
+
+    batch_sink = DeadLetterSink(root, owner="batch")
+    assert batch_sink.append(rejects, epoch=0)
+    # same owner: fine (resumed run)
+    assert not DeadLetterSink(root, owner="batch").append(rejects, epoch=0)
+    # different owner: loud error, nothing written
+    with pytest.raises(ValueError, match="owned by 'batch'"):
+        DeadLetterSink(root, owner="stream-abc").append(rejects, epoch=1)
+    assert batch_sink.read(spark).count() == 1
+
+
+def test_dlq_append_epochs_per_epoch_fence(spark, tmp_path):
+    """Batch-mode quarantine fences per SOURCE epoch: a later run covering
+    new epochs writes exactly the new epochs' rejects (fencing the whole run
+    under one synthetic epoch would discard them)."""
+    dlq = DeadLetterSink(str(tmp_path / "dlq"), owner="batch")
+    epoch_col = F.when(F.col("lsn") < 10, 0).otherwise(1).alias("epoch")
+
+    run1 = _batch(spark, [(1, "Z", "bad1", [1], 1, "s")]).select("*", F.lit(0).alias("epoch"))
+    _, rej1 = split_valid(run1, key="doc_id", passthrough=("epoch",))
+    assert dlq.append_epochs(rej1) == [0]
+
+    # second run re-reads epoch 0 AND new epoch 1 (the --from-epoch resume
+    # shape): only epoch 1 is written, epoch 0's fence holds
+    run2 = _batch(
+        spark, [(1, "Z", "bad1", [1], 1, "s"), (11, "Z", "bad2", [1], 1, "s")]
+    ).select("*", epoch_col)
+    _, rej2 = split_valid(run2, key="doc_id", passthrough=("epoch",))
+    assert dlq.append_epochs(rej2) == [1]
+
+    got = {(r["epoch"], r["key_raw"]) for r in dlq.read(spark).collect()}
+    assert got == {(0, "bad1"), (1, "bad2")}
+    # read_epoch scans one directory only
+    assert dlq.read_epoch(spark, 1).count() == 1
+    assert dlq.read_epoch(spark, 99).count() == 0
+
+
+def test_rebucket_conflicts_with_any_concurrent_commit(spark, tmp_path):
+    """Rebucket rewrites the table's ADDRESSING, so it must conflict with a
+    concurrent commit even into a partition outside its read set — otherwise
+    the winner's rows survive bucketed under the OLD modulus, permanently
+    unreachable to future merges (duplicate/stale rows)."""
+    from data_pipeline_spark.table import CommitConflictError, IcehouseTable as IT
+
+    table = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=16)
+    apply_changes(table, _batch(spark, [(1, "I", "a", [1], 1, "s")]), epoch=0)
+
+    # rebucket's plan reads v1...
+    read_version = table.version
+    read_parts = [int(k) for k in table.meta["partitions"]]
+    planned = table.read(spark, with_meta=True).withColumn(
+        "_part", table.bucket_expr(n_buckets=4)
+    )
+    # ...then a concurrent writer lands a NEW key in a partition outside the
+    # read set (key chosen so its old-modulus bucket differs from any of a's)
+    writer_b = IT.load(str(tmp_path / "t"))
+    apply_changes(writer_b, _batch(spark, [(2, "I", "zz", [9], 1, "s")]), epoch=1)
+    table.refresh()
+
+    with pytest.raises(CommitConflictError):
+        table.overwrite_partitions(
+            planned,
+            affected_partitions=read_parts,
+            read_version=read_version,
+            meta_updates={"n_buckets": 4, "partition_spec": "bucket(doc_id, 4) -> _part"},
+            conflict_scope="table",
+        )
+
+    # the real rebucket retries against the fresh snapshot: both keys land
+    # under the new modulus, no duplicates, nothing stranded
+    table.rebucket(spark, 4)
+    assert table.n_buckets == 4
+    assert table_state(table, spark) == {"a": ((1,), 1, "s"), "zz": ((9,), 1, "s")}
+    assert all(0 <= int(k) < 4 for k in table.meta["partitions"])
