@@ -2589,3 +2589,94 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("promo_share_pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# 10. dataset assembly  (training-data curation: split assignment, vocabulary)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dataset_split_assign",
+    """
+    SELECT doc_id, source,
+           CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, source,
+             ((13*1000003 + doc_id*257)*1103515245 + 12345) % 2147483647 % 100 AS b
+      FROM documents
+    )
+    """,
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, leakage-free train/val/test assignment: each doc_id
+    hashes to a bucket in [0,100) via the portable LCG (same family as
+    stratified_sample), so membership is replay-stable, join-stable, and
+    identical on every engine — no RNG state, no shuffle and no sort (a pure
+    projection the scan absorbs; the driver compare is order-insensitive).
+    80/10/10 by bucket range.  Reference analog: the ML pipelines' ad-hoc
+    pandas train_test_split (product_matching/training_pipeline — replaced
+    by a deterministic assignment that survives re-runs and incremental
+    appends)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.pmod(
+            (
+                F.lit(13 * 1_000_003).cast("long")
+                + F.col("doc_id").cast("long") * F.lit(257)
+            )
+            * F.lit(1103515245)
+            + F.lit(12345),
+            F.lit(2147483647),
+        )
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select("doc_id", "source", split.alias("split"))
+
+
+@q(
+    "token_vocab_topk",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+                            w -> (LENGTH(w) % 29)::INTEGER) AS tokens
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(tokens) AS token FROM tok
+    )
+    SELECT token, COUNT(*)::BIGINT AS n_occ, COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+    FROM ex
+    GROUP BY token
+    ORDER BY n_occ DESC, token
+    LIMIT 15
+    """,
+)
+def token_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary frequency table (coverage analysis before training):
+    tokenize → explode → count occurrences + document frequency per token →
+    top-k.  Tokens derive portably (word length mod vocab) so the oracle
+    reproduces them bit-exactly.  100-TB shape: explode feeds a map-side
+    combinable groupBy on a small key domain (the vocabulary), so the
+    shuffle carries ≤|vocab| rows per map task — the result is
+    vocabulary-sized regardless of corpus size.  Ties at the top-k boundary
+    break on token id (deterministic)."""
+    from .functions.text import words
+
+    docs = _t(spark, sf_dir, "documents")
+    tokens = F.transform(words("text"), lambda w: (F.length(w) % 29).cast("int"))
+    return (
+        docs.select("doc_id", F.explode(tokens).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occ").desc(), "token")
+        .limit(15)
+    )

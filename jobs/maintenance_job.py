@@ -1,0 +1,98 @@
+"""spark-submit entry point for icehouse table maintenance.
+
+At 10^10-event scale a CDC table needs periodic upkeep that is separate from
+the ingest path (Iceberg analog: rewrite_data_files / expire_snapshots /
+partition-spec evolution, run as scheduled maintenance jobs):
+
+    spark-submit --py-files data_pipeline_spark.zip jobs/maintenance_job.py \
+      --table /shared/tables/token_sequences \
+      [--compact]                  # bin small files into one sorted file/bucket
+      [--vacuum-lsn N]             # reclaim tombstones with _lsn <= N
+      [--rebucket N]               # partition-spec evolution to N buckets
+      [--expire-keep N]            # drop all but the last N snapshots' files
+      [--stats]                    # print table health (always safe)
+
+Every action is one atomic, lineage-recorded commit through the same
+optimistic-concurrency path as ingest — a maintenance job racing a live
+ingest loses the CAS and retries against the fresh snapshot, never corrupts.
+Order when combined: compact → vacuum → rebucket → expire (expire last so
+it reclaims the files the other actions superseded).
+
+The vacuum watermark is the CALLER's promise: pass an LSN only when every
+upstream source is provably past it (an older event for a vacuumed key would
+otherwise resurrect the row).  The job never derives it implicitly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+
+def table_stats(table) -> dict:
+    parts = table.meta["partitions"]
+    rows = [p["rows"] for p in parts.values()]
+    return {
+        "version": table.version,
+        "snapshot_id": table.meta["snapshot_id"],
+        "n_buckets": table.n_buckets,
+        "populated_partitions": len(parts),
+        "rows_total": sum(rows),
+        "rows_max_partition": max(rows, default=0),
+        "skew_ratio": round(max(rows, default=0) / (sum(rows) / len(rows)), 2)
+        if rows
+        else None,
+        "committed_epochs": len(table.meta["committed_epochs"]),
+        "lineage_records": len(table.meta["lineage"]),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--compact", action="store_true")
+    ap.add_argument("--vacuum-lsn", type=int, default=None)
+    ap.add_argument("--rebucket", type=int, default=None)
+    ap.add_argument("--expire-keep", type=int, default=None)
+    ap.add_argument("--stats", action="store_true")
+    args = ap.parse_args()
+
+    from data_pipeline_spark.table.icehouse import IcehouseTable
+
+    spark = SparkSession.builder.appName("icehouse_maintenance").getOrCreate()
+    table = IcehouseTable.load(args.table)
+    out: dict = {"table": args.table, "before": table_stats(table), "actions": []}
+
+    if args.compact:
+        res = table.compact_partitions(spark)
+        out["actions"].append(
+            {"action": "compact", "version": res.version,
+             "partitions": len(res.partitions_rewritten or [])}
+        )
+    if args.vacuum_lsn is not None:
+        res = table.vacuum_tombstones(spark, args.vacuum_lsn)
+        out["actions"].append(
+            {"action": "vacuum", "lsn_watermark": args.vacuum_lsn, "version": res.version}
+        )
+    if args.rebucket is not None:
+        res = table.rebucket(spark, args.rebucket)
+        out["actions"].append(
+            {"action": "rebucket", "n_buckets": args.rebucket,
+             "version": res.version, "skipped": res.skipped}
+        )
+    if args.expire_keep is not None:
+        removed = table.expire_snapshots(keep_last=args.expire_keep)
+        out["actions"].append({"action": "expire", "snapshots_removed": len(removed)})
+
+    out["after"] = table_stats(table)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -138,3 +138,33 @@ def test_validate_schema_probe(loaded_table):
     )
     problems = t.validate_schema(bad)
     assert any("n_tok" in p for p in problems) and any("unexpected" in p for p in problems)
+
+
+def test_maintenance_job_cli(spark, loaded_table, monkeypatch, capsys):
+    """The spark-submit maintenance entry runs compact → vacuum → rebucket →
+    expire as atomic commits and reports table health before/after."""
+    import json
+    import sys
+
+    from jobs import maintenance_job
+
+    t = loaded_table
+    # create some tombstones so vacuum has work
+    t.delete_where(spark, F.col("source") == "src1", lsn=1_000, epoch=9)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["maintenance_job.py", "--table", t.root, "--compact",
+         "--vacuum-lsn", "2000", "--rebucket", "8", "--expire-keep", "2", "--stats"],
+    )
+    maintenance_job.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [a["action"] for a in out["actions"]] == ["compact", "vacuum", "rebucket", "expire"]
+    assert out["after"]["n_buckets"] == 8
+    assert out["after"]["rows_total"] == 10  # tombstones reclaimed, live rows kept
+    assert out["after"]["version"] > out["before"]["version"]
+
+    t.refresh()
+    live = {r["doc_id"] for r in t.read(spark).collect()}
+    assert live == {f"d{i}" for i in range(20) if i % 2 == 0}
+    # expire kept the current snapshot readable
+    assert IcehouseTable.load(t.root).read(spark).count() == 10
