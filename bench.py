@@ -113,9 +113,14 @@ def materialize_log(path: str) -> None:
     spark.stop()
 
 
-def replay_worker(cpus: int, log_path: str, n_epochs: int = N_EPOCHS) -> dict:
+def replay_worker(
+    cpus: int, log_path: str, n_epochs: int = N_EPOCHS, mode: str = "cow"
+) -> dict:
     """Replay the materialized log into a fresh icehouse table; report
-    events/sec over the apply+commit wall time (generation excluded)."""
+    events/sec over the apply+commit wall time (generation excluded).
+    ``mode="mor"`` uses merge-on-read delta appends (write cost O(batch));
+    its final live count still reads the RESOLVED state, so read-time LWW
+    resolution is exercised (outside the timed window, like the COW count)."""
     from pyspark.sql import types as T
 
     from data_pipeline_spark.cdc.changelog import read_change_log
@@ -143,14 +148,14 @@ def replay_worker(cpus: int, log_path: str, n_epochs: int = N_EPOCHS) -> dict:
     warm_table = IcehouseTable.create(
         f"{root}/warm", schema, key_col="doc_id", n_buckets=N_BUCKETS
     )
-    ReplayRunner(warm_table, f"{root}/warm_ckpt.json").run(
+    ReplayRunner(warm_table, f"{root}/warm_ckpt.json", mode=mode).run(
         log.where(f"lsn < {max(N_EVENTS // 100, 10_000)}"), epochs=[0]
     )
 
     table = IcehouseTable.create(f"{root}/t", schema, key_col="doc_id", n_buckets=N_BUCKETS)
     n_events = N_EVENTS * n_epochs // N_EPOCHS
     t0 = time.time()
-    ReplayRunner(table, f"{root}/ckpt.json").run(log, epochs=list(range(n_epochs)))
+    ReplayRunner(table, f"{root}/ckpt.json", mode=mode).run(log, epochs=list(range(n_epochs)))
     wall = time.time() - t0
     live_rows = table.read(spark).count()
     spark.stop()
@@ -161,6 +166,7 @@ def replay_worker(cpus: int, log_path: str, n_epochs: int = N_EPOCHS) -> dict:
         "cpus": cpus,
         "events": n_events,
         "epochs": n_epochs,
+        "mode": mode,
         "wall_sec": round(wall, 2),
         "events_per_sec": round(n_events / wall, 1),
         "final_live_rows": live_rows,
@@ -188,11 +194,14 @@ def main() -> None:
     ap.add_argument("--log-path", default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--epochs", type=int, default=N_EPOCHS)
+    ap.add_argument("--mode", default="cow", choices=["cow", "mor"])
     ap.add_argument("--skip-scaling", action="store_true")
     args = ap.parse_args()
 
     if args.replay_worker:
-        res = replay_worker(args.replay_worker, args.log_path, n_epochs=args.epochs)
+        res = replay_worker(
+            args.replay_worker, args.log_path, n_epochs=args.epochs, mode=args.mode
+        )
         with open(args.out, "w") as fh:
             json.dump(res, fh)
         return
@@ -215,12 +224,12 @@ def main() -> None:
 
     taskset = _shutil.which("taskset")
 
-    def run_worker(cpus: int, n_epochs: int, pin: bool) -> None:
+    def run_worker(cpus: int, n_epochs: int, pin: bool, mode: str = "cow") -> None:
         with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
             out_file = tf.name
         cmd = [sys.executable, os.path.abspath(__file__),
                "--replay-worker", str(cpus), "--log-path", log_path,
-               "--out", out_file, "--epochs", str(n_epochs)]
+               "--out", out_file, "--epochs", str(n_epochs), "--mode", mode]
         if pin and taskset:
             # pin the whole worker (JVM + python) to exactly `cpus` host
             # cores: an N-core executor on a real cluster HAS N cores; an
@@ -231,7 +240,7 @@ def main() -> None:
         with open(out_file) as fh:
             res = json.load(fh)
         res["pinned"] = bool(pin and taskset)
-        key = f"local{cpus}"
+        key = f"local{cpus}" if mode == "cow" else f"local{cpus}_{mode}"
         if key not in replay or res["events_per_sec"] > replay[key]["events_per_sec"]:
             replay[key] = res
 
@@ -258,11 +267,14 @@ def main() -> None:
         # peak sustained throughput: full multi-epoch replay, unpinned,
         # at the host's sweet spot (exercises the stats-prefetch pipeline)
         run_worker(PEAK_CPUS, N_EPOCHS, pin=False)
+        # merge-on-read peak: same log, delta-append commits (O(batch)/epoch)
+        run_worker(PEAK_CPUS, N_EPOCHS, pin=False, mode="mor")
 
     qtimes = run_queries()
 
     lo, hi = f"local{SCALE_CPUS_LOW}", f"local{SCALE_CPUS_HIGH}"
-    peak = max(replay, key=lambda k: replay[k]["events_per_sec"])  # noqa: F841
+    cow_keys = [k for k in replay if not k.endswith("_mor")]
+    peak = max(cow_keys, key=lambda k: replay[k]["events_per_sec"])  # noqa: F841
     scaling = None
     if lo in replay and hi in replay:
         ratio = SCALE_CPUS_HIGH / SCALE_CPUS_LOW
@@ -281,6 +293,10 @@ def main() -> None:
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
         "replay": replay,
         "replay_events_per_sec": replay.get(peak, replay.get(hi, {})).get("events_per_sec"),
+        "replay_mor_events_per_sec": max(
+            (r["events_per_sec"] for k, r in replay.items() if k.endswith("_mor")),
+            default=None,
+        ),
         "scaling_pair": [SCALE_CPUS_LOW, SCALE_CPUS_HIGH],
         "scaling_efficiency": scaling,
     }

@@ -1,4 +1,11 @@
-from .apply import ApplyStats, apply_changes, apply_changes_with_evolution, lww_latest, lww_latest_window
+from .apply import (
+    ApplyStats,
+    apply_changes,
+    apply_changes_mor,
+    apply_changes_with_evolution,
+    lww_latest,
+    lww_latest_window,
+)
 from .changelog import (
     CHANGE_LOG_SCHEMA,
     generate_change_log,
@@ -19,6 +26,7 @@ from .skew import detect_hot_keys, salted_join, salted_lww_latest
 __all__ = [
     "ApplyStats",
     "apply_changes",
+    "apply_changes_mor",
     "apply_changes_with_evolution",
     "lww_latest",
     "lww_latest_window",

@@ -164,7 +164,9 @@ def apply_changes(
         part_stats = None
     stats_future = None
     if part_stats is None:
-        if not table.meta["partitions"]:
+        if not table.meta["partitions"] and not any(
+            table.meta.get("deltas", {}).values()
+        ):
             # EMPTY table: the affected-set prunes nothing (there is no base
             # data to read), so the stats job is needed only for lineage —
             # take it OFF the critical path entirely: run it on a pool
@@ -291,17 +293,136 @@ def apply_changes(
     return ApplyStats(result, events_in, events_seen, deletes)
 
 
+def apply_changes_mor(
+    table: IcehouseTable,
+    changes: DataFrame,
+    epoch: int | None = None,
+    target_schema=None,
+    epoch_source: str | None = None,
+    part_stats: dict[int, dict] | None = None,
+) -> ApplyStats:
+    """Merge-on-read apply: LWW-reduce the batch, then APPEND it as per-bucket
+    delta files — the base table is never read or rewritten.
+
+    Per-epoch cost is O(batch): the copy-on-write path re-writes every bucket
+    a batch touches (at 10^10 events a dense epoch touches every bucket, so
+    each epoch pays O(table)); this path writes only the batch's per-key
+    winners and defers conflict resolution to read time (max(_lsn) per key,
+    resolved bucket-locally with map-side partial aggregation).  Compaction
+    (:meth:`IcehouseTable.compact_partitions`, or any COW commit of the same
+    bucket) folds deltas into the base — the Iceberg v2 equality-delete /
+    Hudi MOR write path, chosen per workload:
+
+    - write-heavy tail (CDC ingest keeping up with a busy log): MOR,
+      compact on a schedule;
+    - read-heavy serving: COW, every read is a plain columnar scan.
+
+    Identical semantics to :func:`apply_changes` — final resolved state is
+    equal after any interleaving of the two paths (tests assert this), the
+    same epoch fence applies, and deletes are LSN-carrying tombstone rows.
+    """
+    if epoch is not None and table.epoch_committed(epoch, epoch_source):
+        return ApplyStats(
+            CommitResult(table.version, table.meta["snapshot_id"], epoch, skipped=True), 0, 0, 0
+        )
+    key = table.key_col
+    target_schema = target_schema or table.schema
+    logical_cols = target_schema.fieldNames()
+    conformed = changes.select(
+        "lsn",
+        "op",
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in changes.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in target_schema.fields
+        ],
+    )
+    if part_stats is not None and target_schema[key].dataType != table.schema[key].dataType:
+        part_stats = None  # key widening changes the bucket hash — stale
+    stats_future = None
+    if part_stats is None:
+        # MOR needs the stats only for lineage/counts, never to prune a base
+        # read — run the scan CONCURRENTLY with the delta write (the commit
+        # resolves the callable after the data files land)
+        from concurrent.futures import ThreadPoolExecutor
+
+        _pool = ThreadPoolExecutor(max_workers=1)
+        stats_future = _pool.submit(
+            batch_part_stats, table, changes, target_schema[key].dataType
+        )
+        _pool.shutdown(wait=False)
+    elif not part_stats:
+        return ApplyStats(
+            CommitResult(table.version, table.meta["snapshot_id"], epoch, skipped=False), 0, 0, 0
+        )
+    latest = lww_latest(conformed, key=key)
+    batch_norm = latest.select(
+        *logical_cols,
+        F.col("lsn").alias(LSN_COL),
+        (F.col("op") == "D").alias(DELETED_COL),
+    ).withColumn(PART_COL, table.bucket_expr())
+
+    def _lineage_of(stats: dict[int, dict]) -> dict:
+        return {
+            p: {
+                "lsn_min": int(r["lsn_min"]),
+                "lsn_max": int(r["lsn_max"]),
+                "rows_upserted": int(r["events_upserted"]),
+                "rows_deleted": int(r["events_deleted"]),
+            }
+            for p, r in stats.items()
+        }
+
+    lineage = (
+        _lineage_of(part_stats)
+        if part_stats is not None
+        else (lambda: _lineage_of(stats_future.result()))
+    )
+    for _attempt in range(3):
+        try:
+            result = table.append_deltas(
+                batch_norm,
+                epoch=epoch,
+                lineage_extra=lineage,
+                incoming_schema=target_schema if target_schema != table.schema else None,
+                epoch_source=epoch_source,
+            )
+            break
+        except CommitConflictError:
+            # a rebucket landed mid-flight: re-plan under the fresh modulus
+            table.refresh()
+            batch_norm = latest.select(
+                *logical_cols,
+                F.col("lsn").alias(LSN_COL),
+                (F.col("op") == "D").alias(DELETED_COL),
+            ).withColumn(PART_COL, table.bucket_expr())
+    else:
+        raise ConcurrentCommitError(
+            f"MOR append lost 3 consecutive rebucket races on {table.root}"
+        )
+    if part_stats is None:
+        part_stats = stats_future.result()
+    events_seen = sum(
+        int(r["events_deleted"] + r["events_upserted"]) for r in part_stats.values()
+    )
+    deletes = sum(int(r["events_deleted"]) for r in part_stats.values())
+    return ApplyStats(result, events_seen, events_seen, deletes)
+
+
 def apply_changes_with_evolution(
     table: IcehouseTable,
     changes: DataFrame,
     epoch: int | None = None,
     part_stats: dict[int, dict] | None = None,
+    mode: str = "cow",
 ) -> ApplyStats:
     """Like apply_changes, but first merges the batch's payload schema into the
     table schema under additive-evolution rules (new nullable columns /
     widenings accepted, everything else raises SchemaEvolutionError).
     Reference analog: ``SchemaUpdateOption.ALLOW_FIELD_ADDITION``
-    (dim_variant.py:263-265)."""
+    (dim_variant.py:263-265).  ``mode``: ``"cow"`` (copy-on-write merge) or
+    ``"mor"`` (merge-on-read delta append, :func:`apply_changes_mor`)."""
     from pyspark.sql import types as T
 
     from ..table.icehouse import evolve_schema
@@ -310,6 +431,7 @@ def apply_changes_with_evolution(
         [f for f in changes.schema.fields if f.name not in ("lsn", "epoch", "op")]
     )
     new_schema, _changed = evolve_schema(table.schema, incoming_payload)
-    return apply_changes(
+    fn = apply_changes_mor if mode == "mor" else apply_changes
+    return fn(
         table, changes, epoch=epoch, target_schema=new_schema, part_stats=part_stats
     )

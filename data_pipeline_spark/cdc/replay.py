@@ -70,9 +70,26 @@ class Checkpoint:
 
 
 class ReplayRunner:
-    def __init__(self, table: IcehouseTable, checkpoint_path: str):
+    """``mode="cow"`` merges each epoch copy-on-write (read-optimized table
+    at all times); ``mode="mor"`` appends each epoch as merge-on-read deltas
+    (write cost O(batch), reads resolve LWW at scan time) and folds them via
+    :meth:`IcehouseTable.compact_partitions` every ``compact_every`` epochs
+    (None = never; compaction is itself an atomic, conflict-checked commit,
+    so a crash between appends and compaction loses nothing)."""
+
+    def __init__(
+        self,
+        table: IcehouseTable,
+        checkpoint_path: str,
+        mode: str = "cow",
+        compact_every: int | None = None,
+    ):
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown apply mode {mode!r}")
         self.table = table
         self.checkpoint = Checkpoint(checkpoint_path)
+        self.mode = mode
+        self.compact_every = compact_every
 
     def run(
         self,
@@ -125,7 +142,14 @@ class ReplayRunner:
                 stats = apply_changes_with_evolution(
                     self.table, batch, epoch=ep,
                     part_stats=fut.result() if fut is not None else None,
+                    mode=self.mode,
                 )
+                if (
+                    self.compact_every
+                    and (i + 1) % self.compact_every == 0
+                    and self.table.meta.get("deltas")
+                ):
+                    self.table.compact_partitions(batch.sparkSession)
                 if fail_after_commit_of is not None and ep == fail_after_commit_of:
                     raise RuntimeError(f"injected crash after committing epoch {ep}")
                 self.checkpoint.write(ep, self.table.version)

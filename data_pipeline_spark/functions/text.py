@@ -100,6 +100,41 @@ def doc_fingerprint(col: Column | str) -> Column:
     return F.md5(norm)
 
 
+def repeated_ngram_fraction(col: Column | str, n: int = 2) -> Column:
+    """Gopher-style repetition signal: fraction of word n-grams that are
+    duplicates of an earlier n-gram in the same doc
+    (``1 - distinct/total``; 0.0 for docs with no n-grams).  Heavily
+    boilerplated / looping machine text scores high and is filtered before
+    training.  Pure column expression — array_distinct over the shingle
+    array, no shuffle, no UDF."""
+    s = word_shingles(col, n)
+    return F.when(
+        F.size(s) > 0,
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(s)).cast("double") / F.size(s), 4
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+# PII patterns: kept to syntax shared by Java regex (Spark) and RE2 (DuckDB
+# oracle) — character classes, bounded repetition, \b word boundaries.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d[\d \-]{6,}\d"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Redact emails / IPv4s / international-format phone numbers with typed
+    placeholder tags (the standard pre-training scrub).  Order matters:
+    emails first (their domains would otherwise partially match), then IPs,
+    then phones.  Pure ``regexp_replace`` chain — JVM-side, codegen'd, and
+    bit-identical to the DuckDB oracle's RE2 twin (asserted by the
+    ``doc_pii_redact`` value-hash check)."""
+    c = F.regexp_replace(_c(col), PII_EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, PII_IPV4_RE, "<IP>")
+    return F.regexp_replace(c, PII_PHONE_RE, "<PHONE>")
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Array of word n-gram shingles (space-joined), for Jaccard/MinHash.
 

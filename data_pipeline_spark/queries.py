@@ -751,6 +751,150 @@ def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "doc_repetition_signals",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(ws) - 1, 1) + 1),
+                            i -> array_to_string(ws[i:i+1], ' ')) AS s
+      FROM w
+    )
+    SELECT doc_id,
+           len(s)::BIGINT AS n_ngrams,
+           len(list_distinct(s))::BIGINT AS n_distinct,
+           CASE WHEN len(s) > 0
+                THEN ROUND(1.0 - len(list_distinct(s))::DOUBLE / len(s), 4)
+                ELSE 0.0 END AS repeated_frac
+    FROM sh
+    """,
+)
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signal: per-doc fraction of word
+    bigrams that repeat within the doc (boilerplate / looping generations
+    score high and are dropped before training).  Pure array expressions
+    (sequence→transform→array_distinct): one scan, zero shuffle, any corpus
+    size."""
+    from .functions.text import repeated_ngram_fraction, word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    s = word_shingles("text", 2)
+    return docs.select(
+        "doc_id",
+        F.size(s).cast("long").alias("n_ngrams"),
+        F.size(F.array_distinct(s)).cast("long").alias("n_distinct"),
+        repeated_ngram_fraction("text", 2).alias("repeated_frac"),
+    )
+
+
+@q(
+    "repeated_spans_crossdoc",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
+                                   i -> array_to_string(ws[i:i+2], ' '))) AS span
+      FROM w
+    ), g AS (
+      SELECT span, COUNT(DISTINCT doc_id)::BIGINT AS n_docs, COUNT(*)::BIGINT AS n_occurrences
+      FROM sh GROUP BY span
+    )
+    SELECT span, n_docs, n_occurrences
+    FROM g WHERE n_docs >= 2
+    ORDER BY n_occurrences DESC, n_docs DESC, span
+    LIMIT 50
+    """,
+)
+def repeated_spans_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span detection (the fixed-n practical form of
+    exact-substring training-data dedup, Lee et al. 2022): every word
+    3-gram occurring in ≥2 distinct docs, ranked by total occurrences.
+    Shape at 100 TB: explode to (span, doc) → ONE shuffle on the span key
+    with map-side partial aggregation; no pairwise comparison ever
+    materializes (contrast all-pairs Jaccard).  The span strings here are
+    the candidate cut-points a masking/removal pass consumes downstream."""
+    from .functions.text import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = docs.select("doc_id", F.explode(word_shingles("text", 3)).alias("span"))
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_occurrences"), F.desc("n_docs"), "span")
+        .limit(50)
+    )
+
+
+@q(
+    "doc_pii_redact",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id::VARCHAR || '@example.com or +94 11 2'
+                  || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                  || ' 456 from 10.0.' || (doc_id % 256)::VARCHAR || '.7' AS t
+      FROM documents
+    ), red AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\+\d[\d \-]{6,}\d', '<PHONE>', 'g') AS redacted,
+             t
+      FROM aug
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+           MD5(redacted) AS redacted_md5
+    FROM red
+    """,
+)
+def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub before training: emails / IPv4s / phone numbers replaced by
+    typed tags (``functions.text.redact_pii``).  The synthetic corpus holds
+    no PII, so each doc is AUGMENTED with deterministic doc_id-derived
+    email+phone+IP — identically in the SQL oracle — and the md5 of the
+    redacted text is value-hash-checked, pinning the exact replacement
+    semantics cross-engine (Java regex vs RE2).  Pure regexp column
+    expressions: one scan, zero shuffle."""
+    from .functions.text import PII_EMAIL_RE, PII_IPV4_RE, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +94 11 2"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit(" 456 from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("t"),
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("t", F.lit(PII_IPV4_RE)).cast("long").alias("n_ips"),
+        F.md5(redact_pii("t")).alias("redacted_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # 6. near-duplicate detection + similarity search  (MinHash-LSH / Jaccard /
 #    SimHash / embedding cosine; SURVEY §2.3 J8)
@@ -1456,6 +1600,136 @@ def cdc_replay_icehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
         )
         .orderBy("source")
+    )
+
+
+@q("cdc_mor_final_state", _CDC_REPLAY_ORACLE)
+def cdc_mor_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read replay flagship: the same portable change log as
+    ``cdc_replay_icehouse`` replayed in **MOR mode** — each epoch committed
+    as append-only per-bucket delta files (``IcehouseTable.append_deltas``;
+    write cost O(batch), the base is never rewritten), with a compaction
+    dropped mid-replay (``compact_every=2``) so the final read exercises
+    BOTH paths at once: a folded base from the compacted epochs plus
+    pending deltas from the last epoch, resolved last-writer-wins by
+    ``max(_lsn)`` per key at scan time.  The oracle is the identical
+    LCG-recomputed final state — proving the COW and MOR write paths are
+    observationally equivalent (the Iceberg v2 equality-delete / Hudi MOR
+    contract).  Interleavings, crash/resume, delete-wins, and vacuum under
+    MOR are additionally asserted in tests/test_mor.py."""
+    import tempfile
+
+    from .cdc.changelog import generate_change_log_portable
+    from .cdc.replay import ReplayRunner
+    from .table.icehouse import IcehouseTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+            T.StructField("n_tok", T.IntegerType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="icehouse_mor_")
+    table = IcehouseTable.create(f"{root}/t", schema, key_col="doc_id", n_buckets=8)
+    log = generate_change_log_portable(
+        spark, n_events=6000, n_docs=500, events_per_epoch=2000, seed=42
+    )
+    ReplayRunner(table, f"{root}/ckpt.json", mode="mor", compact_every=2).run(log)
+    assert table.meta.get("deltas"), "last epoch must remain as pending deltas"
+    return (
+        table.read(spark)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# Oracle for the incremental changed-since feed: recompute the portable log
+# and its per-key winners in SQL, then keep only winners past the watermark —
+# exactly the rows the engine's file-skipping scan must emit (including
+# delete tombstones, which downstream sinks need to retract rows).
+_CDC_CHANGED_SINCE_ORACLE = """
+    WITH e AS (
+      SELECT id AS lsn,
+        CASE WHEN ((42*1000003 + 1*10007 + id*257)*1103515245 + 12345) % 2147483647 % 1000 < 300
+             THEN ((42*1000003 + 2*10007 + id*257)*1103515245 + 12345) % 2147483647 % 5
+             ELSE ((42*1000003 + 3*10007 + id*257)*1103515245 + 12345) % 2147483647 % 500
+        END AS doc_num,
+        ((42*1000003 + 4*10007 + id*257)*1103515245 + 12345) % 2147483647 % 100 AS op_roll
+      FROM range(6000) r(id)
+    ),
+    ev AS (
+      SELECT lsn, doc_num,
+             CASE WHEN op_roll < 5 THEN 'D' ELSE 'IU' END AS op,
+             CASE WHEN op_roll < 5 THEN NULL
+                  ELSE 4 + ((42*1000003 + 5*10007 + lsn*257 + doc_num*65537)*1103515245 + 12345)
+                       % 2147483647 % 92 END AS n_tok,
+             'src' || (((42*1000003 + 6*10007 + doc_num*257)*1103515245 + 12345)
+                 % 2147483647 % 5)::VARCHAR AS source
+      FROM e
+    ),
+    last AS (
+      SELECT lsn, doc_num, op, n_tok, source,
+             ROW_NUMBER() OVER (PARTITION BY doc_num ORDER BY lsn DESC) AS rn
+      FROM ev
+    )
+    SELECT 'doc_' || lpad(doc_num::VARCHAR, 8, '0') AS doc_id,
+           lsn, (op = 'D') AS deleted, n_tok, source
+    FROM last WHERE rn = 1 AND lsn > 3999
+    ORDER BY doc_id
+    """
+
+
+@q("cdc_changed_since_feed", _CDC_CHANGED_SINCE_ORACLE)
+def cdc_changed_since_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental downstream consumption: replay the portable log in
+    merge-on-read mode (epochs 0-1 compacted, epoch 2 left as pending
+    deltas), then ``read_changed_since(watermark = last lsn of epoch 1)`` —
+    the winning version of every key changed after the watermark, deletes
+    included as tombstone rows.  File skipping is what is under test at
+    scale: per-file ``lsn_max`` footer stats prune every compacted base
+    file (their lsn ranges end before the watermark), so the scan reads
+    ONLY epoch 2's delta files — O(changed data), not O(table).  The SQL
+    oracle recomputes the same feed row-by-row from the LCG log.
+    Structural pruning assertions live in tests/test_incremental_scan.py."""
+    import tempfile
+
+    from .cdc.changelog import generate_change_log_portable
+    from .cdc.replay import ReplayRunner
+    from .table.icehouse import IcehouseTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+            T.StructField("n_tok", T.IntegerType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="icehouse_feed_")
+    table = IcehouseTable.create(f"{root}/t", schema, key_col="doc_id", n_buckets=8)
+    log = generate_change_log_portable(
+        spark, n_events=6000, n_docs=500, events_per_epoch=2000, seed=42
+    )
+    ReplayRunner(table, f"{root}/ckpt.json", mode="mor", compact_every=2).run(log)
+    return (
+        table.read_changed_since(spark, 3999)
+        .select(
+            "doc_id",
+            F.col("_lsn").alias("lsn"),
+            F.col("_deleted").alias("deleted"),
+            "n_tok",
+            "source",
+        )
+        .orderBy("doc_id")
     )
 
 

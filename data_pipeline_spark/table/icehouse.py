@@ -13,6 +13,12 @@ table contract itself and implements it with:
 - partition-level overwrite: a commit rewrites only the bucket partitions it
   touches and re-links the untouched ones (the 100-TB property: an epoch that
   touches 3% of keys rewrites ~3% of the table, not all of it),
+- **merge-on-read deltas** (Iceberg v2 equality-delete / Hudi MOR analog):
+  :meth:`append_deltas` commits a change batch as append-only per-bucket delta
+  files — per-epoch write cost O(batch), never O(table).  Reads of a
+  delta-bearing bucket resolve last-writer-wins by ``max(_lsn)`` per key at
+  scan time; :meth:`compact_partitions` (or any copy-on-write commit of that
+  bucket) folds the deltas back into a single base file,
 - additive schema evolution without table rewrite: new nullable columns and
   integer/float widenings are merged into the table schema; old data files are
   simply read with the new schema (missing columns → NULL),
@@ -288,6 +294,14 @@ class IcehouseTable:
         reads them to keep delete-wins semantics under out-of-order apply).
         Older data files written without the meta columns read as NULL
         (= live row, LSN unknown ⇒ loses ties to any real LSN).
+
+        Merge-on-read: if any requested bucket carries delta files
+        (:meth:`append_deltas`), the scan unions base + deltas and resolves
+        **last-writer-wins per key** (``max_by`` on ``_lsn`` — partial
+        map-side aggregation, so a hot key resolves in O(#tasks)).  An
+        LSN tie can only be duplicate delivery of the same event, so the
+        arbitrary tie winner is content-identical.  Buckets without deltas
+        pay nothing — the resolve shuffle touches only delta-bearing data.
         """
         read_schema = T.StructType(
             list(self.schema.fields)
@@ -298,19 +312,130 @@ class IcehouseTable:
             ]
         )
         parts = self.meta["partitions"]
-        keys = [str(p) for p in partitions] if partitions is not None else list(parts.keys())
-        paths = [os.path.join(self.root, parts[k]["path"]) for k in keys if k in parts]
-        if not paths:
+        deltas = self.meta.get("deltas", {})
+        keys = (
+            [str(p) for p in partitions]
+            if partitions is not None
+            else sorted(set(parts) | set(deltas), key=int)
+        )
+        base_paths = [os.path.join(self.root, parts[k]["path"]) for k in keys if k in parts]
+        delta_keys = [k for k in keys if deltas.get(k)]
+        delta_paths = [
+            os.path.join(self.root, d["path"]) for k in delta_keys for d in deltas[k]
+        ]
+        if not base_paths and not delta_paths:
             df = spark.createDataFrame([], read_schema)
         else:
-            df = spark.read.schema(read_schema).parquet(*paths)
+            df = spark.read.schema(read_schema).parquet(*base_paths, *delta_paths)
+        if delta_paths:
+            # resolve only the delta-bearing buckets; clean buckets pass through
+            dirty = F.col(PART_COL).isin([int(k) for k in delta_keys])
+            key = self.key_col
+            payload = [f.name for f in read_schema.fields if f.name != key]
+            resolved = (
+                df.where(dirty)
+                .groupBy(key)
+                .agg(
+                    F.max_by(
+                        F.struct(*payload), F.coalesce(F.col(LSN_COL), F.lit(-1))
+                    ).alias("_w")
+                )
+                .select(key, *[F.col(f"_w.{c}").alias(c) for c in payload])
+                .select(*[f.name for f in read_schema.fields])
+            )
+            df = df.where(~dirty).unionByName(resolved)
         if with_meta:
             return df if with_part_col else df.drop(PART_COL)
         df = df.where(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(LSN_COL, DELETED_COL)
         return df if with_part_col else df.drop(PART_COL)
 
+    def read_changed_since(self, spark: SparkSession, lsn_watermark: int) -> DataFrame:
+        """Incremental-consumer scan: the current WINNING version of every key
+        whose latest change has ``_lsn > lsn_watermark`` — deleted keys appear
+        as tombstone rows (``_deleted = true``), so a downstream sink can
+        apply the feed as upserts+deletes (the Iceberg incremental-scan /
+        changed-data-feed read pattern).
+
+        File skipping makes this O(changed data), not O(table): every commit
+        records per-file ``lsn_max`` from the parquet footer statistics, and
+        any file whose ``lsn_max <= watermark`` CANNOT contain a winner newer
+        than the watermark — so old base files are pruned driver-side before
+        the scan.  Under merge-on-read ingest the recent deltas are exactly
+        the unpruned files, so a consumer polling each epoch reads only that
+        epoch's delta files.  (Winners are resolved among the surviving files
+        only: a pruned file could at most hold a SUPERSEDED version of a
+        changed key — never the winner — and unchanged keys are filtered by
+        the final ``_lsn > watermark`` gate.)
+        """
+        read_schema = T.StructType(
+            list(self.schema.fields)
+            + [
+                T.StructField(LSN_COL, T.LongType(), True),
+                T.StructField(DELETED_COL, T.BooleanType(), True),
+                T.StructField(PART_COL, T.IntegerType(), True),
+            ]
+        )
+
+        def live(entry: dict) -> bool:
+            mx = entry.get("lsn_max")
+            return mx is None or mx > lsn_watermark  # None = pre-stats file: keep
+
+        paths = [
+            os.path.join(self.root, e["path"])
+            for e in self.meta["partitions"].values()
+            if live(e)
+        ] + [
+            os.path.join(self.root, d["path"])
+            for ds in self.meta.get("deltas", {}).values()
+            for d in ds
+            if live(d)
+        ]
+        if not paths:
+            return spark.createDataFrame([], read_schema).drop(PART_COL)
+        df = spark.read.schema(read_schema).parquet(*paths)
+        key = self.key_col
+        payload = [f.name for f in read_schema.fields if f.name != key]
+        winners = (
+            df.groupBy(key)
+            .agg(
+                F.max_by(F.struct(*payload), F.coalesce(F.col(LSN_COL), F.lit(-1))).alias("_w")
+            )
+            .select(key, *[F.col(f"_w.{c}").alias(c) for c in payload])
+        )
+        return winners.where(F.col(LSN_COL) > lsn_watermark).drop(PART_COL)
+
+    def read_for_keys(self, spark: SparkSession, keys: DataFrame | list) -> DataFrame:
+        """Bucket-pruned point lookup: read ONLY the bucket partitions the
+        requested keys hash to, then semi-join.  For k keys over B buckets
+        the scan touches ≤ min(k, B) buckets — the Iceberg bucket-transform
+        pruning a key-value consumer relies on (vs scanning the full table).
+
+        ``keys``: a one-column DataFrame or a Python list of key values.
+        The bucket set is computed with a keys-sized Spark job (the bucket
+        hash lives JVM-side), then partitions are pruned driver-side.
+        """
+        if not isinstance(keys, DataFrame):
+            keys = spark.createDataFrame(
+                [(k,) for k in keys],
+                T.StructType([T.StructField(self.key_col, self.schema[self.key_col].dataType)]),
+            )
+        keys = keys.select(F.col(keys.columns[0]).alias(self.key_col)).distinct()
+        buckets = [
+            r["b"]
+            for r in keys.select(self.bucket_expr().alias("b")).distinct().collect()
+        ]
+        return self.read(spark, partitions=buckets).join(
+            F.broadcast(keys), self.key_col, "left_semi"
+        )
+
     def row_count(self) -> int:
-        return sum(p["rows"] for p in self.meta["partitions"].values())
+        """PHYSICAL row count from metadata (base + delta files).  With
+        merge-on-read deltas pending this over-counts live rows (superseded
+        versions and their tombstones are still on disk until compaction) —
+        the live count is ``read(spark).count()``."""
+        return sum(p["rows"] for p in self.meta["partitions"].values()) + sum(
+            d["rows"] for ds in self.meta.get("deltas", {}).values() for d in ds
+        )
 
     # -- write path -----------------------------------------------------------
 
@@ -394,9 +519,152 @@ class IcehouseTable:
             conflict_scope=conflict_scope,
         )
 
+    def append_deltas(
+        self,
+        df: DataFrame,
+        epoch: int | None = None,
+        lineage_extra: dict[str, Any] | None = None,
+        incoming_schema: T.StructType | None = None,
+        max_retries: int = 5,
+        epoch_source: str | None = None,
+    ) -> CommitResult:
+        """Merge-on-read commit: append ``df`` as per-bucket DELTA files —
+        no base read, no rewrite; per-epoch write cost is O(batch).
+
+        ``df`` carries the logical columns plus ``_lsn`` and ``_deleted``
+        (a delete is a row with ``_deleted=true`` at its LSN — the
+        equality-delete analog).  The caller should LWW-reduce the batch
+        first (one row per key); reads resolve ``max(_lsn)`` per key either
+        way.  Deltas fold into the base at :meth:`compact_partitions` or any
+        copy-on-write commit of the same bucket.
+
+        Concurrency: appends commute — two concurrent appends both succeed
+        via the plain CAS retry, and the data files written by a losing
+        attempt are REUSED (only the metadata race is retried).  The one
+        real conflict is partition-spec evolution: if a rebucket landed
+        since this batch was bucketed, the rows are addressed under a dead
+        modulus — :class:`CommitConflictError` tells the caller to rebuild.
+
+        Exactly-once: same epoch fencing as :meth:`overwrite_partitions`.
+        """
+        if LSN_COL not in df.columns or DELETED_COL not in df.columns:
+            raise ValueError(f"append_deltas requires {LSN_COL} and {DELETED_COL} columns")
+        if epoch is not None and self.epoch_committed(epoch, epoch_source):
+            return CommitResult(self.version, self.meta["snapshot_id"], epoch, skipped=True)
+        new_schema = self.schema
+        schema_changed = False
+        if incoming_schema is not None:
+            new_schema, schema_changed = evolve_schema(self.schema, incoming_schema)
+        plan_buckets = self.n_buckets
+        with_part = df if PART_COL in df.columns else df.withColumn(PART_COL, self.bucket_expr())
+        out = with_part.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in with_part.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in new_schema.fields
+            ],
+            F.col(LSN_COL).cast("long").alias(LSN_COL),
+            F.col(DELETED_COL).cast("boolean").alias(DELETED_COL),
+            F.col(PART_COL).cast("int").alias(PART_COL),
+        )
+        laid_out = out.repartition(plan_buckets, F.col(PART_COL)).sortWithinPartitions(
+            PART_COL, self.key_col
+        )
+        sdir_rel = sdir = None
+        stats: dict[int, int] = {}
+        for _attempt in range(max_retries):
+            self.refresh()
+            if epoch is not None and self.epoch_committed(epoch, epoch_source):
+                if sdir is not None:
+                    shutil.rmtree(sdir, ignore_errors=True)
+                return CommitResult(self.version, self.meta["snapshot_id"], epoch, skipped=True)
+            if self.n_buckets != plan_buckets:
+                if sdir is not None:
+                    shutil.rmtree(sdir, ignore_errors=True)
+                raise CommitConflictError(
+                    f"partition spec evolved ({plan_buckets} -> {self.n_buckets} buckets) "
+                    "while this delta batch was in flight; re-bucket the batch and retry"
+                )
+            new_version = self.version + 1
+            if sdir is None:
+                # delta content depends only on the batch (never table state):
+                # write once, reuse the files across metadata CAS retries
+                snapshot_id = f"s{new_version:08d}-{uuid.uuid4().hex[:8]}"
+                sdir_rel = os.path.join("data", snapshot_id)
+                sdir = os.path.join(self.root, sdir_rel)
+                (
+                    laid_out.withColumn("_pw", F.col(PART_COL))
+                    .write.mode("overwrite")
+                    .partitionBy("_pw")
+                    .parquet(sdir)
+                )
+                stats = self._footer_stats(sdir, lsn_range=True)
+            else:
+                snapshot_id = f"s{new_version:08d}-{snapshot_id.split('-', 1)[1]}"
+            affected = sorted(stats)
+            meta = json.loads(json.dumps(self.meta))
+            meta["version"] = new_version
+            meta["parent_version"] = self.version
+            meta["snapshot_id"] = snapshot_id
+            meta["schema"] = new_schema.jsonValue()
+            for p in affected:
+                meta.setdefault("deltas", {}).setdefault(str(p), []).append(
+                    {
+                        "path": os.path.join(sdir_rel, f"_pw={p}"),
+                        "rows": stats[p]["rows"],
+                        "lsn_min": stats[p]["lsn_min"],
+                        "lsn_max": stats[p]["lsn_max"],
+                    }
+                )
+            extra = lineage_extra() if callable(lineage_extra) else lineage_extra
+            meta["lineage"] = (
+                meta["lineage"]
+                + [
+                    {
+                        "snapshot_id": snapshot_id,
+                        "version": new_version,
+                        "epoch": epoch,
+                        "partition": p,
+                        "rows_after": stats[p]["rows"],
+                        "delta": True,
+                        **(extra or {}).get(p, (extra or {}).get(str(p), {})),
+                    }
+                    for p in affected
+                ]
+            )[-10000:]
+            if epoch is not None:
+                if epoch_source is None:
+                    meta["epoch_watermark"] = max(meta["epoch_watermark"], epoch)
+                meta["committed_epochs"][self._epoch_key(epoch, epoch_source)] = {
+                    "version": new_version,
+                    "snapshot_id": snapshot_id,
+                    "partitions": affected,
+                    "rows_written": sum(v["rows"] for v in stats.values()),
+                }
+            if schema_changed:
+                meta.setdefault("schema_log", []).append(
+                    {"version": new_version, "schema": new_schema.jsonValue()}
+                )
+            meta["committed_at"] = time.time()
+            try:
+                self._write_metadata(meta)
+            except FileExistsError:
+                continue  # metadata race only — delta files stay valid
+            self.meta = meta
+            return CommitResult(
+                new_version, snapshot_id, epoch,
+                partitions_rewritten=affected,
+                rows_written=sum(v["rows"] for v in stats.values()),
+            )
+        if sdir is not None:
+            shutil.rmtree(sdir, ignore_errors=True)
+        raise ConcurrentCommitError(f"lost {max_retries} consecutive commit races on {self.root}")
+
     @staticmethod
-    def _footer_stats(sdir: str) -> dict[int, int]:
-        """Per-partition row counts read from the parquet footers of a just-
+    def _footer_stats(sdir: str, lsn_range: bool = False) -> dict[int, Any]:
+        """Per-partition row counts (and, with ``lsn_range``, min/max ``_lsn``
+        from the parquet column statistics) read from the footers of a just-
         written snapshot dir — driver-side metadata only, no Spark job.  This
         keeps the commit at ONE compute pass over the merged data (the write);
         a stats-side groupBy would recompute the whole merge plan.
@@ -412,7 +680,9 @@ class IcehouseTable:
             filesystem, path = pafs.FileSystem.from_uri(sdir)
         else:
             filesystem, path = pafs.LocalFileSystem(), sdir
-        stats: dict[int, int] = {}
+        rows: dict[int, int] = {}
+        lsn_lo: dict[int, int] = {}
+        lsn_hi: dict[int, int] = {}
         sel = pafs.FileSelector(path, recursive=True, allow_not_found=True)
         for finfo in filesystem.get_file_info(sel):
             if finfo.type != pafs.FileType.File or not finfo.path.endswith(".parquet"):
@@ -421,8 +691,25 @@ class IcehouseTable:
                 continue
             p = int(finfo.path.split("_pw=", 1)[1].split("/", 1)[0])
             with filesystem.open_input_file(finfo.path) as f:
-                stats[p] = stats.get(p, 0) + pq.ParquetFile(f).metadata.num_rows
-        return stats
+                md = pq.ParquetFile(f).metadata
+                rows[p] = rows.get(p, 0) + md.num_rows
+                if lsn_range:
+                    names = {
+                        md.schema.column(i).name: i for i in range(md.num_columns)
+                    }
+                    ci = names.get(LSN_COL)
+                    if ci is not None:
+                        for rg in range(md.num_row_groups):
+                            st = md.row_group(rg).column(ci).statistics
+                            if st is not None and st.has_min_max:
+                                lsn_lo[p] = min(lsn_lo.get(p, st.min), st.min)
+                                lsn_hi[p] = max(lsn_hi.get(p, st.max), st.max)
+        if not lsn_range:
+            return rows
+        return {
+            p: {"rows": n, "lsn_min": lsn_lo.get(p), "lsn_max": lsn_hi.get(p)}
+            for p, n in rows.items()
+        }
 
     def _commit_attempts(
         self, laid_out, epoch, lineage_extra, new_schema, schema_changed, max_retries,
@@ -447,13 +734,13 @@ class IcehouseTable:
                 .partitionBy("_pw")
                 .parquet(sdir)
             )
-            stats = self._footer_stats(sdir)
+            stats = self._footer_stats(sdir, lsn_range=True)
             if affected_partitions is not None:
                 # partitions the caller read but whose rewrite produced zero
                 # rows get an explicit rows=0 entry → dropped from metadata
                 # below (vacuum/compact of a 100%-tombstone partition)
                 for p in affected_partitions:
-                    stats.setdefault(int(p), 0)
+                    stats.setdefault(int(p), {"rows": 0, "lsn_min": None, "lsn_max": None})
             affected = sorted(stats)
             if read_version is not None and self.version != read_version:
                 # serializable-isolation validation: a concurrent commit won
@@ -461,10 +748,19 @@ class IcehouseTable:
                 # if none of the partitions we are about to replace changed;
                 # otherwise our output was derived from stale base rows
                 # (lost update) — hand the conflict back to the caller.
-                base_parts = IcehouseTable.load(self.root, version=read_version).meta[
-                    "partitions"
-                ]
-                cur_parts = self.meta["partitions"]
+                base_meta = IcehouseTable.load(self.root, version=read_version).meta
+                base_parts = {
+                    k: (v, base_meta.get("deltas", {}).get(k))
+                    for k, v in base_meta["partitions"].items()
+                }
+                for k, ds in base_meta.get("deltas", {}).items():
+                    base_parts.setdefault(k, (None, ds))
+                cur_parts = {
+                    k: (v, self.meta.get("deltas", {}).get(k))
+                    for k, v in self.meta["partitions"].items()
+                }
+                for k, ds in self.meta.get("deltas", {}).items():
+                    cur_parts.setdefault(k, (None, ds))
                 if conflict_scope == "table":
                     # whole-table validation: a commit that rewrites the
                     # table's ADDRESSING (rebucket) conflicts with ANY
@@ -497,10 +793,20 @@ class IcehouseTable:
             for p in affected:
                 meta["partitions"][str(p)] = {
                     "path": os.path.join(sdir_rel, f"_pw={p}"),
-                    "rows": stats[p],
+                    "rows": stats[p]["rows"],
+                    # file-skipping stats: a changed-since scan prunes any
+                    # file whose lsn_max is at or below its watermark
+                    "lsn_min": stats[p]["lsn_min"],
+                    "lsn_max": stats[p]["lsn_max"],
                 }
             # drop partitions that became empty
             meta["partitions"] = {k: v for k, v in meta["partitions"].items() if v["rows"] > 0}
+            # a copy-on-write rewrite of a bucket folds its merge-on-read
+            # deltas into the new base (the caller read the RESOLVED bucket
+            # via read()) — clear them so they are not re-applied
+            if meta.get("deltas"):
+                for p in affected:
+                    meta["deltas"].pop(str(p), None)
             # lineage_extra may be a callable (lazy stats computed CONCURRENTLY
             # with the data write — resolved here, after the write finished)
             extra = lineage_extra() if callable(lineage_extra) else lineage_extra
@@ -510,7 +816,7 @@ class IcehouseTable:
                     "version": new_version,
                     "epoch": epoch,
                     "partition": p,
-                    "rows_after": stats[p],
+                    "rows_after": stats[p]["rows"],
                     **(extra or {}).get(p, (extra or {}).get(str(p), {})),
                 }
                 for p in affected
@@ -525,7 +831,7 @@ class IcehouseTable:
                     "version": new_version,
                     "snapshot_id": snapshot_id,
                     "partitions": affected,
-                    "rows_written": sum(stats.values()),
+                    "rows_written": sum(v["rows"] for v in stats.values()),
                 }
             if schema_changed:
                 meta.setdefault("schema_log", []).append(
@@ -542,7 +848,8 @@ class IcehouseTable:
             self.meta = meta
             return CommitResult(
                 new_version, snapshot_id, epoch,
-                partitions_rewritten=affected, rows_written=sum(stats.values()),
+                partitions_rewritten=affected,
+                rows_written=sum(v["rows"] for v in stats.values()),
             )
         raise ConcurrentCommitError(f"lost {max_retries} consecutive commit races on {self.root}")
 
@@ -581,6 +888,9 @@ class IcehouseTable:
             meta = IcehouseTable.load(self.root, version=v).meta
             for p in meta["partitions"].values():
                 live_dirs.add(p["path"].split("/_pw=")[0])
+            for ds in meta.get("deltas", {}).values():
+                for d in ds:
+                    live_dirs.add(d["path"].split("/_pw=")[0])
         removed = []
         ddir = os.path.join(self.root, "data")
         for snap in os.listdir(ddir):
@@ -637,6 +947,7 @@ class IcehouseTable:
             meta["parent_version"] = self.version
             meta["snapshot_id"] = f"s{meta['version']:08d}-truncate"
             meta["partitions"] = {}
+            meta["deltas"] = {}
             if epoch is not None:
                 if epoch_source is None:
                     meta["epoch_watermark"] = max(meta["epoch_watermark"], epoch)
@@ -679,7 +990,10 @@ class IcehouseTable:
         live+tombstone rows, no semantic change — lineage shows the commit."""
         for _ in range(5):
             read_version = self.version
-            read_parts = [int(k) for k in self.meta["partitions"]]
+            read_parts = sorted(
+                {int(k) for k in self.meta["partitions"]}
+                | {int(k) for k, ds in self.meta.get("deltas", {}).items() if ds}
+            )
             df = self.read(spark, with_part_col=True, with_meta=True)
             try:
                 return self.overwrite_partitions(
@@ -715,7 +1029,10 @@ class IcehouseTable:
             return CommitResult(self.version, self.meta["snapshot_id"], None, skipped=True)
         for _ in range(5):
             read_version = self.version
-            read_parts = [int(k) for k in self.meta["partitions"]]
+            read_parts = sorted(
+                {int(k) for k in self.meta["partitions"]}
+                | {int(k) for k, ds in self.meta.get("deltas", {}).items() if ds}
+            )
             df = self.read(spark, with_part_col=False, with_meta=True)
             out = df.withColumn(PART_COL, self.bucket_expr(n_buckets=new_n_buckets))
             try:
@@ -746,7 +1063,10 @@ class IcehouseTable:
         lingering with a stale pre-vacuum row count."""
         for _ in range(5):
             read_version = self.version
-            read_parts = [int(k) for k in self.meta["partitions"]]
+            read_parts = sorted(
+                {int(k) for k in self.meta["partitions"]}
+                | {int(k) for k, ds in self.meta.get("deltas", {}).items() if ds}
+            )
             df = self.read(spark, with_part_col=True, with_meta=True)
             keep = df.where(
                 ~(

@@ -10,6 +10,12 @@ Cluster deployment (the production shape this engine targets):
       --table     /shared/tables/token_sequences \
       --checkpoint /shared/checkpoints/token_sequences.json \
       [--from-epoch N] [--n-buckets 4096] [--streaming]
+      [--mode cow|mor] [--compact-every K]
+
+``--mode mor`` commits each epoch as merge-on-read delta appends (write
+cost O(batch) — the keep-up mode for a busy change log), folding deltas
+into the base every ``--compact-every`` epochs; ``cow`` (default) keeps
+the table read-optimized at every commit.
 
 Storage contract: ``--log-path`` may be any Spark-readable URI (s3a/hdfs/
 local — it is only scanned).  ``--table`` and ``--checkpoint`` must live on
@@ -63,6 +69,13 @@ def main() -> None:
     ap.add_argument("--dlq", default=None,
                     help="dead-letter root: classify each batch and quarantine "
                          "malformed events instead of failing or dropping them")
+    ap.add_argument("--mode", default="cow", choices=["cow", "mor"],
+                    help="merge strategy: copy-on-write rewrite (read-"
+                         "optimized) or merge-on-read delta append (write-"
+                         "optimized)")
+    ap.add_argument("--compact-every", type=int, default=None,
+                    help="in mor mode, fold deltas into the base every K "
+                         "epochs (atomic maintenance commit)")
     args = ap.parse_args()
 
     from data_pipeline_spark.cdc.changelog import read_change_log
@@ -117,9 +130,12 @@ def main() -> None:
                 log, schema=table.schema, key=table.key_col, passthrough=("epoch",)
             )
             dlq.append_epochs(rejects)
-        report = ReplayRunner(table, args.checkpoint).run(log)
+        report = ReplayRunner(
+            table, args.checkpoint, mode=args.mode, compact_every=args.compact_every
+        ).run(log)
         out = {
             "mode": "batch",
+            "merge_mode": args.mode,
             "epochs": len(report.epochs),
             "events": report.total_events,
             "seconds": round(report.total_seconds, 2),
