@@ -133,8 +133,15 @@ def apply_changes(
         return ApplyStats(
             CommitResult(table.version, table.meta["snapshot_id"], epoch, skipped=True), 0, 0, 0
         )
+    from ..table.icehouse import evolve_schema
+
     key = table.key_col
-    target_schema = target_schema or table.schema
+    # merge the caller's target with the CURRENT table schema: a stale
+    # handle's narrower target must never conform concurrently-added
+    # columns out of the base rows it rewrites (additive ∪ additive)
+    target_schema = (
+        evolve_schema(table.schema, target_schema)[0] if target_schema else table.schema
+    )
     logical_cols = target_schema.fieldNames()
 
     # conform the batch payload to the target schema, keeping lsn/op
@@ -272,6 +279,25 @@ def apply_changes(
                 return ApplyStats(
                     CommitResult(table.version, table.meta["snapshot_id"], epoch, skipped=True),
                     0, 0, 0,
+                )
+            refreshed = evolve_schema(table.schema, target_schema)[0]
+            if refreshed != target_schema:
+                # a concurrent commit evolved the schema mid-merge: widen the
+                # rebuild so base survivors keep the new columns' values
+                target_schema = refreshed
+                logical_cols = target_schema.fieldNames()
+                conformed = changes.select(
+                    "lsn",
+                    "op",
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        if f.name in changes.columns
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in target_schema.fields
+                    ],
+                )
+                latest = lww_latest(conformed, key=key).withColumn(
+                    PART_COL, table.bucket_expr()
                 )
             if part_stats is None:
                 # the empty-table fast path no longer applies after a

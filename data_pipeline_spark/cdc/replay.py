@@ -149,7 +149,9 @@ class ReplayRunner:
                     and (i + 1) % self.compact_every == 0
                     and self.table.meta.get("deltas")
                 ):
-                    self.table.compact_partitions(batch.sparkSession)
+                    # fold only delta-bearing buckets: maintenance cost is
+                    # proportional to pending-delta data, not table size
+                    self.table.compact_partitions(batch.sparkSession, partitions="deltas")
                 if fail_after_commit_of is not None and ep == fail_after_commit_of:
                     raise RuntimeError(f"injected crash after committing epoch {ep}")
                 self.checkpoint.write(ep, self.table.version)

@@ -56,6 +56,13 @@ class StreamingIngest:
     checkpoint_dir: str
     max_files_per_trigger: int = 8
     stream_id: str | None = None
+    #: merge strategy per micro-batch: "cow" (copy-on-write merge — table
+    #: stays read-optimized) or "mor" (merge-on-read delta append — commit
+    #: cost O(micro-batch), the keep-up mode for high-rate logs; fold with
+    #: compact_partitions on a maintenance schedule).  Micro-batches are
+    #: where MOR shines: a COW commit rewrites every touched bucket no
+    #: matter how few rows the trigger delivered.
+    mode: str = "cow"
     #: optional dead-letter sink (cdc.quarantine.DeadLetterSink): when set,
     #: every micro-batch is split through the quarantine classifier and only
     #: valid events reach the merge; rejects land in the DLQ fenced by the
@@ -67,6 +74,8 @@ class StreamingIngest:
     applied: list[ApplyStats] = field(default_factory=list)
 
     def __post_init__(self) -> None:
+        if self.mode not in ("cow", "mor"):
+            raise ValueError(f"unknown apply mode {self.mode!r}")
         if self.stream_id is None:
             import hashlib
 
@@ -103,7 +112,10 @@ class StreamingIngest:
                 invariants=self.invariants,
             )
             self.dlq.append(rejects, int(batch_id))
-        stats = apply_changes(
+        from ..cdc.apply import apply_changes_mor
+
+        fn = apply_changes_mor if self.mode == "mor" else apply_changes
+        stats = fn(
             self.table,
             batch,
             epoch=int(batch_id),

@@ -607,7 +607,12 @@ class IcehouseTable:
             meta["version"] = new_version
             meta["parent_version"] = self.version
             meta["snapshot_id"] = snapshot_id
-            meta["schema"] = new_schema.jsonValue()
+            # re-merge against the REFRESHED schema: losing a CAS race to a
+            # concurrent schema evolution must not clobber its new columns
+            # (additive ∪ additive is safe; data files conformed to the
+            # narrower schema read the extra columns as NULL)
+            final_schema, _ = evolve_schema(self.schema, new_schema)
+            meta["schema"] = final_schema.jsonValue()
             for p in affected:
                 meta.setdefault("deltas", {}).setdefault(str(p), []).append(
                     {
@@ -644,7 +649,7 @@ class IcehouseTable:
                 }
             if schema_changed:
                 meta.setdefault("schema_log", []).append(
-                    {"version": new_version, "schema": new_schema.jsonValue()}
+                    {"version": new_version, "schema": final_schema.jsonValue()}
                 )
             meta["committed_at"] = time.time()
             try:
@@ -789,7 +794,10 @@ class IcehouseTable:
             meta["version"] = new_version
             meta["parent_version"] = self.version
             meta["snapshot_id"] = snapshot_id
-            meta["schema"] = new_schema.jsonValue()
+            # re-merge against the REFRESHED schema (see append_deltas): a
+            # CAS retry must not clobber a concurrently-evolved column set
+            final_schema, _ = evolve_schema(self.schema, new_schema)
+            meta["schema"] = final_schema.jsonValue()
             for p in affected:
                 meta["partitions"][str(p)] = {
                     "path": os.path.join(sdir_rel, f"_pw={p}"),
@@ -835,7 +843,7 @@ class IcehouseTable:
                 }
             if schema_changed:
                 meta.setdefault("schema_log", []).append(
-                    {"version": new_version, "schema": new_schema.jsonValue()}
+                    {"version": new_version, "schema": final_schema.jsonValue()}
                 )
             meta["committed_at"] = time.time()
             try:
@@ -984,17 +992,39 @@ class IcehouseTable:
                 problems.append(f"unexpected column {name!r}")
         return problems
 
-    def compact_partitions(self, spark: SparkSession) -> CommitResult:
-        """Small-file compaction: rewrite current partitions into one sorted
-        file per bucket (Iceberg rewrite_data_files analog).  Read+write of
-        live+tombstone rows, no semantic change — lineage shows the commit."""
+    def compact_partitions(
+        self, spark: SparkSession, partitions: list[int] | None = None
+    ) -> CommitResult:
+        """Small-file compaction: rewrite partitions into one sorted file per
+        bucket, folding any merge-on-read deltas into the base (Iceberg
+        rewrite_data_files analog).  Read+write of live+tombstone rows, no
+        semantic change — lineage shows the commit.
+
+        ``partitions=None`` compacts the whole table; pass ``"deltas"`` to
+        compact ONLY the delta-bearing buckets — the maintenance-schedule
+        shape: cost proportional to pending-delta data, clean buckets
+        untouched (ReplayRunner's ``compact_every`` uses this).
+        """
         for _ in range(5):
             read_version = self.version
-            read_parts = sorted(
-                {int(k) for k in self.meta["partitions"]}
-                | {int(k) for k, ds in self.meta.get("deltas", {}).items() if ds}
+            if partitions == "deltas":
+                read_parts = sorted(
+                    int(k) for k, ds in self.meta.get("deltas", {}).items() if ds
+                )
+            elif partitions is not None:
+                read_parts = sorted(int(p) for p in partitions)
+            else:
+                read_parts = sorted(
+                    {int(k) for k in self.meta["partitions"]}
+                    | {int(k) for k, ds in self.meta.get("deltas", {}).items() if ds}
+                )
+            if not read_parts:
+                return CommitResult(
+                    self.version, self.meta["snapshot_id"], None, skipped=True
+                )
+            df = self.read(
+                spark, partitions=read_parts, with_part_col=True, with_meta=True
             )
-            df = self.read(spark, with_part_col=True, with_meta=True)
             try:
                 return self.overwrite_partitions(
                     df, affected_partitions=read_parts, read_version=read_version
@@ -1081,6 +1111,88 @@ class IcehouseTable:
             except CommitConflictError:
                 self.refresh()
         raise ConcurrentCommitError(f"vacuum lost 5 conflict races on {self.root}")
+
+    def rollback(self, to_version: int, max_retries: int = 5) -> CommitResult:
+        """Roll the table back to snapshot ``to_version`` as a NEW commit
+        (Iceberg ``rollback_to_snapshot``): the old version's partition map,
+        delta map, and schema are restored by reference — pure metadata, no
+        data movement, and the rolled-back-over versions stay time-travelable
+        until ``expire_snapshots``.
+
+        The exactly-once registry is restored to the target version's view as
+        well — epochs committed AFTER ``to_version`` become uncommitted again,
+        so a replay naturally re-applies them (the recover-from-bad-batch
+        workflow: roll back, fix the source, re-run the replayer).
+        """
+        target = IcehouseTable.load(self.root, version=to_version)
+        for _ in range(max_retries):
+            self.refresh()
+            if self.version == to_version:
+                return CommitResult(self.version, self.meta["snapshot_id"], None, skipped=True)
+            meta = json.loads(json.dumps(self.meta))
+            meta["version"] = self.version + 1
+            meta["parent_version"] = self.version
+            meta["snapshot_id"] = f"s{meta['version']:08d}-rollback{to_version}"
+            for field_name in (
+                "partitions", "deltas", "schema", "epoch_watermark",
+                "committed_epochs", "n_buckets", "partition_spec",
+            ):
+                if field_name in target.meta:
+                    meta[field_name] = json.loads(json.dumps(target.meta[field_name]))
+            meta.setdefault("rollback_log", []).append(
+                {"version": meta["version"], "restored_version": to_version}
+            )
+            meta["committed_at"] = time.time()
+            try:
+                self._write_metadata(meta)
+            except FileExistsError:
+                continue
+            self.meta = meta
+            return CommitResult(meta["version"], meta["snapshot_id"], None)
+        raise ConcurrentCommitError(f"rollback lost {max_retries} races on {self.root}")
+
+    def history(self, spark: SparkSession) -> DataFrame:
+        """Commit history across all retained metadata versions (Delta
+        ``DESCRIBE HISTORY`` analog): one row per version with snapshot id,
+        physical row count, bucket count, schema width, and committed-at
+        timestamp — driver-side metadata only, no data scan."""
+        rows = []
+        mdir = os.path.join(self.root, "metadata")
+        for name in sorted(os.listdir(mdir)):
+            if not name.endswith(".metadata.json"):
+                continue
+            with open(os.path.join(mdir, name)) as fh:
+                m = json.load(fh)
+            rows.append(
+                (
+                    m["version"],
+                    m["snapshot_id"],
+                    m.get("parent_version"),
+                    sum(p["rows"] for p in m["partitions"].values())
+                    + sum(d["rows"] for ds in m.get("deltas", {}).values() for d in ds),
+                    len(m["partitions"]),
+                    sum(1 for ds in m.get("deltas", {}).values() if ds),
+                    m["n_buckets"],
+                    len(m["schema"]["fields"]),
+                    len(m["committed_epochs"]),
+                    m.get("committed_at"),
+                )
+            )
+        schema = T.StructType(
+            [
+                T.StructField("version", T.IntegerType()),
+                T.StructField("snapshot_id", T.StringType()),
+                T.StructField("parent_version", T.IntegerType()),
+                T.StructField("physical_rows", T.LongType()),
+                T.StructField("populated_partitions", T.IntegerType()),
+                T.StructField("delta_buckets", T.IntegerType()),
+                T.StructField("n_buckets", T.IntegerType()),
+                T.StructField("schema_width", T.IntegerType()),
+                T.StructField("committed_epochs", T.IntegerType()),
+                T.StructField("committed_at", T.DoubleType()),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
 
     def lineage_df(self, spark: SparkSession) -> DataFrame:
         """Per-partition lineage as a DataFrame (queryable audit log)."""

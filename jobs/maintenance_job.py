@@ -7,9 +7,13 @@ partition-spec evolution, run as scheduled maintenance jobs):
     spark-submit --py-files data_pipeline_spark.zip jobs/maintenance_job.py \
       --table /shared/tables/token_sequences \
       [--compact]                  # bin small files into one sorted file/bucket
+      [--compact-deltas]           # fold ONLY merge-on-read delta buckets
+                                   # (cost ∝ pending deltas, clean buckets untouched)
       [--vacuum-lsn N]             # reclaim tombstones with _lsn <= N
       [--rebucket N]               # partition-spec evolution to N buckets
       [--expire-keep N]            # drop all but the last N snapshots' files
+      [--rollback V]               # restore snapshot V as a NEW commit
+                                   # (pure metadata; later epochs re-open for replay)
       [--stats]                    # print table health (always safe)
 
 Every action is one atomic, lineage-recorded commit through the same
@@ -50,6 +54,11 @@ def table_stats(table) -> dict:
         else None,
         "committed_epochs": len(table.meta["committed_epochs"]),
         "lineage_records": len(table.meta["lineage"]),
+        "delta_buckets": sum(1 for ds in table.meta.get("deltas", {}).values() if ds),
+        "delta_files": sum(len(ds) for ds in table.meta.get("deltas", {}).values()),
+        "delta_rows": sum(
+            d["rows"] for ds in table.meta.get("deltas", {}).values() for d in ds
+        ),
     }
 
 
@@ -57,9 +66,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--table", required=True)
     ap.add_argument("--compact", action="store_true")
+    ap.add_argument("--compact-deltas", action="store_true")
     ap.add_argument("--vacuum-lsn", type=int, default=None)
     ap.add_argument("--rebucket", type=int, default=None)
     ap.add_argument("--expire-keep", type=int, default=None)
+    ap.add_argument("--rollback", type=int, default=None)
     ap.add_argument("--stats", action="store_true")
     args = ap.parse_args()
 
@@ -69,11 +80,15 @@ def main() -> None:
     table = IcehouseTable.load(args.table)
     out: dict = {"table": args.table, "before": table_stats(table), "actions": []}
 
-    if args.compact:
-        res = table.compact_partitions(spark)
+    if args.compact or args.compact_deltas:
+        res = table.compact_partitions(
+            spark, partitions="deltas" if args.compact_deltas else None
+        )
         out["actions"].append(
-            {"action": "compact", "version": res.version,
-             "partitions": len(res.partitions_rewritten or [])}
+            {"action": "compact_deltas" if args.compact_deltas else "compact",
+             "version": res.version,
+             "partitions": len(res.partitions_rewritten or []),
+             "skipped": res.skipped}
         )
     if args.vacuum_lsn is not None:
         res = table.vacuum_tombstones(spark, args.vacuum_lsn)
@@ -84,6 +99,12 @@ def main() -> None:
         res = table.rebucket(spark, args.rebucket)
         out["actions"].append(
             {"action": "rebucket", "n_buckets": args.rebucket,
+             "version": res.version, "skipped": res.skipped}
+        )
+    if args.rollback is not None:
+        res = table.rollback(args.rollback)
+        out["actions"].append(
+            {"action": "rollback", "restored_version": args.rollback,
              "version": res.version, "skipped": res.skipped}
         )
     if args.expire_keep is not None:

@@ -341,6 +341,37 @@ def test_concurrent_commits_cas_race(spark, tmp_path):
     assert len(state) == 40 and "a1" in state and "b1" in state
 
 
+def test_schema_evolution_survives_concurrent_commit_race(spark, tmp_path):
+    """A writer that loses the metadata CAS to a concurrent SCHEMA EVOLUTION
+    must not clobber the evolved column set on its retry: the commit
+    re-merges its target schema with the refreshed table schema (additive ∪
+    additive).  Simulated deterministically with a stale handle."""
+    from data_pipeline_spark.cdc import apply_changes_with_evolution
+
+    root = str(tmp_path / "t")
+    # n_buckets=1 forces the stale writer to REWRITE the bucket holding the
+    # evolved row — the hazard is survivor rows conformed to the stale
+    # (narrower) schema losing the new column's values
+    IcehouseTable.create(root, TABLE_SCHEMA, n_buckets=1)
+    cols = "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string"
+    h1 = IcehouseTable.load(root)
+    h2 = IcehouseTable.load(root)  # stale handle, pre-evolution schema
+    # h1 evolves: adds nullable column `lang`
+    evolved = spark.createDataFrame(
+        [(1, "I", "a", [1], 1, "s", "en")], cols + ", lang string"
+    )
+    apply_changes_with_evolution(h1, evolved, epoch=0)
+    assert "lang" in h1.schema.fieldNames()
+    # h2 commits with the OLD schema; its merge must keep both the evolved
+    # column AND doc a's value for it (a is a survivor row h2 rewrites)
+    plain = spark.createDataFrame([(2, "I", "b", [2], 1, "s")], cols)
+    apply_changes(h2, plain, epoch=1)
+    final = IcehouseTable.load(root)
+    assert "lang" in final.schema.fieldNames(), "retry clobbered evolved schema"
+    rows = {r["doc_id"]: r["lang"] for r in final.read(spark).collect()}
+    assert rows == {"a": "en", "b": None}, "survivor row lost its evolved column value"
+
+
 def test_salted_join_matches_plain_join(spark):
     """skew.salted_join must equal the plain equi-join for a unique-key
     small side (its documented contract)."""

@@ -137,6 +137,31 @@ def test_cow_over_deltas_on_disjoint_buckets_keeps_unmerged_deltas(spark, tmp_pa
     assert len(got) == 200
 
 
+def test_targeted_delta_compaction_touches_only_delta_buckets(spark, tmp_path):
+    """compact_partitions(partitions="deltas") folds delta-bearing buckets
+    and leaves every clean bucket's files untouched (by path identity)."""
+    table = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=8)
+    rows = [(i, "I", f"doc{i}", [i], 1, "s") for i in range(200)]
+    df = spark.createDataFrame(rows, ["lsn", "op", "doc_id", "tokens", "n_tok", "source"])
+    apply_changes(table, df, epoch=0)  # COW: clean base everywhere
+    upd = spark.createDataFrame(
+        [(1000, "U", "doc0", [42], 1, "s2")],
+        ["lsn", "op", "doc_id", "tokens", "n_tok", "source"],
+    )
+    apply_changes_mor(table, upd, epoch=1)
+    delta_buckets = {k for k, ds in table.meta["deltas"].items() if ds}
+    clean_paths = {
+        k: v["path"] for k, v in table.meta["partitions"].items() if k not in delta_buckets
+    }
+    before = state_of(table, spark)
+    res = table.compact_partitions(spark, partitions="deltas")
+    assert sorted(res.partitions_rewritten) == sorted(int(k) for k in delta_buckets)
+    assert not any(table.meta.get("deltas", {}).values())
+    for k, p in clean_paths.items():
+        assert table.meta["partitions"][k]["path"] == p, "clean bucket rewritten"
+    assert state_of(table, spark) == before
+
+
 def test_mor_delete_tombstone_wins_and_vacuum_reclaims(spark, tmp_path):
     table = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=4)
     df = spark.createDataFrame(

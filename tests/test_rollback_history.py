@@ -1,0 +1,89 @@
+"""Snapshot rollback (Iceberg rollback_to_snapshot analog) + commit history.
+Rollback is a pure-metadata commit restoring an old version's partition/
+delta/schema/epoch-registry view; epochs committed after the target become
+uncommitted again so a replay re-applies them."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_pipeline_spark.cdc import ReplayRunner, generate_change_log
+from data_pipeline_spark.table import IcehouseTable
+
+TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+
+def state_of(table, spark):
+    return {
+        r["doc_id"]: (tuple(r["tokens"] or []), r["n_tok"], r["source"])
+        for r in table.read(spark).collect()
+    }
+
+
+@pytest.fixture()
+def log(spark):
+    return generate_change_log(
+        spark, n_events=3000, n_docs=200, events_per_epoch=1000, seed=5
+    ).persist()
+
+
+def test_rollback_restores_state_and_reopens_epochs(spark, log, tmp_path):
+    t = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=4)
+    ReplayRunner(t, str(tmp_path / "c1")).run(log, epochs=[0])
+    v_after_e0 = t.version
+    state_e0 = state_of(t, spark)
+    ReplayRunner(t, str(tmp_path / "c2")).run(log, epochs=[1, 2])
+    assert state_of(t, spark) != state_e0
+    res = t.rollback(v_after_e0)
+    assert not res.skipped and t.version > v_after_e0, "rollback is a NEW commit"
+    assert state_of(t, spark) == state_e0
+    assert t.epoch_committed(0) and not t.epoch_committed(1) and not t.epoch_committed(2)
+    # the recover workflow: re-replay applies 1-2 again (0 stays fenced)
+    rep = ReplayRunner(t, str(tmp_path / "c3")).run(log)
+    assert [e.epoch for e in rep.epochs if e.skipped] == [0]
+    full = IcehouseTable.create(str(tmp_path / "full"), TABLE_SCHEMA, n_buckets=4)
+    ReplayRunner(full, str(tmp_path / "cf")).run(log)
+    assert state_of(t, spark) == state_of(full, spark)
+
+
+def test_rollback_preserves_mor_deltas_view(spark, log, tmp_path):
+    from data_pipeline_spark.cdc import apply_changes_mor
+
+    t = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=4)
+    apply_changes_mor(t, log.where("epoch = 0").drop("epoch"), epoch=0)
+    v_deltas = t.version
+    state_d = state_of(t, spark)
+    t.compact_partitions(spark)
+    apply_changes_mor(t, log.where("epoch = 1").drop("epoch"), epoch=1)
+    t.rollback(v_deltas)
+    assert state_of(t, spark) == state_d
+    assert any(t.meta.get("deltas", {}).values()), "delta map restored by reference"
+
+
+def test_rollback_to_current_is_noop_and_expire_keeps_restored_files(spark, log, tmp_path):
+    t = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=4)
+    ReplayRunner(t, str(tmp_path / "c")).run(log, epochs=[0, 1])
+    assert t.rollback(t.version).skipped
+    v0 = t.version - 1
+    before = state_of(IcehouseTable.load(t.root, version=v0), spark)
+    t.rollback(v0)
+    t.expire_snapshots(keep_last=1)
+    assert state_of(IcehouseTable.load(t.root), spark) == before
+
+
+def test_history_reports_all_versions(spark, log, tmp_path):
+    t = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=4)
+    ReplayRunner(t, str(tmp_path / "c")).run(log)
+    h = t.history(spark)
+    rows = {r["version"]: r for r in h.collect()}
+    assert set(rows) == set(range(t.version + 1))
+    assert rows[0]["physical_rows"] == 0
+    assert rows[t.version]["physical_rows"] == t.row_count()
+    assert rows[t.version]["committed_epochs"] == 3

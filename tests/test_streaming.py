@@ -234,3 +234,28 @@ def test_stream_with_dlq_quarantines_and_matches_batch(spark, tmp_path):
     assert dlq.read(spark).count() == n_bad == bdlq.read(spark).count()
     reasons = {r["reject_reason"] for r in dlq.read(spark).collect()}
     assert reasons == {"bad_op", "null_key"}
+
+
+def test_stream_mor_mode_matches_batch_replay(spark, log_path, tmp_path):
+    """MOR micro-batch mode: each trigger commits an O(batch) delta append;
+    the drained stream's RESOLVED state must equal the batch-replay oracle,
+    and targeted compaction ("deltas") must fold everything without
+    changing state."""
+    table = IcehouseTable.create(str(tmp_path / "mor_t"), TABLE_SCHEMA, n_buckets=8)
+    ingest = StreamingIngest(
+        table, str(tmp_path / "mor_ckpt"), max_files_per_trigger=4, mode="mor"
+    )
+    q = ingest.start(spark, log_path, trigger_once=True)
+    q.awaitTermination(300)
+    assert ingest.applied and not any(s.result.skipped for s in ingest.applied)
+    assert table.meta.get("deltas"), "MOR stream must leave delta files"
+    expected = _batch_oracle_state(spark, log_path, tmp_path)
+    assert _final_state(table, spark) == expected
+    # fold only the delta-bearing buckets; clean state afterwards
+    table.compact_partitions(spark, partitions="deltas")
+    assert not any(table.meta.get("deltas", {}).values())
+    assert _final_state(table, spark) == expected
+    # second targeted compaction is a pure no-op commit-skip
+    v = table.version
+    res = table.compact_partitions(spark, partitions="deltas")
+    assert res.skipped and table.version == v
