@@ -231,6 +231,7 @@ def apply_changes_with_dlq(
     changes: DataFrame,
     epoch: int | None = None,
     invariants: list[tuple[str, F.Column]] | None = None,
+    mode: str = "cow",
     **apply_kwargs,
 ):
     """Split a batch, quarantine the rejects, merge the valid events.
@@ -238,9 +239,10 @@ def apply_changes_with_dlq(
     Both sides are idempotent under replay: the merge via the table's
     committed-epochs fence, the DLQ via its per-epoch ``_SUCCESS`` fence —
     so a crash between the two writes is safe to re-run in either order.
+    ``mode``: ``"cow"`` or ``"mor"`` (merge-on-read delta append).
     Returns ``(ApplyStats, n_rejected)``.
     """
-    from .apply import apply_changes
+    from .apply import apply_changes, apply_changes_mor
 
     if epoch is None:
         raise ValueError("apply_changes_with_dlq needs an epoch (both fences key on it)")
@@ -248,6 +250,7 @@ def apply_changes_with_dlq(
         changes, schema=table.schema, key=table.key_col, invariants=invariants
     )
     dlq.append(rejects, epoch)
-    stats = apply_changes(table, valid, epoch=epoch, **apply_kwargs)
+    fn = apply_changes_mor if mode == "mor" else apply_changes
+    stats = fn(table, valid, epoch=epoch, **apply_kwargs)
     n_rejected = dlq.read_epoch(valid.sparkSession, epoch).count()
     return stats, n_rejected

@@ -1651,6 +1651,56 @@ def cdc_mor_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("cdc_rollback_replay", _CDC_REPLAY_ORACLE)
+def cdc_rollback_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recovery flagship: replay all epochs, ROLL BACK to the post-epoch-0
+    snapshot (``IcehouseTable.rollback`` — pure-metadata restore; epochs 1-2
+    re-open in the exactly-once registry), then re-replay.  The final state
+    must be byte-identical to the straight-through replay — the same LCG
+    oracle as ``cdc_replay_icehouse`` certifies that the rollback+recover
+    workflow converges (the fix-a-bad-batch operational loop: roll back,
+    repair upstream, re-run the replayer; reference analog: the
+    delete-today's-rows-then-rerun idempotency fence,
+    ``priceforecasting/bigquery_handler.py:216-225``, generalized to any
+    historical snapshot)."""
+    import tempfile
+
+    from .cdc.changelog import generate_change_log_portable
+    from .cdc.replay import ReplayRunner
+    from .table.icehouse import IcehouseTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+            T.StructField("n_tok", T.IntegerType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="icehouse_rb_")
+    table = IcehouseTable.create(f"{root}/t", schema, key_col="doc_id", n_buckets=8)
+    log = generate_change_log_portable(
+        spark, n_events=6000, n_docs=500, events_per_epoch=2000, seed=42
+    )
+    ReplayRunner(table, f"{root}/ckpt0.json").run(log, epochs=[0])
+    v_good = table.version
+    ReplayRunner(table, f"{root}/ckpt1.json").run(log, epochs=[1, 2])
+    table.rollback(v_good)
+    assert not table.epoch_committed(1) and not table.epoch_committed(2)
+    ReplayRunner(table, f"{root}/ckpt2.json").run(log)  # epoch 0 fenced, 1-2 re-applied
+    return (
+        table.read(spark)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 # Oracle for the incremental changed-since feed: recompute the portable log
 # and its per-key winners in SQL, then keep only winners past the watermark —
 # exactly the rows the engine's file-skipping scan must emit (including
