@@ -67,6 +67,11 @@ HEADLINE_QUERIES = [
     "doc_fingerprint_dedup",
     "minhash_lsh_pairs",
     "embedding_topk",
+    # round-2b flagships: end-to-end MOR replay + incremental feed (self-
+    # contained 6k-event portable logs; timings are dominated by the commit
+    # machinery, which is the point)
+    "cdc_mor_final_state",
+    "cdc_changed_since_feed",
 ]
 
 

@@ -249,6 +249,21 @@ def test_append_conflicts_with_concurrent_rebucket(spark, tmp_path):
     assert got["d0"] == ((7,), 1, "s2") and len(got) == 50
 
 
+def test_clean_table_read_plan_has_no_resolve_aggregate(spark, log, tmp_path):
+    """Reads of a table with NO pending deltas must stay a plain scan+filter
+    — the LWW resolve aggregate (and its shuffle) may appear only when
+    delta files exist for the requested buckets."""
+    cow = _replay(spark, log, tmp_path / "cow")
+    plan = cow.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" not in plan and "Exchange" not in plan, plan[:2000]
+    mor = _replay(spark, log, tmp_path / "mor", mode="mor")
+    plan_m = mor.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" in plan_m, "delta-bearing read must resolve LWW"
+    mor.compact_partitions(spark)
+    plan_c = mor.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" not in plan_c and "Exchange" not in plan_c, plan_c[:2000]
+
+
 def test_expire_snapshots_keeps_live_delta_dirs(spark, log, tmp_path):
     mor = _replay(spark, log, tmp_path / "mor", mode="mor")
     before = state_of(mor, spark)
