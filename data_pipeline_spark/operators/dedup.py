@@ -351,3 +351,38 @@ def blocked_levenshtein_pairs(
             F.levenshtein("_t_a", "_t_b").cast("int").alias("distance"),
         )
     )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Train/eval decontamination: for every (train doc, eval doc) pair,
+    count DISTINCT shared word n-grams — the standard benchmark-leakage
+    check run before training (n=8..13 in the published recipes; the
+    contaminated train docs are then dropped or span-masked).
+
+    Shape at 100 TB: both sides explode to (shingle, id) and meet in ONE
+    equi-join on the shingle — the eval side is tiny (benchmarks are small)
+    so AQE broadcasts it; the train side streams through map-side.  No
+    pairwise comparison, no cross join, cost O(train shingles).
+    Returns (train_id, eval_id, n_shared) with n_shared >= min_shared.
+    """
+    t = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("_s"),
+    )
+    e = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("_s"),
+    )
+    return (
+        t.join(e, "_s")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))  # distinct per side ⇒ count = distinct shared
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -895,6 +895,49 @@ def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "eval_decontamination",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, greatest(len(ws) - 3, 1) + 1),
+                                                 i -> array_to_string(ws[i:i+3], ' ')))) AS s
+      FROM w
+    ),
+    t AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 10 <> 0),
+    e AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 10 = 0)
+    SELECT t.train_id::BIGINT AS train_id, e.eval_id::BIGINT AS eval_id,
+           COUNT(*)::BIGINT AS n_shared
+    FROM t JOIN e USING (s)
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+)
+def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (train/eval n-gram overlap): every 10th doc
+    plays the held-out eval set; any train doc sharing ≥2 distinct word
+    4-grams with an eval doc is flagged (drop or span-mask before
+    training).  One explode per side + ONE equi-join on the shingle — the
+    eval side is benchmark-sized so AQE broadcasts it; no pairwise
+    comparison ever materializes (cost O(train shingles) at any corpus
+    size).  Published recipes use n=8-13 on real text; the synthetic
+    word-salad corpus needs n=4 to produce a non-trivial overlap set."""
+    from .operators.dedup import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_contamination(
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0),
+        "doc_id",
+        "text",
+        shingle_n=4,
+        min_shared=2,
+    )
+
+
 # ---------------------------------------------------------------------------
 # 6. near-duplicate detection + similarity search  (MinHash-LSH / Jaccard /
 #    SimHash / embedding cosine; SURVEY §2.3 J8)

@@ -209,7 +209,14 @@ class IcehouseTable:
         return t
 
     @classmethod
-    def load(cls, root: str, version: int | None = None) -> "IcehouseTable":
+    def load(
+        cls, root: str, version: int | None = None, tag: str | None = None
+    ) -> "IcehouseTable":
+        if tag is not None:
+            latest = cls.load(root)
+            if tag not in latest.meta.get("tags", {}):
+                raise KeyError(f"no tag {tag!r} on table {root}")
+            version = latest.meta["tags"][tag]
         v = version if version is not None else cls._latest_version(root)
         if v is None:
             raise FileNotFoundError(f"no icehouse metadata under {root}")
@@ -885,12 +892,16 @@ class IcehouseTable:
     def expire_snapshots(self, keep_last: int = 3) -> list[str]:
         """Delete data dirs referenced only by metadata versions older than the
         last ``keep_last`` (Iceberg analog: expire_snapshots; reference analog:
-        365-day partition expiry, loader.py:135)."""
+        365-day partition expiry, loader.py:135).  TAGGED versions
+        (:meth:`create_tag`) are always kept — files and metadata — until
+        the tag is deleted."""
+        self.refresh()
         mdir = os.path.join(self.root, "metadata")
         versions = sorted(
             int(n[1:9]) for n in os.listdir(mdir) if n.endswith(".metadata.json")
         )
-        keep_versions = versions[-keep_last:]
+        tagged = set(self.meta.get("tags", {}).values())
+        keep_versions = sorted(set(versions[-keep_last:]) | (tagged & set(versions)))
         live_dirs: set[str] = set()
         for v in keep_versions:
             meta = IcehouseTable.load(self.root, version=v).meta
@@ -906,8 +917,9 @@ class IcehouseTable:
             if rel not in live_dirs:
                 shutil.rmtree(os.path.join(ddir, snap), ignore_errors=True)
                 removed.append(rel)
-        for v in versions[:-keep_last]:
-            os.unlink(os.path.join(mdir, f"v{v:08d}.metadata.json"))
+        for v in versions:
+            if v not in keep_versions:
+                os.unlink(os.path.join(mdir, f"v{v:08d}.metadata.json"))
         return removed
 
     def delete_where(
@@ -1112,7 +1124,56 @@ class IcehouseTable:
                 self.refresh()
         raise ConcurrentCommitError(f"vacuum lost 5 conflict races on {self.root}")
 
-    def rollback(self, to_version: int, max_retries: int = 5) -> CommitResult:
+    def create_tag(self, name: str, version: int | None = None, max_retries: int = 5) -> CommitResult:
+        """Pin a snapshot under a named tag (Iceberg tag analog): a new
+        pure-metadata commit recording ``tags[name] = version`` (default:
+        current).  Tagged snapshots are exempt from ``expire_snapshots`` —
+        their data files and metadata stay until the tag is deleted.
+        Typical use: ``create_tag("training-run-17")`` before kicking off a
+        training job, so the exact dataset state stays reproducible while
+        ingest keeps committing."""
+        for _ in range(max_retries):
+            self.refresh()
+            pin = self.version if version is None else version
+            if not os.path.exists(
+                os.path.join(self.root, "metadata", f"v{pin:08d}.metadata.json")
+            ):
+                raise FileNotFoundError(f"no metadata version {pin} to tag")
+            meta = json.loads(json.dumps(self.meta))
+            meta["version"] = self.version + 1
+            meta["parent_version"] = self.version
+            meta["snapshot_id"] = f"s{meta['version']:08d}-tag"
+            meta.setdefault("tags", {})[name] = pin
+            meta["committed_at"] = time.time()
+            try:
+                self._write_metadata(meta)
+            except FileExistsError:
+                continue
+            self.meta = meta
+            return CommitResult(meta["version"], meta["snapshot_id"], None)
+        raise ConcurrentCommitError(f"create_tag lost {max_retries} races on {self.root}")
+
+    def delete_tag(self, name: str, max_retries: int = 5) -> CommitResult:
+        """Drop a tag (the pinned snapshot becomes expirable again)."""
+        for _ in range(max_retries):
+            self.refresh()
+            meta = json.loads(json.dumps(self.meta))
+            if name not in meta.get("tags", {}):
+                return CommitResult(self.version, self.meta["snapshot_id"], None, skipped=True)
+            meta["version"] = self.version + 1
+            meta["parent_version"] = self.version
+            meta["snapshot_id"] = f"s{meta['version']:08d}-untag"
+            del meta["tags"][name]
+            meta["committed_at"] = time.time()
+            try:
+                self._write_metadata(meta)
+            except FileExistsError:
+                continue
+            self.meta = meta
+            return CommitResult(meta["version"], meta["snapshot_id"], None)
+        raise ConcurrentCommitError(f"delete_tag lost {max_retries} races on {self.root}")
+
+    def rollback(self, to_version: int | str, max_retries: int = 5) -> CommitResult:
         """Roll the table back to snapshot ``to_version`` as a NEW commit
         (Iceberg ``rollback_to_snapshot``): the old version's partition map,
         delta map, and schema are restored by reference — pure metadata, no
@@ -1123,7 +1184,14 @@ class IcehouseTable:
         well — epochs committed AFTER ``to_version`` become uncommitted again,
         so a replay naturally re-applies them (the recover-from-bad-batch
         workflow: roll back, fix the source, re-run the replayer).
+
+        ``to_version`` may be a tag name (rolls back to the tagged snapshot).
         """
+        if isinstance(to_version, str):
+            self.refresh()
+            if to_version not in self.meta.get("tags", {}):
+                raise KeyError(f"no tag {to_version!r} on table {self.root}")
+            to_version = self.meta["tags"][to_version]
         target = IcehouseTable.load(self.root, version=to_version)
         for _ in range(max_retries):
             self.refresh()

@@ -12,8 +12,11 @@ partition-spec evolution, run as scheduled maintenance jobs):
       [--vacuum-lsn N]             # reclaim tombstones with _lsn <= N
       [--rebucket N]               # partition-spec evolution to N buckets
       [--expire-keep N]            # drop all but the last N snapshots' files
-      [--rollback V]               # restore snapshot V as a NEW commit
-                                   # (pure metadata; later epochs re-open for replay)
+      [--rollback V]               # restore snapshot V (or tag name) as a NEW
+                                   # commit (pure metadata; later epochs re-open)
+      [--tag NAME]                 # pin the current snapshot under a tag
+                                   # (exempt from expiry until --delete-tag)
+      [--delete-tag NAME]
       [--stats]                    # print table health (always safe)
 
 Every action is one atomic, lineage-recorded commit through the same
@@ -70,7 +73,10 @@ def main() -> None:
     ap.add_argument("--vacuum-lsn", type=int, default=None)
     ap.add_argument("--rebucket", type=int, default=None)
     ap.add_argument("--expire-keep", type=int, default=None)
-    ap.add_argument("--rollback", type=int, default=None)
+    ap.add_argument("--rollback", default=None,
+                    help="version number or tag name")
+    ap.add_argument("--tag", default=None)
+    ap.add_argument("--delete-tag", default=None)
     ap.add_argument("--stats", action="store_true")
     args = ap.parse_args()
 
@@ -101,11 +107,23 @@ def main() -> None:
             {"action": "rebucket", "n_buckets": args.rebucket,
              "version": res.version, "skipped": res.skipped}
         )
+    if args.tag is not None:
+        res = table.create_tag(args.tag)
+        out["actions"].append(
+            {"action": "tag", "name": args.tag,
+             "pinned_version": table.meta["tags"][args.tag], "version": res.version}
+        )
     if args.rollback is not None:
-        res = table.rollback(args.rollback)
+        target = int(args.rollback) if args.rollback.isdigit() else args.rollback
+        res = table.rollback(target)
         out["actions"].append(
             {"action": "rollback", "restored_version": args.rollback,
              "version": res.version, "skipped": res.skipped}
+        )
+    if args.delete_tag is not None:
+        res = table.delete_tag(args.delete_tag)
+        out["actions"].append(
+            {"action": "delete_tag", "name": args.delete_tag, "skipped": res.skipped}
         )
     if args.expire_keep is not None:
         removed = table.expire_snapshots(keep_last=args.expire_keep)

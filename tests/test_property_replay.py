@@ -42,10 +42,13 @@ def oracle(rows):
     return state
 
 
+@pytest.mark.parametrize("mode", ["cow", "mor", "mixed"])
 @pytest.mark.parametrize("order", ["forward", "reverse"])
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(events=events_strategy, split=st.integers(min_value=1, max_value=15))
-def test_replay_matches_oracle_any_order(spark, tmp_path_factory, events, split, order):
+def test_replay_matches_oracle_any_order(
+    spark, tmp_path_factory, events, split, order, mode
+):
     rows = [
         (lsn, op, f"k{k}", None if op == "D" else [tok, tok + 1], None if op == "D" else 2, "s")
         for lsn, (k, op, tok) in enumerate(events)
@@ -60,10 +63,18 @@ def test_replay_matches_oracle_any_order(spark, tmp_path_factory, events, split,
     epochs = [0, 1]
     if order == "reverse":
         batches, epochs = batches[::-1], epochs[::-1]
-    for ep, batch in zip(epochs, batches):
+    from data_pipeline_spark.cdc.apply import apply_changes_mor
+
+    fns = {
+        "cow": [apply_changes, apply_changes],
+        "mor": [apply_changes_mor, apply_changes_mor],
+        # mixed exercises the COW-over-deltas fold path with arbitrary data
+        "mixed": [apply_changes_mor, apply_changes],
+    }[mode]
+    for fn, (ep, batch) in zip(fns, zip(epochs, batches)):
         if batch.isEmpty():
             continue
-        apply_changes(table, batch, epoch=ep)
+        fn(table, batch, epoch=ep)
     want = {
         f"k{k}": (tok, tok + 1) for k, tok in oracle(events).items()
     }

@@ -87,3 +87,35 @@ def test_history_reports_all_versions(spark, log, tmp_path):
     assert rows[0]["physical_rows"] == 0
     assert rows[t.version]["physical_rows"] == t.row_count()
     assert rows[t.version]["committed_epochs"] == 3
+
+
+def test_tags_pin_snapshots_and_survive_expiry(spark, log, tmp_path):
+    t = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=4)
+    ReplayRunner(t, str(tmp_path / "c")).run(log, epochs=[0])
+    t.create_tag("training-run-1")
+    tagged_v = t.meta["tags"]["training-run-1"]
+    pinned = state_of(IcehouseTable.load(t.root, version=tagged_v), spark)
+    ReplayRunner(t, str(tmp_path / "c2")).run(log, epochs=[1, 2])
+    t.compact_partitions(spark)
+    t.expire_snapshots(keep_last=1)
+    # the tagged snapshot's metadata AND data files must survive expiry
+    by_tag = IcehouseTable.load(t.root, tag="training-run-1")
+    assert by_tag.version == tagged_v
+    assert state_of(by_tag, spark) == pinned
+    # rollback by tag name
+    t.rollback("training-run-1")
+    assert state_of(t, spark) == pinned
+    # delete the tag -> next expiry reclaims it
+    t.delete_tag("training-run-1")
+    assert "training-run-1" not in t.meta.get("tags", {})
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        IcehouseTable.load(t.root, version=tagged_v)
+
+
+def test_unknown_tag_raises(spark, log, tmp_path):
+    t = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=4)
+    with pytest.raises(KeyError):
+        IcehouseTable.load(t.root, tag="nope")
+    with pytest.raises(KeyError):
+        t.rollback("nope")
