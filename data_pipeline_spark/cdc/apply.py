@@ -31,6 +31,7 @@ Scale notes (the 100-TB story):
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -80,7 +81,9 @@ class ApplyStats:
     deletes: int
 
 
-def batch_part_stats(table: IcehouseTable, changes: DataFrame, key_type=None) -> dict[int, dict]:
+def batch_part_stats(
+    table: IcehouseTable, changes: DataFrame, key_type=None, n_buckets: int | None = None
+) -> dict[int, dict]:
     """Per-bucket event stats of a raw change batch (lineage + affected-
     partition discovery): one columnar scan with map-side partial
     aggregation over (lsn, op, key) only.
@@ -95,7 +98,7 @@ def batch_part_stats(table: IcehouseTable, changes: DataFrame, key_type=None) ->
     key_type = key_type or table.schema[key].dataType
     rows = (
         changes.select("lsn", "op", F.col(key).cast(key_type).alias(key))
-        .withColumn(PART_COL, table.bucket_expr())
+        .withColumn(PART_COL, table.bucket_expr(n_buckets=n_buckets))
         .groupBy(PART_COL)
         .agg(
             F.min("lsn").alias("lsn_min"),
@@ -366,16 +369,22 @@ def apply_changes_mor(
     )
     if part_stats is not None and target_schema[key].dataType != table.schema[key].dataType:
         part_stats = None  # key widening changes the bucket hash — stale
-    stats_future = None
+    stats_holder: dict[str, Any] = {"future": None}
+    submit_n_buckets = table.n_buckets
     if part_stats is None:
         # MOR needs the stats only for lineage/counts, never to prune a base
         # read — run the scan CONCURRENTLY with the delta write (the commit
-        # resolves the callable after the data files land)
+        # resolves the callable after the data files land).  The bucket
+        # modulus is CAPTURED at submit time: the retry path refreshes the
+        # table handle concurrently, and without the pin a mid-flight
+        # rebucket would leave the prefetched stats keyed under a modulus
+        # the committed delta partitions no longer use.
         from concurrent.futures import ThreadPoolExecutor
 
         _pool = ThreadPoolExecutor(max_workers=1)
-        stats_future = _pool.submit(
-            batch_part_stats, table, changes, target_schema[key].dataType
+        stats_holder["future"] = _pool.submit(
+            batch_part_stats, table, changes, target_schema[key].dataType,
+            submit_n_buckets,
         )
         _pool.shutdown(wait=False)
     elif not part_stats:
@@ -403,7 +412,7 @@ def apply_changes_mor(
     lineage = (
         _lineage_of(part_stats)
         if part_stats is not None
-        else (lambda: _lineage_of(stats_future.result()))
+        else (lambda: _lineage_of(stats_holder["future"].result()))
     )
     for _attempt in range(3):
         try:
@@ -418,6 +427,18 @@ def apply_changes_mor(
         except CommitConflictError:
             # a rebucket landed mid-flight: re-plan under the fresh modulus
             table.refresh()
+            if stats_holder["future"] is not None and table.n_buckets != submit_n_buckets:
+                # prefetched stats are keyed under the old modulus — recompute
+                # so lineage matches the delta partitions actually committed
+                from concurrent.futures import ThreadPoolExecutor
+
+                submit_n_buckets = table.n_buckets
+                _pool = ThreadPoolExecutor(max_workers=1)
+                stats_holder["future"] = _pool.submit(
+                    batch_part_stats, table, changes, target_schema[key].dataType,
+                    submit_n_buckets,
+                )
+                _pool.shutdown(wait=False)
             batch_norm = latest.select(
                 *logical_cols,
                 F.col("lsn").alias(LSN_COL),
@@ -428,7 +449,7 @@ def apply_changes_mor(
             f"MOR append lost 3 consecutive rebucket races on {table.root}"
         )
     if part_stats is None:
-        part_stats = stats_future.result()
+        part_stats = stats_holder["future"].result()
     events_seen = sum(
         int(r["events_deleted"] + r["events_upserted"]) for r in part_stats.values()
     )

@@ -46,7 +46,7 @@ import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
-from typing import Any
+from typing import Any, Literal
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -895,21 +895,34 @@ class IcehouseTable:
         365-day partition expiry, loader.py:135).  TAGGED versions
         (:meth:`create_tag`) are always kept — files and metadata — until
         the tag is deleted."""
-        self.refresh()
         mdir = os.path.join(self.root, "metadata")
-        versions = sorted(
-            int(n[1:9]) for n in os.listdir(mdir) if n.endswith(".metadata.json")
-        )
-        tagged = set(self.meta.get("tags", {}).values())
-        keep_versions = sorted(set(versions[-keep_last:]) | (tagged & set(versions)))
-        live_dirs: set[str] = set()
-        for v in keep_versions:
-            meta = IcehouseTable.load(self.root, version=v).meta
-            for p in meta["partitions"].values():
-                live_dirs.add(p["path"].split("/_pw=")[0])
-            for ds in meta.get("deltas", {}).values():
-                for d in ds:
-                    live_dirs.add(d["path"].split("/_pw=")[0])
+
+        def _keep_and_live() -> tuple[set[int], set[str], list[int]]:
+            self.refresh()
+            versions = sorted(
+                int(n[1:9]) for n in os.listdir(mdir) if n.endswith(".metadata.json")
+            )
+            tagged = set(self.meta.get("tags", {}).values())
+            keep = set(versions[-keep_last:]) | (tagged & set(versions))
+            live: set[str] = set()
+            for v in sorted(keep):
+                meta = IcehouseTable.load(self.root, version=v).meta
+                for p in meta["partitions"].values():
+                    live.add(p["path"].split("/_pw=")[0])
+                for ds in meta.get("deltas", {}).values():
+                    for d in ds:
+                        live.add(d["path"].split("/_pw=")[0])
+            return keep, live, versions
+
+        keep_versions, live_dirs, versions = _keep_and_live()
+        # Re-read immediately before the destructive pass: a create_tag that
+        # CAS-committed while we computed live_dirs may have pinned a version
+        # this pass would otherwise unlink.  One re-read closes the window to
+        # the same order as the CAS commits everywhere else in this file.
+        keep2, live2, versions2 = _keep_and_live()
+        keep_versions |= keep2
+        live_dirs |= live2
+        versions = sorted(set(versions) | set(versions2))
         removed = []
         ddir = os.path.join(self.root, "data")
         for snap in os.listdir(ddir):
@@ -1005,7 +1018,9 @@ class IcehouseTable:
         return problems
 
     def compact_partitions(
-        self, spark: SparkSession, partitions: list[int] | None = None
+        self,
+        spark: SparkSession,
+        partitions: "list[int] | Literal['deltas'] | None" = None,
     ) -> CommitResult:
         """Small-file compaction: rewrite partitions into one sorted file per
         bucket, folding any merge-on-read deltas into the base (Iceberg
@@ -1201,12 +1216,19 @@ class IcehouseTable:
             meta["version"] = self.version + 1
             meta["parent_version"] = self.version
             meta["snapshot_id"] = f"s{meta['version']:08d}-rollback{to_version}"
-            for field_name in (
-                "partitions", "deltas", "schema", "epoch_watermark",
-                "committed_epochs", "n_buckets", "partition_spec",
+            # Restore every state-bearing field, supplying the lazy-init
+            # default when the target snapshot predates the field ("deltas"
+            # only appears after the first MOR append: rolling back across a
+            # COW->MOR boundary must DROP the pending deltas, not keep them).
+            for field_name, default in (
+                ("partitions", {}), ("deltas", {}), ("schema", None),
+                ("epoch_watermark", -1), ("committed_epochs", {}),
+                ("n_buckets", None), ("partition_spec", None),
             ):
                 if field_name in target.meta:
                     meta[field_name] = json.loads(json.dumps(target.meta[field_name]))
+                elif default is not None:
+                    meta[field_name] = json.loads(json.dumps(default))
             meta.setdefault("rollback_log", []).append(
                 {"version": meta["version"], "restored_version": to_version}
             )

@@ -114,7 +114,13 @@ def main() -> None:
              "pinned_version": table.meta["tags"][args.tag], "version": res.version}
         )
     if args.rollback is not None:
-        target = int(args.rollback) if args.rollback.isdigit() else args.rollback
+        # Tag namespace wins over version parsing so an all-digit tag name
+        # (e.g. a release tag "123") rolls back to the tagged snapshot, not
+        # to literal version 123.
+        if args.rollback in table.meta.get("tags", {}):
+            target = args.rollback
+        else:
+            target = int(args.rollback) if args.rollback.isdigit() else args.rollback
         res = table.rollback(target)
         out["actions"].append(
             {"action": "rollback", "restored_version": args.rollback,

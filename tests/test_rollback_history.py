@@ -67,6 +67,33 @@ def test_rollback_preserves_mor_deltas_view(spark, log, tmp_path):
     assert any(t.meta.get("deltas", {}).values()), "delta map restored by reference"
 
 
+def test_rollback_across_cow_mor_boundary_drops_pending_deltas(spark, log, tmp_path):
+    """Rolling back to a version that PREDATES the first MOR append must drop
+    the pending delta files: 'deltas' is lazily added to the metadata by
+    append_deltas, so the restore has to write the {} default rather than
+    skip the absent key (regression: rolled-back table kept serving the
+    rolled-back-over MOR rows)."""
+    from data_pipeline_spark.cdc import apply_changes, apply_changes_mor
+
+    t = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=4)
+    apply_changes(t, log.where("epoch = 0").drop("epoch"), epoch=0)  # COW: no 'deltas' key
+    assert "deltas" not in t.meta
+    v_cow = t.version
+    state_cow = state_of(t, spark)
+    apply_changes_mor(t, log.where("epoch = 1").drop("epoch"), epoch=1)
+    assert any(t.meta.get("deltas", {}).values())
+    assert state_of(t, spark) != state_cow
+    t.rollback(v_cow)
+    assert not any(t.meta.get("deltas", {}).values()), "pending deltas must not survive"
+    assert state_of(t, spark) == state_cow
+    assert not t.epoch_committed(1), "epoch 1 must be re-appliable after rollback"
+    # recover workflow completes: re-applying epoch 1 converges to the full state
+    apply_changes_mor(t, log.where("epoch = 1").drop("epoch"), epoch=1)
+    ref = IcehouseTable.create(str(tmp_path / "ref"), TABLE_SCHEMA, n_buckets=4)
+    apply_changes(ref, log.where("epoch <= 1").drop("epoch"), epoch=0)
+    assert state_of(t, spark) == state_of(ref, spark)
+
+
 def test_rollback_to_current_is_noop_and_expire_keeps_restored_files(spark, log, tmp_path):
     t = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=4)
     ReplayRunner(t, str(tmp_path / "c")).run(log, epochs=[0, 1])
