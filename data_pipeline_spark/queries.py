@@ -1360,27 +1360,83 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("ann_ivf_topk")  # rows-only: iterative k-means training is not SQL-expressible
+def _ivf_oracle_sql() -> str:
+    """Render the ann_ivf_topk oracle with the PINNED codebook as literals.
+
+    The codebook was trained in the engine (``kmeans_centroids``, the
+    iterative non-SQL-expressible part) and pinned at 6 decimals in
+    ``operators/ivf_codebook.py`` — so cell assignment, n_probe selection,
+    and the exact top-k over probed cells are all value-hash-checked against
+    the identical literals."""
+    from .operators.ivf_codebook import IVF_CODEBOOK
+
+    cents_rows = ",\n      ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(IVF_CODEBOOK)
+    )
+    return f"""
+    WITH cents(i, c) AS (VALUES
+      {cents_rows}
+    ),
+    cor AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    cor_cell AS (
+      SELECT c_id, (array_agg(i ORDER BY s DESC, i ASC))[1] AS cell
+      FROM (SELECT c_id, i, list_dot_product(cv, c) AS s FROM cor CROSS JOIN cents)
+      GROUP BY c_id
+    ),
+    q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 20),
+    q_probe AS (
+      SELECT q_id, cell FROM (
+        SELECT q_id, i AS cell,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY list_dot_product(qv, c) DESC, i DESC) AS rn
+        FROM q CROSS JOIN cents
+      ) WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT DISTINCT q_id, c_id
+      FROM q_probe JOIN cor_cell USING (cell)
+      WHERE q_id <> c_id
+    )
+    SELECT * FROM (
+      SELECT cand.q_id AS query_id, cand.c_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qv, cor.cv), 6) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY cand.q_id
+               ORDER BY ROUND(list_cosine_similarity(q.qv, cor.cv), 6) DESC,
+                        cand.c_id ASC) AS rank
+      FROM cand JOIN q ON q.q_id = cand.q_id JOIN cor ON cor.c_id = cand.c_id
+    ) WHERE rank <= 10
+    """
+
+
+@q("ann_ivf_topk", None)  # oracle attached below via _ivf_oracle_sql()
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-k: spherical k-means cells (Lloyd's
     iterations as DataFrame aggregations, deterministic lowest-id init)
     replace the random hyperplanes — the FAISS-IVF architecture (reference:
-    ``product_matcher.py:50-126``) on DataFrames.  The train loop is
-    iterative, so no tractable ANSI oracle exists; recall vs the exact
-    baseline and codebook-reuse equality are asserted in
-    tests/test_dedup_similarity.py."""
+    ``product_matcher.py:50-126``) on DataFrames.  The catalog entry probes
+    the PINNED engine-trained codebook (``operators/ivf_codebook.py``) so the
+    whole assignment→probe→top-k pipeline is value-hash-checked; the training
+    loop itself stays engine-side with recall and codebook-reuse equality
+    asserted in tests/test_dedup_similarity.py."""
+    from .operators.ivf_codebook import IVF_CODEBOOK
     from .operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     out = ivf_topk(
         emb.where(F.col("vec_id") < 20), emb, "vec_id", "vec_id", "embedding",
-        n_centroids=16, n_probe=4, k=10, n_iters=3,
+        n_centroids=16, n_probe=4, k=10, centroids=IVF_CODEBOOK,
     )
     return out.select(
         F.col("vec_id_q").alias("query_id"),
         F.col("vec_id_c").alias("neighbor_id"),
         "cosine", "rank",
     )
+
+
+ORACLE_SQL["ann_ivf_topk"] = _ivf_oracle_sql()
 
 
 @q(
@@ -2405,20 +2461,76 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("sketch_aggregates")  # rows-only: approximate by design (error bounds tested)
+@q(
+    "sketch_aggregates",
+    """
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n,
+           COUNT(DISTINCT user_id)::BIGINT AS users_exact,
+           TRUE AS approx_users_ok,
+           TRUE AS q50_ok, TRUE AS q95_ok, TRUE AS q99_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100-TB profiling: HyperLogLog++ distinct counts
     and approximate percentiles — mergeable, bounded-memory, one pass.
-    Approximation has no ANSI oracle; relative-error bounds vs exact are
-    asserted in tests/test_sketches_agg.py."""
+
+    The entry is split so the hash gate checks BOTH halves: exact columns
+    (count, distinct users) value-hash against the oracle directly, and each
+    approximate column is reduced to an in-bounds BOOLEAN that the oracle
+    pins to TRUE — a hash mismatch means a sketch broke its contract.
+    Bounds are the sketches' OWN guarantees: HLL++ rsd=0.02 checked at ±6%
+    (3σ) of the exact distinct count; percentile_approx(accuracy=A) is a
+    Greenwald-Khanna sketch whose guarantee is on RANK (≤ n/A rank error),
+    so each returned quantile is checked by counting how many group values
+    fall below it — a value-distance check would false-alarm on the
+    element-vs-interpolation discreteness of small groups.  Tighter
+    distributional assertions live in tests/test_sketches_agg.py."""
     ev = _t(spark, sf_dir, "events")
-    qs = F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000)
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.round(F.element_at(qs, 1), 4).alias("value_q50"),
-        F.round(F.element_at(qs, 2), 4).alias("value_q95"),
-        F.round(F.element_at(qs, 3), 4).alias("value_q99"),
+    accuracy = 10_000
+    ps = [0.5, 0.95, 0.99]
+    qs = F.percentile_approx("value", ps, accuracy)
+    agg = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx_users"),
+        qs.alias("_qa"),
+    )
+    # rank-check join: each event compares against its group's sketch
+    # quantiles (the grouped frame is 4 rows — broadcast, corpus no-shuffle)
+    ranks = (
+        ev.join(F.broadcast(agg.select("event_type", "_qa")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.sum(
+                    (F.col("value") <= F.element_at("_qa", i + 1)).cast("long")
+                ).alias(f"_le{i}")
+                for i in range(len(ps))
+            ]
+        )
+    )
+    def _q_ok(i: int) -> F.Column:
+        slack = F.col("n") / accuracy + 1.0
+        target = F.col("n") * ps[i]
+        return (F.col(f"_le{i}") >= target - slack) & (
+            F.col(f"_le{i}") - 1 <= target + slack
+        )
+    return (
+        agg.join(ranks, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "users_exact",
+            (
+                F.abs(F.col("_approx_users") - F.col("users_exact"))
+                <= F.col("users_exact") * 0.06
+            ).alias("approx_users_ok"),
+            _q_ok(0).alias("q50_ok"),
+            _q_ok(1).alias("q95_ok"),
+            _q_ok(2).alias("q99_ok"),
+        )
     )
 
 

@@ -108,3 +108,22 @@ def test_replace_existing_tombstones_stale_buckets(spark, tmp_path):
     live = idx.table.read(spark).where("vec_id = 3")
     n_tables = idx.n_tables
     assert live.select("entry_id").distinct().count() <= n_tables
+
+
+def test_pinned_codebook_matches_engine_training(spark):
+    """Provenance of the ann_ivf_topk catalog oracle: the pinned codebook in
+    operators/ivf_codebook.py must be what kmeans_centroids actually trains
+    on the sf0.01 embeddings (deterministic lowest-id init, 3 Lloyd rounds).
+    Tolerance covers float-summation order across partitionings plus the
+    6-decimal pin rounding."""
+    import os
+
+    from data_pipeline_spark.operators.ivf_codebook import IVF_CODEBOOK
+    from data_pipeline_spark.operators.similarity import kmeans_centroids
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("sf0.01 testdata absent")
+    emb = spark.read.parquet(path)
+    trained = kmeans_centroids(emb, "vec_id", "embedding", n_centroids=16, n_iters=3)
+    assert np.allclose(np.array(trained), np.array(IVF_CODEBOOK), atol=1e-4)
