@@ -73,9 +73,19 @@ class ReplayRunner:
     """``mode="cow"`` merges each epoch copy-on-write (read-optimized table
     at all times); ``mode="mor"`` appends each epoch as merge-on-read deltas
     (write cost O(batch), reads resolve LWW at scan time) and folds them via
-    :meth:`IcehouseTable.compact_partitions` every ``compact_every`` epochs
-    (None = never; compaction is itself an atomic, conflict-checked commit,
-    so a crash between appends and compaction loses nothing)."""
+    :meth:`IcehouseTable.compact_partitions`, triggered by either policy:
+
+    - ``compact_every=K``: schedule-based — fold ALL delta-bearing buckets
+      every K applied epochs (simple, predictable maintenance windows);
+    - ``compact_ratio=R`` (with ``compact_min_files``): amplification-based —
+      after each epoch fold ONLY the buckets whose pending delta rows exceed
+      R × their base rows (:meth:`IcehouseTable.buckets_needing_compaction`).
+      Under a skewed (Zipfian) change feed this folds the hot buckets often
+      and leaves cold buckets alone, bounding read amplification per bucket
+      while keeping maintenance cost proportional to the offenders.
+
+    Both may be combined; compaction is itself an atomic, conflict-checked
+    commit, so a crash between appends and compaction loses nothing."""
 
     def __init__(
         self,
@@ -83,6 +93,8 @@ class ReplayRunner:
         checkpoint_path: str,
         mode: str = "cow",
         compact_every: int | None = None,
+        compact_ratio: float | None = None,
+        compact_min_files: int = 2,
     ):
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown apply mode {mode!r}")
@@ -90,6 +102,8 @@ class ReplayRunner:
         self.checkpoint = Checkpoint(checkpoint_path)
         self.mode = mode
         self.compact_every = compact_every
+        self.compact_ratio = compact_ratio
+        self.compact_min_files = compact_min_files
 
     def run(
         self,
@@ -152,6 +166,12 @@ class ReplayRunner:
                     # fold only delta-bearing buckets: maintenance cost is
                     # proportional to pending-delta data, not table size
                     self.table.compact_partitions(batch.sparkSession, partitions="deltas")
+                if self.compact_ratio is not None:
+                    hot = self.table.buckets_needing_compaction(
+                        self.compact_ratio, self.compact_min_files
+                    )
+                    if hot:
+                        self.table.compact_partitions(batch.sparkSession, partitions=hot)
                 if fail_after_commit_of is not None and ep == fail_after_commit_of:
                     raise RuntimeError(f"injected crash after committing epoch {ep}")
                 self.checkpoint.write(ep, self.table.version)

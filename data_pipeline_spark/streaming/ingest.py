@@ -15,7 +15,7 @@ Design:
 - Exactly-once composition: Spark's checkpoint gives at-least-once batch
   delivery with a monotonically increasing ``batchId``; the icehouse
   epoch registry makes re-delivered batches no-ops (same fencing the batch
-  replayer uses — ``table.icehouse.overwrite_partitions``).  The two
+  replayer uses — ``IcehouseTable.overwrite_partitions``).  The two
   together give end-to-end exactly-once without two-phase commit.
 - Late/out-of-order data: LWW-by-LSN is order-insensitive by construction,
   so correctness never depends on arrival order.  The windowed-aggregation
@@ -71,7 +71,14 @@ class StreamingIngest:
     #: different stream would collide in its epoch namespace.
     dlq: "object | None" = None
     invariants: "list | None" = None
+    #: rolling window of recent per-micro-batch ApplyStats (monitoring).
+    #: Capped so a long-lived continuous-trigger stream cannot grow driver
+    #: memory without bound; totals survive in ``batches_applied`` /
+    #: ``events_applied``.
     applied: list[ApplyStats] = field(default_factory=list)
+    applied_cap: int = 1000
+    batches_applied: int = 0
+    events_applied: int = 0
 
     def __post_init__(self) -> None:
         if self.mode not in ("cow", "mor"):
@@ -122,17 +129,33 @@ class StreamingIngest:
             epoch_source=self.stream_id,
         )
         self.applied.append(stats)
+        if len(self.applied) > self.applied_cap:
+            del self.applied[: -self.applied_cap]
+        self.batches_applied += 1
+        self.events_applied += stats.events_in
 
-    def start(self, spark: SparkSession, log_path: str, trigger_once: bool = True):
-        """Start the stream (trigger_once processes the current backlog then
-        stops — the tail-and-drain mode the tests and benches use)."""
+    def start(
+        self,
+        spark: SparkSession,
+        log_path: str,
+        trigger_once: bool = True,
+        processing_time: str | None = None,
+    ):
+        """Start the stream.  ``trigger_once`` processes the current backlog
+        then stops (the tail-and-drain mode tests and benches use);
+        ``processing_time`` (e.g. ``"1 seconds"``) instead runs a CONTINUOUS
+        micro-batch trigger that keeps tailing the log until ``stop()`` —
+        the long-lived ingest daemon shape (soak-tested against concurrent
+        targeted compaction in tests/test_streaming.py)."""
         writer = (
             self.source(spark, log_path)
             .writeStream.foreachBatch(self._apply_batch)
             .option("checkpointLocation", self.checkpoint_dir)
             .outputMode("update")
         )
-        if trigger_once:
+        if processing_time is not None:
+            writer = writer.trigger(processingTime=processing_time)
+        elif trigger_once:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 

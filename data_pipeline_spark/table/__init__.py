@@ -1,3 +1,4 @@
+from .format import TableFormat, create_table, open_table, register_backend
 from .icehouse import (
     PART_COL,
     CommitConflictError,
@@ -9,6 +10,8 @@ from .icehouse import (
     evolve_schema,
 )
 
+register_backend("icehouse", IcehouseTable)
+
 __all__ = [
     "PART_COL",
     "CommitConflictError",
@@ -16,6 +19,10 @@ __all__ = [
     "ConcurrentCommitError",
     "IcehouseTable",
     "SchemaEvolutionError",
+    "TableFormat",
     "conform_to_schema",
+    "create_table",
     "evolve_schema",
+    "open_table",
+    "register_backend",
 ]

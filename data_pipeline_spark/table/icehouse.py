@@ -7,6 +7,13 @@ table contract itself and implements it with:
 - a metadata log ``metadata/v{N}.metadata.json`` where each version is created
   with an **exclusive-create (O_EXCL) compare-and-set** — two concurrent
   committers cannot both win a version, giving atomic, serialized commits,
+- **sharded manifests** (Iceberg manifest-list analog): the root document
+  holds only table-level state plus content-addressed references to
+  per-partition manifest files (``metadata/manifests/m-<sha>.json``) carrying
+  that bucket's base-file entry and delta-file list.  Untouched partitions
+  re-link the same manifest, so commit payload is O(touched partitions), not
+  O(every file in the table) — the property that keeps metadata writes flat
+  as pending MOR delta chains deepen at 10^10-event scale,
 - snapshot isolation + time travel (read any retained version),
 - **exactly-once epoch fencing**: every commit records the change-log epoch it
   applied; replaying an already-committed epoch is a verified no-op,
@@ -40,6 +47,7 @@ identical).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -221,7 +229,7 @@ class IcehouseTable:
         if v is None:
             raise FileNotFoundError(f"no icehouse metadata under {root}")
         with open(os.path.join(root, "metadata", f"v{v:08d}.metadata.json")) as fh:
-            return cls(root, json.load(fh))
+            return cls(root, cls._inline_manifests(root, json.load(fh)))
 
     @staticmethod
     def _latest_version(root: str) -> int | None:
@@ -660,7 +668,7 @@ class IcehouseTable:
                 )
             meta["committed_at"] = time.time()
             try:
-                self._write_metadata(meta)
+                self._write_metadata(meta, touched={str(p) for p in affected})
             except FileExistsError:
                 continue  # metadata race only — delta files stay valid
             self.meta = meta
@@ -854,7 +862,7 @@ class IcehouseTable:
                 )
             meta["committed_at"] = time.time()
             try:
-                self._write_metadata(meta)
+                self._write_metadata(meta, touched={str(p) for p in affected})
             except FileExistsError:
                 # another writer claimed this version — clean our orphan data and retry
                 if os.path.isdir(sdir):
@@ -868,20 +876,121 @@ class IcehouseTable:
             )
         raise ConcurrentCommitError(f"lost {max_retries} consecutive commit races on {self.root}")
 
-    def _write_metadata(self, meta: dict[str, Any]) -> None:
-        """Exclusive-create CAS: version N can be written exactly once."""
+    # -- metadata persistence (sharded manifests) ------------------------------
+    #
+    # On disk a snapshot is a ROOT document (v{N}.metadata.json, claimed by
+    # exclusive-create CAS) whose per-partition file lists live in separate
+    # content-addressed MANIFEST files (metadata/manifests/m-<sha>.json, one
+    # per bucket partition, each holding that bucket's base entry + delta
+    # list).  An untouched partition's manifest carries over BY REFERENCE —
+    # the commit writes only the manifests of touched partitions plus the
+    # root, so commit payload is O(touched partitions + n_buckets refs)
+    # instead of O(every data-file entry in the table).  That is the Iceberg
+    # manifest-list design collapsed one level (bucket == manifest): at
+    # 10^10 events with deep pending MOR delta chains, the old single
+    # document re-serialized every delta file entry of every bucket on every
+    # commit.  Content addressing (sha256 of the canonical JSON) makes
+    # manifest writes idempotent — two racing committers producing the same
+    # partition state write the same file, so manifests need no CAS; only
+    # the root does.  In memory `self.meta` keeps the fully-inlined shape
+    # (partitions/deltas dicts) — load() re-inlines, so every algorithm
+    # above this line is storage-layout-agnostic.
+
+    @staticmethod
+    def _manifest_dir(root: str) -> str:
+        return os.path.join(root, "metadata", "manifests")
+
+    @classmethod
+    def _inline_manifests(cls, root: str, doc: dict[str, Any]) -> dict[str, Any]:
+        """Root document -> fully-inlined meta (format v2); v1 passes through."""
+        if "manifest_refs" not in doc:
+            return doc
+        mandir = cls._manifest_dir(root)
+        partitions: dict[str, Any] = {}
+        deltas: dict[str, Any] = {}
+        for pkey, fname in doc["manifest_refs"].items():
+            with open(os.path.join(mandir, fname)) as fh:
+                content = json.load(fh)
+            if content.get("partition") is not None:
+                partitions[pkey] = content["partition"]
+            if content.get("deltas"):
+                deltas[pkey] = content["deltas"]
+        meta = {k: v for k, v in doc.items() if k != "manifest_refs"}
+        meta["partitions"] = partitions
+        # preserve the lazy-init contract: 'deltas' appears only once any
+        # bucket has pending delta files (rollback/COW-boundary semantics)
+        if deltas or doc.get("had_deltas_key"):
+            meta["deltas"] = deltas
+        meta.pop("had_deltas_key", None)
+        # ref cache: lets a commit that declares its touched set reuse the
+        # untouched partitions' manifests WITHOUT re-serializing them —
+        # the O(touched) commit property (json-serializable so it survives
+        # the deep copies the commit paths make)
+        meta["manifest_refs_cache"] = dict(doc["manifest_refs"])
+        return meta
+
+    def _write_metadata(
+        self, meta: dict[str, Any], touched: "set[str] | None" = None
+    ) -> None:
+        """Exclusive-create CAS on the root; per-partition manifests are
+        content-addressed and written only when their content is new.
+
+        ``touched``: the partition keys this commit may have changed.  When
+        given (the hot commit paths pass their affected set), untouched
+        partitions reuse the parent's manifest reference verbatim — no
+        re-serialization, no hash — so commit CPU is O(touched partitions).
+        When None (rollback/tags/spec evolution and any wholesale-mutation
+        path), every partition is re-serialized: always correct, costs one
+        pass over the metadata."""
         mdir = os.path.join(self.root, "metadata")
+        mandir = self._manifest_dir(self.root)
+        os.makedirs(mandir, exist_ok=True)
+        ref_cache = meta.get("manifest_refs_cache") or {}
+        refs: dict[str, str] = {}
+        for pkey in sorted(
+            set(meta["partitions"]) | set(meta.get("deltas", {})), key=int
+        ):
+            if touched is not None and pkey not in touched and pkey in ref_cache:
+                refs[pkey] = ref_cache[pkey]
+                continue
+            content = {
+                "partition": meta["partitions"].get(pkey),
+                "deltas": meta.get("deltas", {}).get(pkey, []),
+            }
+            blob = json.dumps(content, sort_keys=True, separators=(",", ":"))
+            h = hashlib.sha256(blob.encode()).hexdigest()[:20]
+            fname = f"m-{h}.json"
+            mpath = os.path.join(mandir, fname)
+            if not os.path.exists(mpath):
+                tmp = mpath + f".{os.getpid()}.{uuid.uuid4().hex[:6]}.tmp"
+                with open(tmp, "w") as fh:
+                    fh.write(blob)
+                    fh.flush()
+                    os.fsync(fh.fileno())
+                os.replace(tmp, mpath)  # idempotent: same content, same name
+            refs[pkey] = fname
+        doc = {
+            k: v
+            for k, v in meta.items()
+            if k not in ("partitions", "deltas", "manifest_refs_cache")
+        }
+        doc["manifest_refs"] = refs
+        if "deltas" in meta and not any(meta["deltas"].values()):
+            doc["had_deltas_key"] = True  # empty-but-present delta map survives reload
         final = os.path.join(mdir, f"v{meta['version']:08d}.metadata.json")
         # O_EXCL: fails with FileExistsError if a concurrent committer won
         fd = os.open(final, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
         try:
             with os.fdopen(fd, "w") as fh:
-                json.dump(meta, fh, indent=1)
+                json.dump(doc, fh, indent=1)
                 fh.flush()
                 os.fsync(fh.fileno())
         except BaseException:
             os.unlink(final)
             raise
+        # refresh the handle's ref cache so the NEXT commit on this handle
+        # can reuse this version's untouched manifests
+        meta["manifest_refs_cache"] = refs
         hint_tmp = os.path.join(mdir, f".version-hint.{os.getpid()}.tmp")
         with open(hint_tmp, "w") as fh:
             fh.write(str(meta["version"]))
@@ -894,7 +1003,14 @@ class IcehouseTable:
         last ``keep_last`` (Iceberg analog: expire_snapshots; reference analog:
         365-day partition expiry, loader.py:135).  TAGGED versions
         (:meth:`create_tag`) are always kept — files and metadata — until
-        the tag is deleted."""
+        the tag is deleted.
+
+        Concurrency: the tag set is re-read immediately before the unlink
+        pass, closing the create_tag race to the CAS-commit window.  Like
+        Iceberg's expire_snapshots, this is a MAINTENANCE operation — run it
+        from the maintenance job, not concurrently with an in-flight commit
+        (a commit's manifests/data land before its root, so a GC pass in
+        that instant could reclaim them)."""
         mdir = os.path.join(self.root, "metadata")
 
         def _keep_and_live() -> tuple[set[int], set[str], list[int]]:
@@ -933,6 +1049,23 @@ class IcehouseTable:
         for v in versions:
             if v not in keep_versions:
                 os.unlink(os.path.join(mdir, f"v{v:08d}.metadata.json"))
+        # manifest GC: drop content-addressed manifests referenced by no
+        # surviving root (manifests are shared across versions by design,
+        # so liveness is the union of the kept roots' reference sets)
+        mandir = self._manifest_dir(self.root)
+        if os.path.isdir(mandir):
+            live_manifests: set[str] = set()
+            for name in os.listdir(mdir):
+                if not name.endswith(".metadata.json"):
+                    continue
+                with open(os.path.join(mdir, name)) as fh:
+                    live_manifests.update(json.load(fh).get("manifest_refs", {}).values())
+            for name in os.listdir(mandir):
+                if name.endswith(".json") and name not in live_manifests:
+                    try:
+                        os.unlink(os.path.join(mandir, name))
+                    except FileNotFoundError:
+                        pass
         return removed
 
     def delete_where(
@@ -1016,6 +1149,32 @@ class IcehouseTable:
             if name not in exp:
                 problems.append(f"unexpected column {name!r}")
         return problems
+
+    def buckets_needing_compaction(
+        self, max_delta_ratio: float = 0.3, min_delta_files: int = 2
+    ) -> list[int]:
+        """Compaction POLICY: buckets whose pending merge-on-read deltas make
+        reads too expensive — metadata-only, no scan.
+
+        A bucket qualifies when it has at least ``min_delta_files`` pending
+        delta files AND its delta rows exceed ``max_delta_ratio`` × base rows
+        (a bucket with no base yet qualifies on the file-count gate alone).
+        Read-time LWW resolution shuffles base+delta rows of dirty buckets,
+        so the ratio bounds read amplification per bucket; the file-count
+        floor keeps a single fresh delta from triggering an immediate fold
+        (which would collapse MOR back into COW).  Returned buckets feed
+        :meth:`compact_partitions` — maintenance cost stays proportional to
+        the offending buckets only."""
+        out = []
+        for k, ds in self.meta.get("deltas", {}).items():
+            if not ds or len(ds) < min_delta_files:
+                continue
+            delta_rows = sum(d["rows"] for d in ds)
+            base = self.meta["partitions"].get(k)
+            base_rows = base["rows"] if base else 0
+            if base_rows == 0 or delta_rows > max_delta_ratio * base_rows:
+                out.append(int(k))
+        return sorted(out)
 
     def compact_partitions(
         self,
@@ -1161,7 +1320,7 @@ class IcehouseTable:
             meta.setdefault("tags", {})[name] = pin
             meta["committed_at"] = time.time()
             try:
-                self._write_metadata(meta)
+                self._write_metadata(meta, touched=set())  # tag-only: reuse all manifests
             except FileExistsError:
                 continue
             self.meta = meta
@@ -1181,7 +1340,7 @@ class IcehouseTable:
             del meta["tags"][name]
             meta["committed_at"] = time.time()
             try:
-                self._write_metadata(meta)
+                self._write_metadata(meta, touched=set())  # tag-only: reuse all manifests
             except FileExistsError:
                 continue
             self.meta = meta
@@ -1251,8 +1410,7 @@ class IcehouseTable:
         for name in sorted(os.listdir(mdir)):
             if not name.endswith(".metadata.json"):
                 continue
-            with open(os.path.join(mdir, name)) as fh:
-                m = json.load(fh)
+            m = IcehouseTable.load(self.root, version=int(name[1:9])).meta
             rows.append(
                 (
                     m["version"],

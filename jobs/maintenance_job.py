@@ -70,6 +70,9 @@ def main() -> None:
     ap.add_argument("--table", required=True)
     ap.add_argument("--compact", action="store_true")
     ap.add_argument("--compact-deltas", action="store_true")
+    ap.add_argument("--compact-ratio", type=float, default=None,
+                    help="fold only buckets whose pending delta rows exceed "
+                         "RATIO x base rows (read-amplification policy)")
     ap.add_argument("--vacuum-lsn", type=int, default=None)
     ap.add_argument("--rebucket", type=int, default=None)
     ap.add_argument("--expire-keep", type=int, default=None)
@@ -96,6 +99,20 @@ def main() -> None:
              "partitions": len(res.partitions_rewritten or []),
              "skipped": res.skipped}
         )
+    if args.compact_ratio is not None:
+        hot = table.buckets_needing_compaction(args.compact_ratio)
+        if hot:
+            res = table.compact_partitions(spark, partitions=hot)
+            out["actions"].append(
+                {"action": "compact_ratio", "ratio": args.compact_ratio,
+                 "version": res.version, "partitions": len(hot),
+                 "skipped": res.skipped}
+            )
+        else:
+            out["actions"].append(
+                {"action": "compact_ratio", "ratio": args.compact_ratio,
+                 "partitions": 0, "skipped": True}
+            )
     if args.vacuum_lsn is not None:
         res = table.vacuum_tombstones(spark, args.vacuum_lsn)
         out["actions"].append(

@@ -76,6 +76,10 @@ def main() -> None:
     ap.add_argument("--compact-every", type=int, default=None,
                     help="in mor mode, fold deltas into the base every K "
                          "epochs (atomic maintenance commit)")
+    ap.add_argument("--compact-ratio", type=float, default=None,
+                    help="in mor mode, after each epoch fold only buckets "
+                         "whose pending delta rows exceed RATIO x base rows "
+                         "(bounds read amplification under skewed feeds)")
     args = ap.parse_args()
 
     from data_pipeline_spark.cdc.changelog import read_change_log
@@ -131,7 +135,8 @@ def main() -> None:
             )
             dlq.append_epochs(rejects)
         report = ReplayRunner(
-            table, args.checkpoint, mode=args.mode, compact_every=args.compact_every
+            table, args.checkpoint, mode=args.mode,
+            compact_every=args.compact_every, compact_ratio=args.compact_ratio,
         ).run(log)
         out = {
             "mode": "batch",

@@ -275,3 +275,52 @@ def test_truncate_clears_deltas(spark, log, tmp_path):
     mor = _replay(spark, log, tmp_path / "mor", mode="mor")
     mor.truncate()
     assert mor.meta["deltas"] == {} and mor.read(spark).count() == 0
+
+
+def test_ratio_policy_compacts_hot_buckets_only(spark, tmp_path):
+    """Amplification-based auto-compaction: a skewed feed (every update hits
+    one hot key) must fold the hot bucket once its delta rows exceed
+    ratio x base rows, leave cold buckets' deltas pending, and preserve
+    final-state equality with the COW reference."""
+    t = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=8)
+    log_schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("epoch", T.IntegerType()),
+        ]
+        + list(TABLE_SCHEMA.fields)
+    )
+    # epoch 0: broad base (300 docs); epochs 1..6: only updates of doc "hot"
+    rows = [(i, "I", 0, f"d{i}", [i], 1, "s") for i in range(300)]
+    lsn = 300
+    for ep in range(1, 7):
+        for _ in range(40):
+            rows.append((lsn, "U", ep, "hot", [lsn], 1, "s"))
+            lsn += 1
+        # one cold-key touch per epoch keeps a second bucket dirty but thin
+        rows.append((lsn, "U", ep, "d1", [lsn], 1, "s"))
+        lsn += 1
+    log = spark.createDataFrame(rows, log_schema)
+    runner = ReplayRunner(t, str(tmp_path / "c"), mode="mor",
+                          compact_ratio=0.5, compact_min_files=2)
+    runner.run(log)
+    # the hot bucket was folded at least once mid-replay
+    assert any(
+        not r.get("delta", False) and r["version"] > 1
+        for r in t.meta["lineage"]
+    ), "expected at least one compaction commit in lineage"
+    # no bucket still violates the policy at rest
+    assert t.buckets_needing_compaction(0.5, 2) == []
+    # equality with the COW reference
+    ref = IcehouseTable.create(str(tmp_path / "ref"), TABLE_SCHEMA, n_buckets=8)
+    ReplayRunner(ref, str(tmp_path / "cr")).run(log)
+    assert state_of(t, spark) == state_of(ref, spark)
+
+
+def test_ratio_policy_leaves_cold_tables_alone(spark, log, tmp_path):
+    """A uniform feed below the ratio threshold must never trigger the
+    ratio policy (MOR stays MOR)."""
+    t = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=8)
+    ReplayRunner(t, str(tmp_path / "c"), mode="mor", compact_ratio=1e9).run(log)
+    assert any(t.meta.get("deltas", {}).values()), "deltas must remain pending"

@@ -259,3 +259,70 @@ def test_stream_mor_mode_matches_batch_replay(spark, log_path, tmp_path):
     v = table.version
     res = table.compact_partitions(spark, partitions="deltas")
     assert res.skipped and table.version == v
+
+
+def test_continuous_trigger_soak_with_concurrent_compaction(spark, tmp_path):
+    """Long-lived ingest daemon shape: a processing-time trigger tails a
+    GROWING log in MOR mode while a maintenance thread runs targeted delta
+    compaction against the same table.  Asserts (1) bounded driver memory —
+    the applied-stats window never exceeds its cap while totals keep
+    counting, (2) the drained state equals a batch replay of the full log,
+    (3) concurrent compaction commits never corrupt or double-apply."""
+    import threading
+    import time as _time
+
+    from data_pipeline_spark.cdc.changelog import generate_change_log, read_change_log
+
+    log_dir = str(tmp_path / "growlog")
+    full = generate_change_log(
+        spark, n_events=4000, n_docs=250, events_per_epoch=500, seed=9
+    ).persist()
+    # seed the log with the first epoch, then append the rest while running
+    full.where("epoch = 0").write.mode("overwrite").parquet(log_dir)
+
+    table = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=8)
+    ingest = StreamingIngest(
+        table, str(tmp_path / "ckpt"), mode="mor",
+        max_files_per_trigger=2, applied_cap=3,
+    )
+    q = ingest.start(spark, log_dir, processing_time="1 seconds")
+    stop = threading.Event()
+    compactions = []
+
+    def maintenance():
+        while not stop.is_set():
+            try:
+                hot = table.refresh().buckets_needing_compaction(0.2, 2)
+                if hot:
+                    table.compact_partitions(spark, partitions=hot)
+                    compactions.append(len(hot))
+            except Exception:
+                pass  # CAS/conflict races with the stream are expected noise
+            _time.sleep(0.5)
+
+    maint = threading.Thread(target=maintenance, daemon=True)
+    maint.start()
+    try:
+        for ep in range(1, 8):
+            full.where(f"epoch = {ep}").write.mode("append").parquet(log_dir)
+            _time.sleep(1.0)
+        # wait until the stream has drained everything it can see
+        deadline = _time.time() + 180
+        expected = full.count()
+        while _time.time() < deadline and ingest.events_applied < expected:
+            _time.sleep(1.0)
+    finally:
+        stop.set()
+        q.stop()
+        q.awaitTermination(60)
+        maint.join(timeout=10)
+
+    assert ingest.events_applied == expected, (ingest.events_applied, expected)
+    assert len(ingest.applied) <= 3, "applied-stats window must honor its cap"
+    assert ingest.batches_applied >= len(ingest.applied)
+    # final state equals a from-scratch batch replay of the same full log
+    from data_pipeline_spark.cdc.replay import ReplayRunner
+
+    ref = IcehouseTable.create(str(tmp_path / "ref"), TABLE_SCHEMA, n_buckets=8)
+    ReplayRunner(ref, str(tmp_path / "refc")).run(read_change_log(spark, log_dir))
+    assert _final_state(table.refresh(), spark) == _final_state(ref, spark)
