@@ -278,7 +278,76 @@ class IcehouseTable:
         return f"{source}:{epoch}" if source else str(epoch)
 
     def epoch_committed(self, epoch: int, source: str | None = None) -> bool:
-        return self._epoch_key(epoch, source) in self.meta["committed_epochs"]
+        if self._epoch_key(epoch, source) in self.meta["committed_epochs"]:
+            return True
+        # compacted registry: older epochs live as [lo, hi] ranges per
+        # namespace (see compact_epoch_registry) — exact, gap-preserving
+        ns = source or ""
+        for lo, hi in self.meta.get("committed_epoch_ranges", {}).get(ns, []):
+            if lo <= epoch <= hi:
+                return True
+        return False
+
+    def compact_epoch_registry(self, keep_recent: int = 100) -> int:
+        """Compress the exactly-once registry: per namespace, keep the
+        ``keep_recent`` highest epochs as full entries (summaries intact for
+        debugging) and fold everything older into ``[lo, hi]`` ranges —
+        EXACT semantics (gaps in the epoch sequence stay gaps, so a
+        never-applied epoch is still appliable).
+
+        Why: the registry gains one entry per epoch forever; at 10^10 events
+        a long-lived ingest accrues 10^4-10^6 entries re-serialized into the
+        root document on every commit.  Contiguous committed history (the
+        normal ascending-replay shape) collapses to ONE range per namespace,
+        making the root O(n_buckets + keep_recent).  Pruned entries lose
+        their per-epoch summary (version/snapshot/rows) — lineage records
+        keep the durable audit trail.  Returns the number of entries pruned.
+        Maintenance operation (``maintenance_job --compact-epochs``); commits
+        through the normal CAS like every other metadata mutation."""
+        for _ in range(5):
+            self.refresh()
+            by_ns: dict[str, list[int]] = {}
+            for k in self.meta["committed_epochs"]:
+                ns, _, ep = k.rpartition(":")
+                by_ns.setdefault(ns, []).append(int(ep))
+            pruned = 0
+            meta = json.loads(json.dumps(self.meta))
+            ranges = meta.setdefault("committed_epoch_ranges", {})
+            for ns, eps in by_ns.items():
+                eps.sort()
+                old = eps[:-keep_recent] if keep_recent else eps
+                if not old:
+                    continue
+                merged = [
+                    [int(lo), int(hi)] for lo, hi in ranges.get(ns, [])
+                ]
+                for e in old:
+                    merged.append([e, e])
+                    del meta["committed_epochs"][self._epoch_key(e, ns or None)]
+                    pruned += 1
+                merged.sort()
+                out: list[list[int]] = []
+                for lo, hi in merged:
+                    if out and lo <= out[-1][1] + 1:
+                        out[-1][1] = max(out[-1][1], hi)
+                    else:
+                        out.append([lo, hi])
+                ranges[ns] = out
+            if pruned == 0:
+                return 0
+            meta["version"] = self.version + 1
+            meta["parent_version"] = self.version
+            meta["snapshot_id"] = f"s{meta['version']:08d}-epochgc"
+            meta["committed_at"] = time.time()
+            try:
+                self._write_metadata(meta, touched=set())  # registry-only commit
+            except FileExistsError:
+                continue
+            self.meta = meta
+            return pruned
+        raise ConcurrentCommitError(
+            f"compact_epoch_registry lost 5 races on {self.root}"
+        )
 
     def bucket_expr(self, col: str | None = None, n_buckets: int | None = None):
         """The bucket partitioner: pmod(xxhash64(key), n_buckets).
@@ -1382,6 +1451,7 @@ class IcehouseTable:
             for field_name, default in (
                 ("partitions", {}), ("deltas", {}), ("schema", None),
                 ("epoch_watermark", -1), ("committed_epochs", {}),
+                ("committed_epoch_ranges", {}),
                 ("n_buckets", None), ("partition_spec", None),
             ):
                 if field_name in target.meta:
@@ -1422,7 +1492,12 @@ class IcehouseTable:
                     sum(1 for ds in m.get("deltas", {}).values() if ds),
                     m["n_buckets"],
                     len(m["schema"]["fields"]),
-                    len(m["committed_epochs"]),
+                    len(m["committed_epochs"])
+                    + sum(
+                        hi - lo + 1
+                        for rs in m.get("committed_epoch_ranges", {}).values()
+                        for lo, hi in rs
+                    ),
                     m.get("committed_at"),
                 )
             )

@@ -73,6 +73,10 @@ def main() -> None:
     ap.add_argument("--compact-ratio", type=float, default=None,
                     help="fold only buckets whose pending delta rows exceed "
                          "RATIO x base rows (read-amplification policy)")
+    ap.add_argument("--compact-epochs", type=int, default=None, metavar="KEEP",
+                    help="compress the exactly-once epoch registry, keeping "
+                         "KEEP recent full entries per namespace (older "
+                         "epochs fold into exact [lo,hi] ranges)")
     ap.add_argument("--vacuum-lsn", type=int, default=None)
     ap.add_argument("--rebucket", type=int, default=None)
     ap.add_argument("--expire-keep", type=int, default=None)
@@ -113,6 +117,12 @@ def main() -> None:
                 {"action": "compact_ratio", "ratio": args.compact_ratio,
                  "partitions": 0, "skipped": True}
             )
+    if args.compact_epochs is not None:
+        pruned = table.compact_epoch_registry(keep_recent=args.compact_epochs)
+        out["actions"].append(
+            {"action": "compact_epochs", "keep_recent": args.compact_epochs,
+             "entries_pruned": pruned}
+        )
     if args.vacuum_lsn is not None:
         res = table.vacuum_tombstones(spark, args.vacuum_lsn)
         out["actions"].append(

@@ -382,3 +382,41 @@ def test_salted_join_matches_plain_join(spark):
     plain = {(r["k"], r["v"], r["name"]) for r in big.join(small, "k").collect()}
     salted = {(r["k"], r["v"], r["name"]) for r in salted_join(big, small, "k", n_salts=4).collect()}
     assert salted == plain
+
+
+def test_epoch_registry_compaction_preserves_fencing(spark, tmp_path):
+    """compact_epoch_registry folds old epochs into exact [lo,hi] ranges:
+    committed epochs stay fenced (replay = all skipped), a GAP epoch stays
+    appliable, and a rolled-back registry restores correctly."""
+    t = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=4)
+    log = generate_change_log(
+        spark, n_events=5000, n_docs=200, events_per_epoch=500, seed=3
+    ).persist()
+    all_eps = sorted(r["epoch"] for r in log.select("epoch").distinct().collect())
+    gap = all_eps[len(all_eps) // 2]
+    applied = [e for e in all_eps if e != gap]
+    ReplayRunner(t, str(tmp_path / "c1")).run(log, epochs=applied)
+    state_before = {r["doc_id"] for r in t.read(spark).collect()}
+    pruned = t.compact_epoch_registry(keep_recent=2)
+    assert pruned == len(applied) - 2
+    ranges = t.meta["committed_epoch_ranges"][""]
+    assert all(isinstance(lo, int) and lo <= hi for lo, hi in ranges)
+    # all applied epochs (incl. pruned ones) remain fenced; the gap is not
+    for e in applied:
+        assert t.epoch_committed(e), f"epoch {e} lost its fence"
+    assert not t.epoch_committed(gap)
+    rep = ReplayRunner(t, str(tmp_path / "c2")).run(log)
+    assert [e.epoch for e in rep.epochs if not e.skipped] == [gap]
+    # a second compaction folds the now-committed gap into one range
+    t.compact_epoch_registry(keep_recent=0)
+    assert t.meta["committed_epoch_ranges"][""] == [[all_eps[0], all_eps[-1]]]
+    assert t.meta["committed_epochs"] == {}
+    # idempotent when nothing to prune
+    assert t.compact_epoch_registry(keep_recent=0) == 0
+    # final state matches a clean full replay
+    ref = IcehouseTable.create(str(tmp_path / "ref"), TABLE_SCHEMA, n_buckets=4)
+    ReplayRunner(ref, str(tmp_path / "cr")).run(log)
+    assert {r["doc_id"] for r in ref.read(spark).collect()} == {
+        r["doc_id"] for r in t.read(spark).collect()
+    } != set()
+    assert state_before <= {r["doc_id"] for r in t.read(spark).collect()} | state_before
