@@ -420,3 +420,31 @@ def test_epoch_registry_compaction_preserves_fencing(spark, tmp_path):
         r["doc_id"] for r in t.read(spark).collect()
     } != set()
     assert state_before <= {r["doc_id"] for r in t.read(spark).collect()} | state_before
+
+
+def test_epoch_registry_compaction_respects_stream_namespaces(spark, tmp_path):
+    """Namespaced epochs ('stream-x:N' keys) compact into their own ranges:
+    batch epoch 5 committed must never fence stream epoch 5 (and vice
+    versa) after compaction."""
+    t = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=4)
+    log = generate_change_log(
+        spark, n_events=1200, n_docs=100, events_per_epoch=200, seed=6
+    ).persist()
+    for ep in range(4):
+        apply_changes(
+            t, log.where(f"epoch = {ep}").drop("epoch"), epoch=ep
+        )  # batch namespace
+    for ep in range(2):
+        apply_changes(
+            t, log.where(f"epoch = {ep + 4}").drop("epoch"),
+            epoch=ep, epoch_source="stream-a",
+        )
+    t.compact_epoch_registry(keep_recent=0)
+    assert t.meta["committed_epochs"] == {}
+    assert t.meta["committed_epoch_ranges"][""] == [[0, 3]]
+    assert t.meta["committed_epoch_ranges"]["stream-a"] == [[0, 1]]
+    for ep in range(4):
+        assert t.epoch_committed(ep)
+    assert t.epoch_committed(0, "stream-a") and t.epoch_committed(1, "stream-a")
+    assert not t.epoch_committed(2, "stream-a")
+    assert not t.epoch_committed(4), "batch ns must not inherit stream epochs"
