@@ -969,6 +969,29 @@ class IcehouseTable:
     def _manifest_dir(root: str) -> str:
         return os.path.join(root, "metadata", "manifests")
 
+    # Manifests are content-addressed (filename = sha256 of content) and
+    # therefore IMMUTABLE — a perfect cache key.  refresh()/load() re-read
+    # the small root document every time, but re-parse only manifests this
+    # process has never seen: a steady-state commit loop costs 1 root read +
+    # O(touched) manifest reads per refresh instead of O(n_buckets).
+    # Bounded FIFO so a long-lived driver over many tables cannot grow
+    # without limit (entries are a few KB each).
+    _manifest_cache: "dict[str, dict]" = {}
+    _MANIFEST_CACHE_MAX = 65536
+
+    @classmethod
+    def _read_manifest(cls, mandir: str, fname: str) -> dict:
+        key = os.path.join(mandir, fname)
+        hit = cls._manifest_cache.get(key)
+        if hit is not None:
+            return hit
+        with open(key) as fh:
+            content = json.load(fh)
+        if len(cls._manifest_cache) >= cls._MANIFEST_CACHE_MAX:
+            cls._manifest_cache.pop(next(iter(cls._manifest_cache)))
+        cls._manifest_cache[key] = content
+        return content
+
     @classmethod
     def _inline_manifests(cls, root: str, doc: dict[str, Any]) -> dict[str, Any]:
         """Root document -> fully-inlined meta (format v2); v1 passes through."""
@@ -978,8 +1001,7 @@ class IcehouseTable:
         partitions: dict[str, Any] = {}
         deltas: dict[str, Any] = {}
         for pkey, fname in doc["manifest_refs"].items():
-            with open(os.path.join(mandir, fname)) as fh:
-                content = json.load(fh)
+            content = cls._read_manifest(mandir, fname)
             if content.get("partition") is not None:
                 partitions[pkey] = content["partition"]
             if content.get("deltas"):
