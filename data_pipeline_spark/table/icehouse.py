@@ -988,7 +988,10 @@ class IcehouseTable:
         with open(key) as fh:
             content = json.load(fh)
         if len(cls._manifest_cache) >= cls._MANIFEST_CACHE_MAX:
-            cls._manifest_cache.pop(next(iter(cls._manifest_cache)))
+            try:  # concurrent evictors may race on the same oldest key
+                cls._manifest_cache.pop(next(iter(cls._manifest_cache)), None)
+            except (StopIteration, RuntimeError):
+                pass
         cls._manifest_cache[key] = content
         return content
 
