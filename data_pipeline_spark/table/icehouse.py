@@ -175,6 +175,8 @@ class IcehouseTable:
     """Handle to one icehouse table rooted at a directory."""
 
     FORMAT_VERSION = 1
+    #: lineage retention (rows); whole oldest segments drop once exceeded
+    LINEAGE_KEEP_ROWS = 10_000
 
     def __init__(self, root: str, meta: dict[str, Any]):
         self.root = root
@@ -721,7 +723,7 @@ class IcehouseTable:
                     }
                     for p in affected
                 ]
-            )[-10000:]
+            )
             if epoch is not None:
                 if epoch_source is None:
                     meta["epoch_watermark"] = max(meta["epoch_watermark"], epoch)
@@ -913,7 +915,7 @@ class IcehouseTable:
                 }
                 for p in affected
             ]
-            meta["lineage"] = (meta["lineage"] + lineage_rows)[-10000:]
+            meta["lineage"] = meta["lineage"] + lineage_rows
             if epoch is not None:
                 if epoch_source is None:
                     # the watermark tracks the BATCH replay namespace only —
@@ -980,7 +982,7 @@ class IcehouseTable:
     _MANIFEST_CACHE_MAX = 65536
 
     @classmethod
-    def _read_manifest(cls, mandir: str, fname: str) -> dict:
+    def _read_manifest(cls, mandir: str, fname: str):
         key = os.path.join(mandir, fname)
         hit = cls._manifest_cache.get(key)
         if hit is not None:
@@ -1016,6 +1018,19 @@ class IcehouseTable:
         if deltas or doc.get("had_deltas_key"):
             meta["deltas"] = deltas
         meta.pop("had_deltas_key", None)
+        # lineage lives in append-only immutable SEGMENT files (one per
+        # commit) — the root holds only their refs, so the retained lineage
+        # log is never re-serialized into the root (same O(touched) property
+        # as the partition manifests).  Materialize for in-memory consumers.
+        if "lineage_segments" in doc:
+            ldir = os.path.join(root, "metadata", "lineage")
+            meta["lineage"] = [
+                row
+                for seg in doc["lineage_segments"]
+                for row in cls._read_manifest(ldir, seg["file"])
+            ]
+            meta["lineage_segments_cache"] = [dict(s) for s in doc["lineage_segments"]]
+            meta.pop("lineage_segments", None)
         # ref cache: lets a commit that declares its touched set reuse the
         # untouched partitions' manifests WITHOUT re-serializing them —
         # the O(touched) commit property (json-serializable so it survives
@@ -1063,12 +1078,41 @@ class IcehouseTable:
                     os.fsync(fh.fileno())
                 os.replace(tmp, mpath)  # idempotent: same content, same name
             refs[pkey] = fname
+        # lineage segmentation: persist only the rows added since the parent
+        # snapshot as ONE new immutable segment; retention drops whole old
+        # segments once the retained total exceeds the cap (the root carries
+        # refs only, so commit cost is O(new lineage rows), not O(retained))
+        segs = [dict(s) for s in (meta.get("lineage_segments_cache") or [])]
+        lineage = meta.get("lineage", [])
+        covered = sum(s["n"] for s in segs)
+        if 0 < covered <= len(lineage):
+            new_rows = lineage[covered:]
+        else:
+            segs, new_rows = [], lineage  # fresh table or wholesale rewrite
+        if new_rows:
+            ldir = os.path.join(mdir, "lineage")
+            os.makedirs(ldir, exist_ok=True)
+            seg_name = f"L-{meta['version']:08d}-{uuid.uuid4().hex[:8]}.json"
+            tmp = os.path.join(ldir, seg_name + ".tmp")
+            with open(tmp, "w") as fh:
+                json.dump(new_rows, fh, separators=(",", ":"))
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, os.path.join(ldir, seg_name))
+            segs.append({"file": seg_name, "n": len(new_rows)})
+        while len(segs) > 1 and sum(s["n"] for s in segs) > self.LINEAGE_KEEP_ROWS:
+            segs.pop(0)
         doc = {
             k: v
             for k, v in meta.items()
-            if k not in ("partitions", "deltas", "manifest_refs_cache")
+            if k
+            not in (
+                "partitions", "deltas", "manifest_refs_cache",
+                "lineage", "lineage_segments_cache",
+            )
         }
         doc["manifest_refs"] = refs
+        doc["lineage_segments"] = segs
         if "deltas" in meta and not any(meta["deltas"].values()):
             doc["had_deltas_key"] = True  # empty-but-present delta map survives reload
         final = os.path.join(mdir, f"v{meta['version']:08d}.metadata.json")
@@ -1082,9 +1126,14 @@ class IcehouseTable:
         except BaseException:
             os.unlink(final)
             raise
-        # refresh the handle's ref cache so the NEXT commit on this handle
-        # can reuse this version's untouched manifests
+        # refresh the handle's caches so the NEXT commit on this handle can
+        # reuse this version's untouched manifests / persisted lineage, and
+        # trim the in-memory lineage to the retained segment window
         meta["manifest_refs_cache"] = refs
+        meta["lineage_segments_cache"] = segs
+        keep = sum(s["n"] for s in segs)
+        if len(meta.get("lineage", [])) > keep:
+            meta["lineage"] = meta["lineage"][-keep:]
         hint_tmp = os.path.join(mdir, f".version-hint.{os.getpid()}.tmp")
         with open(hint_tmp, "w") as fh:
             fh.write(str(meta["version"]))
@@ -1147,17 +1196,23 @@ class IcehouseTable:
         # surviving root (manifests are shared across versions by design,
         # so liveness is the union of the kept roots' reference sets)
         mandir = self._manifest_dir(self.root)
-        if os.path.isdir(mandir):
-            live_manifests: set[str] = set()
-            for name in os.listdir(mdir):
-                if not name.endswith(".metadata.json"):
-                    continue
-                with open(os.path.join(mdir, name)) as fh:
-                    live_manifests.update(json.load(fh).get("manifest_refs", {}).values())
-            for name in os.listdir(mandir):
-                if name.endswith(".json") and name not in live_manifests:
+        ldir = os.path.join(mdir, "lineage")
+        live_manifests: set[str] = set()
+        live_segments: set[str] = set()
+        for name in os.listdir(mdir):
+            if not name.endswith(".metadata.json"):
+                continue
+            with open(os.path.join(mdir, name)) as fh:
+                doc = json.load(fh)
+            live_manifests.update(doc.get("manifest_refs", {}).values())
+            live_segments.update(s["file"] for s in doc.get("lineage_segments", []))
+        for gc_dir, live in ((mandir, live_manifests), (ldir, live_segments)):
+            if not os.path.isdir(gc_dir):
+                continue
+            for name in os.listdir(gc_dir):
+                if name.endswith(".json") and name not in live:
                     try:
-                        os.unlink(os.path.join(mandir, name))
+                        os.unlink(os.path.join(gc_dir, name))
                     except FileNotFoundError:
                         pass
         return removed

@@ -121,3 +121,50 @@ def test_rollback_and_history_work_through_sharding(spark, tmp_path):
     assert t.read(spark).count() == 60
     h = {r["version"]: r["physical_rows"] for r in t.history(spark).collect()}
     assert h[v1] == 60
+
+
+def test_lineage_lives_in_segments_not_root(spark, tmp_path):
+    """Lineage rows persist as immutable per-commit segment files; the root
+    carries refs only, reload materializes the full log, and expire GCs
+    orphaned segments."""
+    t = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=4)
+    for e in range(3):
+        apply_changes(
+            t, _events(spark, [f"d{i}" for i in range(40)], lsn0=100 * e, op="U"),
+            epoch=e,
+        )
+    doc = _root_doc(t)
+    assert "lineage" not in doc and doc["lineage_segments"], "refs only in root"
+    n_live = len(t.meta["lineage"])
+    assert n_live == sum(s["n"] for s in doc["lineage_segments"]) > 0
+    fresh = IcehouseTable.load(t.root)
+    assert fresh.meta["lineage"] == t.meta["lineage"], "reload materializes segments"
+    ldir = os.path.join(t.root, "metadata", "lineage")
+    n_files_before = len(os.listdir(ldir))
+    t.expire_snapshots(keep_last=1)
+    live = {s["file"] for s in _root_doc(t)["lineage_segments"]}
+    remaining = {n for n in os.listdir(ldir) if n.endswith(".json")}
+    assert live <= remaining and len(remaining) <= n_files_before
+    assert IcehouseTable.load(t.root).meta["lineage"] == t.meta["lineage"]
+
+
+def test_lineage_retention_drops_oldest_segments(spark, tmp_path, monkeypatch):
+    """Past the retention cap, whole oldest segments fall off the root while
+    recent lineage persists — and the root never re-serializes old rows."""
+    monkeypatch.setattr(IcehouseTable, "LINEAGE_KEEP_ROWS", 6)
+    t = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=4)
+    for e in range(5):  # each commit adds up to 4 lineage rows (one/bucket)
+        apply_changes(
+            t, _events(spark, [f"d{i}" for i in range(40)], lsn0=100 * e, op="U"),
+            epoch=e,
+        )
+    segs = _root_doc(t)["lineage_segments"]
+    assert sum(s["n"] for s in segs) <= 6 + 4, "at most one segment over cap"
+    assert len(segs) < 5, "oldest segments dropped from the root"
+    # in-memory and reloaded views agree and only cover the retained window
+    assert len(t.meta["lineage"]) == sum(s["n"] for s in segs)
+    fresh = IcehouseTable.load(t.root)
+    assert fresh.meta["lineage"] == t.meta["lineage"]
+    # the most recent commit's lineage always survives
+    assert any(r["version"] == t.version for r in t.meta["lineage"])
+    assert t.lineage_df(spark).count() == len(t.meta["lineage"])

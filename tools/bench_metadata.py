@@ -66,7 +66,14 @@ def make_meta(version: int, n_buckets: int, deltas_per_bucket: int) -> dict:
         "deltas": deltas,
         "epoch_watermark": version,
         "committed_epochs": {},
-        "lineage": [],
+        # retained lineage log at its cap — in the v1 layout every commit
+        # re-serialized all of it into the single document
+        "lineage": [
+            {"snapshot_id": f"s{i:08d}", "version": i, "epoch": i,
+             "partition": i % n_buckets, "rows_after": 1000,
+             "lsn_min": i, "lsn_max": i + 1}
+            for i in range(10_000)
+        ],
         "properties": {},
         "committed_at": 0.0,
     }
@@ -82,9 +89,21 @@ def bench(n_buckets: int, deltas_per_bucket: int, touched: int, reps: int = 5):
     t._write_metadata(base)  # populates the manifest store (cold write)
 
     v1_times, v2_times, v1_bytes, v2_bytes = [], [], 0, 0
+    # the v1 layout kept a 10k-row lineage window INSIDE the document; the
+    # v2 bookkeeping trims meta["lineage"] to its segment window, so emulate
+    # v1's window separately for a fair steady-state comparison
+    v1_lineage = list(base["lineage"])
     for rep in range(reps):
         nxt = json.loads(json.dumps(base))
         nxt["version"] = 2 + rep
+        new_lineage = [
+            {"snapshot_id": f"s{nxt['version']:08d}", "version": nxt["version"],
+             "epoch": nxt["version"], "partition": p, "rows_after": 1000,
+             "lsn_min": 0, "lsn_max": 1}
+            for p in range(touched)
+        ]
+        nxt["lineage"] = nxt["lineage"] + new_lineage
+        v1_lineage = (v1_lineage + new_lineage)[-10_000:]
         for p in range(touched):
             nxt["deltas"][str(p)].append(
                 {
@@ -96,9 +115,11 @@ def bench(n_buckets: int, deltas_per_bucket: int, touched: int, reps: int = 5):
             )
         # v1: single inlined document (the old layout)
         v1_path = os.path.join(root, f"v1_{rep}.json")
+        v1_doc = {k: v for k, v in nxt.items() if not k.endswith("_cache")}
+        v1_doc["lineage"] = v1_lineage
         t0 = time.perf_counter()
         with open(v1_path, "w") as fh:
-            json.dump(nxt, fh, indent=1)
+            json.dump(v1_doc, fh, indent=1)
             fh.flush()
             os.fsync(fh.fileno())
         v1_times.append(time.perf_counter() - t0)
