@@ -111,6 +111,19 @@ def batch_part_stats(
     return {int(r[PART_COL]): r.asDict() for r in rows}
 
 
+def _submit_stats(table: IcehouseTable, changes: DataFrame, key_type, n_buckets: int):
+    """Run batch_part_stats on a single background thread (overlaps the
+    stats scan with the merge write).  The bucket modulus is PINNED by the
+    caller: the worker must never read it from the shared table handle,
+    which the retry paths refresh concurrently."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    fut = pool.submit(batch_part_stats, table, changes, key_type, n_buckets)
+    pool.shutdown(wait=False)
+    return fut
+
+
 def apply_changes(
     table: IcehouseTable,
     changes: DataFrame,
@@ -172,6 +185,7 @@ def apply_changes(
         # key-type widening would change the bucket hash — a prefetched
         # result (hashed with the pre-evolution type) is stale; recompute
         part_stats = None
+    plan_buckets = table.n_buckets  # pinned; retry re-plans on spec evolution
     stats_future = None
     if part_stats is None:
         if not table.meta["partitions"] and not any(
@@ -182,17 +196,18 @@ def apply_changes(
             # take it OFF the critical path entirely: run it on a pool
             # thread concurrently with the merge write; the commit resolves
             # it after the data files land (lineage_extra callable below).
-            from concurrent.futures import ThreadPoolExecutor
-
-            _pool = ThreadPoolExecutor(max_workers=1)
-            stats_future = _pool.submit(
-                batch_part_stats, table, changes, target_schema[key].dataType
+            stats_future = _submit_stats(
+                table, changes, target_schema[key].dataType, plan_buckets
             )
-            _pool.shutdown(wait=False)
         else:
-            part_stats = batch_part_stats(table, changes, key_type=target_schema[key].dataType)
+            part_stats = batch_part_stats(
+                table, changes, key_type=target_schema[key].dataType,
+                n_buckets=plan_buckets,
+            )
     affected = sorted(part_stats) if part_stats is not None else None
-    latest = lww_latest(conformed, key=key).withColumn(PART_COL, table.bucket_expr())
+    latest = lww_latest(conformed, key=key).withColumn(
+        PART_COL, table.bucket_expr(n_buckets=plan_buckets)
+    )
     if affected is not None and not affected:
         return ApplyStats(
             CommitResult(table.version, table.meta["snapshot_id"], epoch, skipped=False),
@@ -300,8 +315,24 @@ def apply_changes(
                     ],
                 )
                 latest = lww_latest(conformed, key=key).withColumn(
-                    PART_COL, table.bucket_expr()
+                    PART_COL, table.bucket_expr(n_buckets=plan_buckets)
                 )
+            if table.n_buckets != plan_buckets:
+                # a concurrent REBUCKET won the race: the whole plan is
+                # addressed under a dead modulus — latest's _part column,
+                # the stats keys, and the affected set must all re-derive
+                # under the new bucket count or the retry would read the
+                # wrong base partitions and write unreachable bucket ids
+                plan_buckets = table.n_buckets
+                latest = lww_latest(conformed, key=key).withColumn(
+                    PART_COL, table.bucket_expr(n_buckets=plan_buckets)
+                )
+                part_stats = batch_part_stats(
+                    table, changes, key_type=target_schema[key].dataType,
+                    n_buckets=plan_buckets,
+                )
+                affected = sorted(part_stats)
+                stats_future = None  # superseded (old-modulus keys)
             if part_stats is None:
                 # the empty-table fast path no longer applies after a
                 # conflict (the winner populated partitions): resolve the
@@ -369,34 +400,36 @@ def apply_changes_mor(
     )
     if part_stats is not None and target_schema[key].dataType != table.schema[key].dataType:
         part_stats = None  # key widening changes the bucket hash — stale
-    stats_holder: dict[str, Any] = {"future": None}
-    submit_n_buckets = table.n_buckets
-    if part_stats is None:
-        # MOR needs the stats only for lineage/counts, never to prune a base
-        # read — run the scan CONCURRENTLY with the delta write (the commit
-        # resolves the callable after the data files land).  The bucket
-        # modulus is CAPTURED at submit time: the retry path refreshes the
-        # table handle concurrently, and without the pin a mid-flight
-        # rebucket would leave the prefetched stats keyed under a modulus
-        # the committed delta partitions no longer use.
-        from concurrent.futures import ThreadPoolExecutor
-
-        _pool = ThreadPoolExecutor(max_workers=1)
-        stats_holder["future"] = _pool.submit(
-            batch_part_stats, table, changes, target_schema[key].dataType,
-            submit_n_buckets,
-        )
-        _pool.shutdown(wait=False)
-    elif not part_stats:
+    if part_stats is not None and not part_stats:
         return ApplyStats(
             CommitResult(table.version, table.meta["snapshot_id"], epoch, skipped=False), 0, 0, 0
         )
+    # MOR needs the stats only for lineage/counts, never to prune a base
+    # read — when not prefetched, run the scan CONCURRENTLY with the delta
+    # write (the commit resolves the callable after the data files land).
+    # The bucket modulus is CAPTURED alongside the stats: the retry path
+    # refreshes the table handle, and a mid-flight rebucket invalidates BOTH
+    # a background-computed result AND a caller-prefetched one (either would
+    # key lineage under a modulus the committed delta partitions no longer
+    # use).
+    submit_n_buckets = table.n_buckets
+    stats_holder: dict[str, Any] = {"value": part_stats, "future": None}
+    if part_stats is None:
+        stats_holder["future"] = _submit_stats(
+            table, changes, target_schema[key].dataType, submit_n_buckets
+        )
+
+    def _resolve_stats() -> dict[int, dict]:
+        if stats_holder["value"] is None:
+            stats_holder["value"] = stats_holder["future"].result()
+        return stats_holder["value"]
+
     latest = lww_latest(conformed, key=key)
     batch_norm = latest.select(
         *logical_cols,
         F.col("lsn").alias(LSN_COL),
         (F.col("op") == "D").alias(DELETED_COL),
-    ).withColumn(PART_COL, table.bucket_expr())
+    ).withColumn(PART_COL, table.bucket_expr(n_buckets=submit_n_buckets))
 
     def _lineage_of(stats: dict[int, dict]) -> dict:
         return {
@@ -409,11 +442,7 @@ def apply_changes_mor(
             for p, r in stats.items()
         }
 
-    lineage = (
-        _lineage_of(part_stats)
-        if part_stats is not None
-        else (lambda: _lineage_of(stats_holder["future"].result()))
-    )
+    lineage = lambda: _lineage_of(_resolve_stats())  # noqa: E731 — resolved at commit
     for _attempt in range(3):
         try:
             result = table.append_deltas(
@@ -427,29 +456,25 @@ def apply_changes_mor(
         except CommitConflictError:
             # a rebucket landed mid-flight: re-plan under the fresh modulus
             table.refresh()
-            if stats_holder["future"] is not None and table.n_buckets != submit_n_buckets:
-                # prefetched stats are keyed under the old modulus — recompute
-                # so lineage matches the delta partitions actually committed
-                from concurrent.futures import ThreadPoolExecutor
-
+            if table.n_buckets != submit_n_buckets:
+                # ANY stats in hand (caller-prefetched or background) are
+                # keyed under the old modulus — recompute so lineage matches
+                # the delta partitions actually committed
                 submit_n_buckets = table.n_buckets
-                _pool = ThreadPoolExecutor(max_workers=1)
-                stats_holder["future"] = _pool.submit(
-                    batch_part_stats, table, changes, target_schema[key].dataType,
-                    submit_n_buckets,
+                stats_holder["value"] = None
+                stats_holder["future"] = _submit_stats(
+                    table, changes, target_schema[key].dataType, submit_n_buckets
                 )
-                _pool.shutdown(wait=False)
             batch_norm = latest.select(
                 *logical_cols,
                 F.col("lsn").alias(LSN_COL),
                 (F.col("op") == "D").alias(DELETED_COL),
-            ).withColumn(PART_COL, table.bucket_expr())
+            ).withColumn(PART_COL, table.bucket_expr(n_buckets=submit_n_buckets))
     else:
         raise ConcurrentCommitError(
             f"MOR append lost 3 consecutive rebucket races on {table.root}"
         )
-    if part_stats is None:
-        part_stats = stats_holder["future"].result()
+    part_stats = _resolve_stats()
     events_seen = sum(
         int(r["events_deleted"] + r["events_upserted"]) for r in part_stats.values()
     )

@@ -151,11 +151,27 @@ class ReplayRunner:
                 batch = batches[ep]
                 if pool is not None and i + 1 < len(epochs):
                     nxt = epochs[i + 1]
-                    futures[nxt] = pool.submit(batch_part_stats, self.table, batches[nxt])
-                fut = futures.pop(ep, None)
+                    # pin the bucket modulus at submit: the worker must not
+                    # read it from the shared handle, which apply/compaction
+                    # refresh concurrently (a mid-flight rebucket would give
+                    # nondeterministically-keyed stats)
+                    pinned = self.table.n_buckets
+                    futures[nxt] = (
+                        pinned,
+                        pool.submit(
+                            batch_part_stats, self.table, batches[nxt], None, pinned
+                        ),
+                    )
+                ent = futures.pop(ep, None)
+                prefetched = None
+                if ent is not None:
+                    pinned, fut = ent
+                    prefetched = fut.result()
+                    if self.table.n_buckets != pinned:
+                        prefetched = None  # spec evolved since submit — stale keys
                 stats = apply_changes_with_evolution(
                     self.table, batch, epoch=ep,
-                    part_stats=fut.result() if fut is not None else None,
+                    part_stats=prefetched,
                     mode=self.mode,
                 )
                 if (

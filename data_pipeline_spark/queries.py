@@ -2493,29 +2493,41 @@ def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = F.percentile_approx("value", ps, accuracy)
     agg = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
+        F.count("value").alias("_nv"),  # the sketch ranks non-null values only
         F.countDistinct("user_id").alias("users_exact"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("_approx_users"),
         qs.alias("_qa"),
     )
     # rank-check join: each event compares against its group's sketch
-    # quantiles (the grouped frame is 4 rows — broadcast, corpus no-shuffle)
+    # quantiles (the grouped frame is 4 rows — broadcast, corpus no-shuffle).
+    # BOTH strict and non-strict counts are needed: with duplicated values
+    # the returned element occupies the rank INTERVAL [count(<q)+1,
+    # count(<=q)], and the GK guarantee holds if that interval overlaps
+    # target±slack — testing count(<=q) alone false-alarms whenever a
+    # legitimate heavy value straddles the quantile.
     ranks = (
         ev.join(F.broadcast(agg.select("event_type", "_qa")), "event_type")
         .groupBy("event_type")
         .agg(
             *[
-                F.sum(
-                    (F.col("value") <= F.element_at("_qa", i + 1)).cast("long")
-                ).alias(f"_le{i}")
+                f
                 for i in range(len(ps))
+                for f in (
+                    F.sum(
+                        (F.col("value") <= F.element_at("_qa", i + 1)).cast("long")
+                    ).alias(f"_le{i}"),
+                    F.sum(
+                        (F.col("value") < F.element_at("_qa", i + 1)).cast("long")
+                    ).alias(f"_lt{i}"),
+                )
             ]
         )
     )
     def _q_ok(i: int) -> F.Column:
-        slack = F.col("n") / accuracy + 1.0
-        target = F.col("n") * ps[i]
+        slack = F.col("_nv") / accuracy + 1.0
+        target = F.col("_nv") * ps[i]
         return (F.col(f"_le{i}") >= target - slack) & (
-            F.col(f"_le{i}") - 1 <= target + slack
+            F.col(f"_lt{i}") <= target + slack
         )
     return (
         agg.join(ranks, "event_type")

@@ -971,30 +971,42 @@ class IcehouseTable:
     def _manifest_dir(root: str) -> str:
         return os.path.join(root, "metadata", "manifests")
 
-    # Manifests are content-addressed (filename = sha256 of content) and
-    # therefore IMMUTABLE — a perfect cache key.  refresh()/load() re-read
-    # the small root document every time, but re-parse only manifests this
+    # Manifests and lineage segments are content-addressed / write-once and
+    # therefore IMMUTABLE — perfect cache keys.  refresh()/load() re-read
+    # the small root document every time, but re-parse only files this
     # process has never seen: a steady-state commit loop costs 1 root read +
     # O(touched) manifest reads per refresh instead of O(n_buckets).
-    # Bounded FIFO so a long-lived driver over many tables cannot grow
-    # without limit (entries are a few KB each).
-    _manifest_cache: "dict[str, dict]" = {}
+    # Bounded FIFO on BOTH entry count and serialized bytes (lineage
+    # segments can be MB-scale, so a count cap alone is not a memory bound).
+    _manifest_cache: "dict[str, tuple[Any, int]]" = {}
+    _manifest_cache_bytes = 0
     _MANIFEST_CACHE_MAX = 65536
+    _MANIFEST_CACHE_MAX_BYTES = 128 * 1024 * 1024
 
     @classmethod
     def _read_manifest(cls, mandir: str, fname: str):
         key = os.path.join(mandir, fname)
         hit = cls._manifest_cache.get(key)
         if hit is not None:
-            return hit
+            return hit[0]
+        if not cls._manifest_cache:
+            cls._manifest_cache_bytes = 0  # re-sync after an external clear()
         with open(key) as fh:
-            content = json.load(fh)
-        if len(cls._manifest_cache) >= cls._MANIFEST_CACHE_MAX:
+            text = fh.read()
+        content = json.loads(text)
+        size = len(text)
+        while cls._manifest_cache and (
+            len(cls._manifest_cache) >= cls._MANIFEST_CACHE_MAX
+            or cls._manifest_cache_bytes + size > cls._MANIFEST_CACHE_MAX_BYTES
+        ):
             try:  # concurrent evictors may race on the same oldest key
-                cls._manifest_cache.pop(next(iter(cls._manifest_cache)), None)
+                evicted = cls._manifest_cache.pop(next(iter(cls._manifest_cache)), None)
+                if evicted is not None:
+                    cls._manifest_cache_bytes -= evicted[1]
             except (StopIteration, RuntimeError):
-                pass
-        cls._manifest_cache[key] = content
+                break
+        cls._manifest_cache[key] = (content, size)
+        cls._manifest_cache_bytes += size
         return content
 
     @classmethod
@@ -1210,7 +1222,10 @@ class IcehouseTable:
             if not os.path.isdir(gc_dir):
                 continue
             for name in os.listdir(gc_dir):
-                if name.endswith(".json") and name not in live:
+                # .tmp files are crash leftovers from the write-then-rename
+                # in _write_metadata — safe to reclaim here because expire
+                # runs in a maintenance window (no in-flight commits)
+                if (name.endswith(".json") and name not in live) or name.endswith(".tmp"):
                     try:
                         os.unlink(os.path.join(gc_dir, name))
                     except FileNotFoundError:

@@ -87,3 +87,14 @@ def test_catalog_output_is_driver_canonicalizable(name, spark, sf_dir):
         f"{name}: complex-typed output columns {complex_cols} break the "
         "driver canonicalizer — stringify them (array_join/to_json)"
     )
+
+
+def test_driver_window_ordering_is_intact():
+    """The driver verifies only the first 50 catalog entries in insertion
+    order; _reorder_for_driver_window must keep the priority block at the
+    head.  A new @q registration added BELOW the reorder block, or a module
+    split, would silently fall outside the re-keying — this guard fails
+    instead."""
+    keys = list(Q.SPARK_QUERIES)
+    assert keys[: len(Q._DRIVER_WINDOW_FIRST)] == Q._DRIVER_WINDOW_FIRST
+    assert len(keys) == len(set(keys))

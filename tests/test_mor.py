@@ -249,6 +249,41 @@ def test_append_conflicts_with_concurrent_rebucket(spark, tmp_path):
     assert got["d0"] == ((7,), 1, "s2") and len(got) == 50
 
 
+def test_mor_caller_prefetched_stats_rekeyed_after_rebucket(spark, tmp_path):
+    """Caller-provided part_stats (the ReplayRunner prefetch path) computed
+    under the OLD bucket modulus must be recomputed when a concurrent
+    rebucket wins the commit race — otherwise the epoch's lineage is keyed
+    under bucket ids the committed delta partitions no longer use."""
+    from data_pipeline_spark.cdc.apply import batch_part_stats
+
+    table = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=4)
+    cols = ["lsn", "op", "doc_id", "tokens", "n_tok", "source"]
+    df = spark.createDataFrame(
+        [(i, "I", f"d{i}", [i], 1, "s") for i in range(40)], cols
+    )
+    apply_changes_mor(table, df, epoch=0)
+    stale = IcehouseTable.load(table.root)
+    upd = spark.createDataFrame(
+        [(100 + i, "U", f"d{i}", [9], 1, "s2") for i in range(40)], cols
+    )
+    prefetched = batch_part_stats(stale, upd)  # keyed under modulus 4
+    table.rebucket(spark, 16)
+    apply_changes_mor(stale, upd, epoch=1, part_stats=prefetched)
+    assert stale.n_buckets == 16
+    fresh = batch_part_stats(stale, upd)  # recomputed under modulus 16
+    assert set(fresh) != set(prefetched), "test must actually change the keying"
+    lin = {
+        rec["partition"]: rec for rec in stale.meta["lineage"] if rec["epoch"] == 1
+    }
+    assert set(lin) == set(fresh)
+    for p, r in fresh.items():
+        assert lin[p]["lsn_min"] == int(r["lsn_min"])
+        assert lin[p]["lsn_max"] == int(r["lsn_max"])
+        assert lin[p]["rows_upserted"] == int(r["events_upserted"])
+    got = state_of(table.refresh(), spark)
+    assert got == {f"d{i}": ((9,), 1, "s2") for i in range(40)}
+
+
 def test_clean_table_read_plan_has_no_resolve_aggregate(spark, log, tmp_path):
     """Reads of a table with NO pending deltas must stay a plain scan+filter
     — the LWW resolve aggregate (and its shuffle) may appear only when

@@ -94,6 +94,40 @@ def test_rebucket_carries_tombstones(spark, tmp_path):
     assert table_state(table, spark) == {"b": ((3,), 1, "s1")}
 
 
+def test_cow_merge_replans_after_concurrent_rebucket(spark, tmp_path):
+    """A copy-on-write merge planned under the old bucket modulus loses the
+    commit race to a rebucket: the retry must re-derive the batch's _part
+    column, the affected set, AND any caller-prefetched stats under the new
+    bucket count — a stale plan would read the wrong base partitions and
+    commit rows under dead bucket ids."""
+    from data_pipeline_spark.cdc.apply import batch_part_stats
+
+    table = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=16)
+    apply_changes(
+        table,
+        _batch(spark, [(i, "I", f"d{i}", [i], 1, "s1") for i in range(60)]),
+        epoch=0,
+    )
+    stale = IcehouseTable.load(table.root)
+    upd = _batch(
+        spark,
+        [(100 + i, "U", f"d{i}", [7], 1, "s2") for i in range(30)]
+        + [(200, "D", "d59", None, None, None)],
+    )
+    prefetched = batch_part_stats(stale, upd)  # keyed under modulus 16
+    table.rebucket(spark, 4)
+    apply_changes(stale, upd, epoch=1, part_stats=prefetched)
+    assert stale.n_buckets == 4
+    assert all(0 <= int(k) < 4 for k in stale.meta["partitions"])
+    expected = {f"d{i}": ((7,), 1, "s2") for i in range(30)}
+    expected.update({f"d{i}": ((i,), 1, "s1") for i in range(30, 59)})
+    assert table_state(stale, spark) == expected
+    # epoch-1 lineage keyed under the NEW modulus, values from the recompute
+    fresh = batch_part_stats(stale, upd)
+    lin = {rec["partition"] for rec in stale.meta["lineage"] if rec["epoch"] == 1}
+    assert lin == set(fresh) and all(0 <= p < 4 for p in lin)
+
+
 # -- quarantine / DLQ -------------------------------------------------------
 
 
