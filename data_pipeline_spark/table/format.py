@@ -82,6 +82,8 @@ class TableFormat(Protocol):
     def vacuum_tombstones(self, spark, lsn_watermark: int) -> "CommitResult": ...
     def expire_snapshots(self, keep_last: int = 3) -> list[str]: ...
 
+    def update_properties(self, updates, max_retries: int = 5) -> "CommitResult": ...
+
     # -- time travel / refs -----------------------------------------------------
     def rollback(self, to_version, max_retries: int = 5) -> "CommitResult": ...
     def history(self, spark): ...

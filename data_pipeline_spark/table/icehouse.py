@@ -271,6 +271,52 @@ class IcehouseTable:
     def epoch_watermark(self) -> int:
         return self.meta["epoch_watermark"]
 
+    @property
+    def write_fanout(self) -> int:
+        """``write.fanout`` table property (default 1): how many deterministic
+        key-hash sub-partitions each bucket's rewrite is split across.
+
+        At sandbox scale one task per bucket is fine; at the design target
+        (thousands of buckets × 10-100 GB each) a single task sorting and
+        serially writing one 100-GB file is the write path's scale ceiling —
+        its sort spills, its output has no parallelism, and a straggler
+        bucket holds the whole commit.  Fanout f gives each bucket f write
+        tasks and f output files (bounded ~1/f of the bucket each) with NO
+        change to addressing or read semantics: the bucket dir simply holds
+        f sorted files, and every reader already scans directories.  The
+        sub-split is a pure function of the key (seeded xxhash64), so output
+        file CONTENT stays deterministic at any parallelism level."""
+        return max(1, int(self.meta.get("properties", {}).get("write.fanout", 1)))
+
+    def _layout(self, out: DataFrame, n_buckets: int) -> DataFrame:
+        """Deterministic physical layout for a write: partition by bucket
+        (× fanout sub-split when ``write.fanout`` > 1), rows sorted by key
+        within each output file."""
+        fanout = self.write_fanout
+        if fanout <= 1:
+            return out.repartition(n_buckets, F.col(PART_COL)).sortWithinPartitions(
+                PART_COL, self.key_col
+            )
+        sub = F.pmod(
+            F.xxhash64(F.col(self.key_col), F.lit("write.fanout")), F.lit(fanout)
+        ).cast("int")
+        return (
+            out.withColumn("_sub", sub)
+            .repartition(n_buckets * fanout, F.col(PART_COL), F.col("_sub"))
+            .drop("_sub")  # only steers the shuffle; projection keeps slots
+            .sortWithinPartitions(PART_COL, self.key_col)
+        )
+
+    def _writer(self, laid_out: DataFrame):
+        """Parquet writer for a snapshot dir, honoring ``write.max-file-rows``
+        (caps rows per output file WITHIN a task — the cheap file-size bound
+        when re-shuffling for fanout isn't warranted)."""
+        w = laid_out.withColumn("_pw", F.col(PART_COL)).write.mode("overwrite")
+        cap = self.meta.get("properties", {}).get("write.max-file-rows")
+        if cap:
+            w = w.option("maxRecordsPerFile", int(cap))
+        return w.partitionBy("_pw")
+
     @staticmethod
     def _epoch_key(epoch: int, source: str | None) -> str:
         """Registry key for the exactly-once fence.  ``source`` namespaces
@@ -573,9 +619,10 @@ class IcehouseTable:
         if incoming_schema is not None:
             new_schema, schema_changed = evolve_schema(self.schema, incoming_schema)
 
-        # conform + deterministic physical layout:
-        #   one task per bucket (repartition by _part), rows sorted by key
-        #   within each file → byte-identical output at any parallelism level.
+        # conform + deterministic physical layout (see _layout):
+        #   one task per bucket × write.fanout (repartition by _part [+ key
+        #   sub-hash]), rows sorted by key within each file → output file
+        #   CONTENT is deterministic at any parallelism level.
         with_part = df if PART_COL in df.columns else df.withColumn(PART_COL, self.bucket_expr())
         # conform to the (possibly evolved) schema; CDC meta columns
         # (_lsn/_deleted) ride along when the caller provides them
@@ -595,9 +642,7 @@ class IcehouseTable:
             F.col(PART_COL).cast("int").alias(PART_COL),
         )
         layout_buckets = (meta_updates or {}).get("n_buckets", self.n_buckets)
-        laid_out = out.repartition(layout_buckets, F.col(PART_COL)).sortWithinPartitions(
-            PART_COL, self.key_col
-        )
+        laid_out = self._layout(out, layout_buckets)
         return self._commit_attempts(
             laid_out, epoch, lineage_extra, new_schema, schema_changed, max_retries,
             epoch_source=epoch_source, affected_partitions=affected_partitions,
@@ -654,9 +699,7 @@ class IcehouseTable:
             F.col(DELETED_COL).cast("boolean").alias(DELETED_COL),
             F.col(PART_COL).cast("int").alias(PART_COL),
         )
-        laid_out = out.repartition(plan_buckets, F.col(PART_COL)).sortWithinPartitions(
-            PART_COL, self.key_col
-        )
+        laid_out = self._layout(out, plan_buckets)
         sdir_rel = sdir = None
         stats: dict[int, int] = {}
         for _attempt in range(max_retries):
@@ -679,12 +722,7 @@ class IcehouseTable:
                 snapshot_id = f"s{new_version:08d}-{uuid.uuid4().hex[:8]}"
                 sdir_rel = os.path.join("data", snapshot_id)
                 sdir = os.path.join(self.root, sdir_rel)
-                (
-                    laid_out.withColumn("_pw", F.col(PART_COL))
-                    .write.mode("overwrite")
-                    .partitionBy("_pw")
-                    .parquet(sdir)
-                )
+                self._writer(laid_out).parquet(sdir)
                 stats = self._footer_stats(sdir, lsn_range=True)
             else:
                 snapshot_id = f"s{new_version:08d}-{snapshot_id.split('-', 1)[1]}"
@@ -819,12 +857,7 @@ class IcehouseTable:
             snapshot_id = f"s{new_version:08d}-{uuid.uuid4().hex[:8]}"
             sdir_rel = os.path.join("data", snapshot_id)
             sdir = os.path.join(self.root, sdir_rel)
-            (
-                laid_out.withColumn("_pw", F.col(PART_COL))
-                .write.mode("overwrite")
-                .partitionBy("_pw")
-                .parquet(sdir)
-            )
+            self._writer(laid_out).parquet(sdir)
             stats = self._footer_stats(sdir, lsn_range=True)
             if affected_partitions is not None:
                 # partitions the caller read but whose rewrite produced zero
@@ -1346,7 +1379,8 @@ class IcehouseTable:
         partitions: "list[int] | Literal['deltas'] | None" = None,
     ) -> CommitResult:
         """Small-file compaction: rewrite partitions into one sorted file per
-        bucket, folding any merge-on-read deltas into the base (Iceberg
+        bucket (× ``write.fanout``), folding any merge-on-read deltas into
+        the base (Iceberg
         rewrite_data_files analog).  Read+write of live+tombstone rows, no
         semantic change — lineage shows the commit.
 
@@ -1461,6 +1495,45 @@ class IcehouseTable:
             except CommitConflictError:
                 self.refresh()
         raise ConcurrentCommitError(f"vacuum lost 5 conflict races on {self.root}")
+
+    def update_properties(
+        self, updates: dict[str, Any], max_retries: int = 5
+    ) -> CommitResult:
+        """Pure-metadata commit updating table properties (Iceberg
+        ``updateProperties`` analog); a value of ``None`` deletes the key.
+        Write-path properties take effect on the NEXT write:
+
+        - ``write.fanout`` (int ≥ 1, default 1): split each bucket rewrite
+          across this many deterministic key-hash sub-partitions — write
+          parallelism and per-task sort memory decouple from ``n_buckets``
+          (see :attr:`write_fanout`).  Retune it as buckets grow, without
+          the full-table shuffle a :meth:`rebucket` costs.
+        - ``write.max-file-rows`` (int): cap rows per output file within a
+          task (``maxRecordsPerFile``) — bounds file sizes without changing
+          the shuffle.
+        """
+        for _ in range(max_retries):
+            self.refresh()
+            meta = json.loads(json.dumps(self.meta))
+            props = meta.setdefault("properties", {})
+            for k, v in updates.items():
+                if v is None:
+                    props.pop(k, None)
+                else:
+                    props[k] = v
+            meta["version"] = self.version + 1
+            meta["parent_version"] = self.version
+            meta["snapshot_id"] = f"s{meta['version']:08d}-props"
+            meta["committed_at"] = time.time()
+            try:
+                self._write_metadata(meta, touched=set())  # props-only commit
+            except FileExistsError:
+                continue
+            self.meta = meta
+            return CommitResult(meta["version"], meta["snapshot_id"], None)
+        raise ConcurrentCommitError(
+            f"update_properties lost {max_retries} races on {self.root}"
+        )
 
     def create_tag(self, name: str, version: int | None = None, max_retries: int = 5) -> CommitResult:
         """Pin a snapshot under a named tag (Iceberg tag analog): a new

@@ -17,6 +17,10 @@ partition-spec evolution, run as scheduled maintenance jobs):
       [--tag NAME]                 # pin the current snapshot under a tag
                                    # (exempt from expiry until --delete-tag)
       [--delete-tag NAME]
+      [--set-property K=V ...]     # pure-metadata property commit, e.g.
+                                   # write.fanout=8 (bucket-write fan-out) or
+                                   # write.max-file-rows=5000000; V empty
+                                   # deletes the key
       [--stats]                    # print table health (always safe)
 
 Every action is one atomic, lineage-recorded commit through the same
@@ -84,6 +88,9 @@ def main() -> None:
                     help="version number or tag name")
     ap.add_argument("--tag", default=None)
     ap.add_argument("--delete-tag", default=None)
+    ap.add_argument("--set-property", action="append", default=None,
+                    metavar="K=V", help="update a table property (repeatable; "
+                    "empty value deletes the key); ints auto-coerced")
     ap.add_argument("--stats", action="store_true")
     args = ap.parse_args()
 
@@ -157,6 +164,17 @@ def main() -> None:
         res = table.delete_tag(args.delete_tag)
         out["actions"].append(
             {"action": "delete_tag", "name": args.delete_tag, "skipped": res.skipped}
+        )
+    if args.set_property:
+        updates: dict = {}
+        for kv in args.set_property:
+            k, _, v = kv.partition("=")
+            if not k or "=" not in kv:
+                raise SystemExit(f"--set-property expects K=V, got {kv!r}")
+            updates[k] = None if v == "" else (int(v) if v.lstrip("-").isdigit() else v)
+        res = table.update_properties(updates)
+        out["actions"].append(
+            {"action": "set_property", "updates": updates, "version": res.version}
         )
     if args.expire_keep is not None:
         removed = table.expire_snapshots(keep_last=args.expire_keep)

@@ -1,0 +1,178 @@
+"""Fan-out writes (``write.fanout`` table property): each bucket's rewrite
+splits across f deterministic key-hash sub-partitions — f write tasks and f
+sorted files per bucket instead of one — so write parallelism and per-task
+sort memory decouple from ``n_buckets``.  Addressing and read semantics must
+be bit-identical to fanout=1: same final state under COW and MOR replay,
+same footer-stats row counts, same LWW resolution, and the sub-split must be
+a pure function of the key (content-deterministic at any parallelism).
+
+No reference analog (BigQuery owns its file layout); this is the engine's
+own 100-TB write-path design (one task sorting a 100-GB bucket is the
+ceiling fanout removes).
+"""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_pipeline_spark.cdc import (
+    ReplayRunner,
+    apply_changes,
+    generate_change_log,
+)
+from data_pipeline_spark.table import IcehouseTable
+
+TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+
+def state_of(table, spark):
+    return {
+        r["doc_id"]: (
+            tuple(r["tokens"]) if r["tokens"] is not None else None,
+            r["n_tok"],
+            r["source"],
+        )
+        for r in table.read(spark).collect()
+    }
+
+
+@pytest.fixture()
+def log(spark):
+    return generate_change_log(
+        spark, n_events=4000, n_docs=300, events_per_epoch=1000, seed=11
+    ).persist()
+
+
+def _replay(spark, log, root, properties=None, **runner_kw):
+    table = IcehouseTable.create(
+        str(root), TABLE_SCHEMA, n_buckets=4, properties=properties
+    )
+    ReplayRunner(table, str(root) + ".ckpt", **runner_kw).run(log)
+    return table
+
+
+def _base_files(table):
+    """parquet files per bucket of the CURRENT base snapshot."""
+    return {
+        int(k): sorted(
+            glob.glob(os.path.join(table.root, v["path"], "*.parquet"))
+        )
+        for k, v in table.meta["partitions"].items()
+    }
+
+
+def test_fanout_state_equals_fanout1(spark, log, tmp_path):
+    plain = _replay(spark, log, tmp_path / "plain")
+    fan = _replay(spark, log, tmp_path / "fan", properties={"write.fanout": 4})
+    assert state_of(fan, spark) == state_of(plain, spark)
+
+
+def test_fanout_splits_buckets_into_multiple_sorted_files(spark, log, tmp_path):
+    fan = _replay(spark, log, tmp_path / "fan", properties={"write.fanout": 4})
+    files = _base_files(fan)
+    # 300 docs over 4 buckets × fanout 4 — every bucket should split
+    assert files and all(len(fs) > 1 for fs in files.values())
+    # metadata row counts aggregate across the split files correctly
+    import pyarrow.parquet as pq
+
+    for k, fs in files.items():
+        assert sum(pq.ParquetFile(f).metadata.num_rows for f in fs) == (
+            fan.meta["partitions"][str(k)]["rows"]
+        )
+        for f in fs:
+            keys = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+            assert keys == sorted(keys), "rows must stay key-sorted within a file"
+
+
+def test_fanout_subsplit_is_content_deterministic(spark, log, tmp_path):
+    """The sub-partitioner is a pure key function: two independent replays
+    produce the same file-content SETS per bucket (names differ — Spark
+    embeds task uuids — so compare content hashes)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    def content_hashes(table):
+        out = {}
+        for k, fs in _base_files(table).items():
+            hs = set()
+            for f in fs:
+                t = pq.read_table(f)
+                hs.add(hashlib.sha256(str(t.to_pydict()).encode()).hexdigest())
+            out[k] = hs
+        return out
+
+    a = _replay(spark, log, tmp_path / "a", properties={"write.fanout": 4})
+    b = _replay(spark, log, tmp_path / "b", properties={"write.fanout": 4})
+    assert content_hashes(a) == content_hashes(b)
+
+
+def test_fanout_mor_replay_and_compaction(spark, log, tmp_path):
+    plain = _replay(spark, log, tmp_path / "plain")
+    fan = _replay(
+        spark, log, tmp_path / "fan", properties={"write.fanout": 3}, mode="mor"
+    )
+    assert state_of(fan, spark) == state_of(plain, spark)
+    fan.compact_partitions(spark, partitions="deltas")
+    assert not any(fan.meta.get("deltas", {}).values())
+    assert state_of(fan, spark) == state_of(plain, spark)
+
+
+def test_update_properties_enables_fanout_on_existing_table(spark, log, tmp_path):
+    table = _replay(spark, log, tmp_path / "t")
+    assert table.write_fanout == 1
+    v = table.version
+    res = table.update_properties({"write.fanout": 4, "owner": "ingest"})
+    assert res.version == v + 1 and table.write_fanout == 4
+    # next rewrite picks it up
+    table.compact_partitions(spark)
+    assert any(len(fs) > 1 for fs in _base_files(table).values())
+    # deletion restores the default
+    table.update_properties({"write.fanout": None})
+    assert table.write_fanout == 1
+    assert IcehouseTable.load(table.root).meta["properties"] == {"owner": "ingest"}
+
+
+def test_max_file_rows_caps_file_size_without_reshuffle(spark, tmp_path):
+    table = IcehouseTable.create(
+        str(tmp_path / "t"),
+        TABLE_SCHEMA,
+        n_buckets=2,
+        properties={"write.max-file-rows": 50},
+    )
+    rows = spark.range(400).select(
+        F.lit(0).alias("lsn"),
+        F.lit("I").alias("op"),
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.array(F.col("id").cast("int")).alias("tokens"),
+        F.lit(1).alias("n_tok"),
+        F.lit("s").alias("source"),
+    )
+    apply_changes(table, rows, epoch=0)
+    import pyarrow.parquet as pq
+
+    for fs in _base_files(table).values():
+        assert len(fs) > 1
+        assert all(pq.ParquetFile(f).metadata.num_rows <= 50 for f in fs)
+    assert table.read(spark).count() == 400
+
+
+def test_fanout_survives_rebucket_and_rollback(spark, log, tmp_path):
+    fan = _replay(spark, log, tmp_path / "fan", properties={"write.fanout": 2})
+    before = state_of(fan, spark)
+    v = fan.version
+    fan.rebucket(spark, 8)
+    assert fan.n_buckets == 8 and state_of(fan, spark) == before
+    assert all(len(fs) >= 1 for fs in _base_files(fan).values())
+    fan.rollback(v)
+    assert fan.n_buckets == 4 and state_of(fan, spark) == before

@@ -168,3 +168,37 @@ def test_maintenance_job_cli(spark, loaded_table, monkeypatch, capsys):
     assert live == {f"d{i}" for i in range(20) if i % 2 == 0}
     # expire kept the current snapshot readable
     assert IcehouseTable.load(t.root).read(spark).count() == 10
+
+
+def test_maintenance_job_set_property(spark, loaded_table, monkeypatch, capsys):
+    """--set-property commits table properties atomically (fan-out retune is
+    the canonical use: a pure-metadata commit, no data movement)."""
+    import json
+    import sys
+
+    from jobs import maintenance_job
+
+    t = loaded_table
+    monkeypatch.setattr(
+        sys, "argv",
+        ["maintenance_job.py", "--table", t.root,
+         "--set-property", "write.fanout=4",
+         "--set-property", "owner=ingest-team"],
+    )
+    maintenance_job.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["actions"] == [
+        {"action": "set_property",
+         "updates": {"write.fanout": 4, "owner": "ingest-team"},
+         "version": out["actions"][0]["version"]}
+    ]
+    t.refresh()
+    assert t.write_fanout == 4
+    # empty value deletes the key
+    monkeypatch.setattr(
+        sys, "argv",
+        ["maintenance_job.py", "--table", t.root, "--set-property", "write.fanout="],
+    )
+    maintenance_job.main()
+    t.refresh()
+    assert t.write_fanout == 1 and t.meta["properties"]["owner"] == "ingest-team"
