@@ -111,6 +111,22 @@ def batch_part_stats(
     return {int(r[PART_COL]): r.asDict() for r in rows}
 
 
+def _lineage_of(stats: dict[int, dict]) -> dict:
+    """Reshape batch_part_stats output into the per-partition lineage-record
+    extras the table commit paths persist (single definition site: the
+    lsn_min/lsn_max/rows_upserted/rows_deleted contract is consumed by
+    IcehouseTable lineage records and lineage_df)."""
+    return {
+        p: {
+            "lsn_min": int(r["lsn_min"]),
+            "lsn_max": int(r["lsn_max"]),
+            "rows_upserted": int(r["events_upserted"]),
+            "rows_deleted": int(r["events_deleted"]),
+        }
+        for p, r in stats.items()
+    }
+
+
 def _submit_stats(table: IcehouseTable, changes: DataFrame, key_type, n_buckets: int):
     """Run batch_part_stats on a single background thread (overlaps the
     stats scan with the merge write).  The bucket modulus is PINNED by the
@@ -158,6 +174,9 @@ def apply_changes(
     target_schema = (
         evolve_schema(table.schema, target_schema)[0] if target_schema else table.schema
     )
+    # key-type changes re-address every bucket (xxhash64 hashes int vs long
+    # differently) — rejected table-side too; fail here before any scan runs
+    table.ensure_key_type_unchanged(target_schema)
     logical_cols = target_schema.fieldNames()
 
     # conform the batch payload to the target schema, keeping lsn/op
@@ -181,10 +200,6 @@ def apply_changes(
     # partitions are identical either way (LWW reduces rows per key, never
     # the key set).  ``part_stats`` may be precomputed (prefetched
     # concurrently with the previous epoch's write — ReplayRunner does).
-    if part_stats is not None and target_schema[key].dataType != table.schema[key].dataType:
-        # key-type widening would change the bucket hash — a prefetched
-        # result (hashed with the pre-evolution type) is stale; recompute
-        part_stats = None
     plan_buckets = table.n_buckets  # pinned; retry re-plans on spec evolution
     stats_future = None
     if part_stats is None:
@@ -213,17 +228,6 @@ def apply_changes(
             CommitResult(table.version, table.meta["snapshot_id"], epoch, skipped=False),
             0, 0, 0,
         )
-
-    def _lineage_of(stats: dict[int, dict]) -> dict:
-        return {
-            p: {
-                "lsn_min": int(r["lsn_min"]),
-                "lsn_max": int(r["lsn_max"]),
-                "rows_upserted": int(r["events_upserted"]),
-                "rows_deleted": int(r["events_deleted"]),
-            }
-            for p, r in stats.items()
-        }
 
     # ORDER-INSENSITIVE merge: base rows carry their producing _lsn and
     # deletes persist as tombstones, so the per-key winner is max(_lsn)
@@ -387,6 +391,7 @@ def apply_changes_mor(
         )
     key = table.key_col
     target_schema = target_schema or table.schema
+    table.ensure_key_type_unchanged(target_schema)  # see apply_changes
     logical_cols = target_schema.fieldNames()
     conformed = changes.select(
         "lsn",
@@ -398,8 +403,6 @@ def apply_changes_mor(
             for f in target_schema.fields
         ],
     )
-    if part_stats is not None and target_schema[key].dataType != table.schema[key].dataType:
-        part_stats = None  # key widening changes the bucket hash — stale
     if part_stats is not None and not part_stats:
         return ApplyStats(
             CommitResult(table.version, table.meta["snapshot_id"], epoch, skipped=False), 0, 0, 0
@@ -430,17 +433,6 @@ def apply_changes_mor(
         F.col("lsn").alias(LSN_COL),
         (F.col("op") == "D").alias(DELETED_COL),
     ).withColumn(PART_COL, table.bucket_expr(n_buckets=submit_n_buckets))
-
-    def _lineage_of(stats: dict[int, dict]) -> dict:
-        return {
-            p: {
-                "lsn_min": int(r["lsn_min"]),
-                "lsn_max": int(r["lsn_max"]),
-                "rows_upserted": int(r["events_upserted"]),
-                "rows_deleted": int(r["events_deleted"]),
-            }
-            for p, r in stats.items()
-        }
 
     lineage = lambda: _lineage_of(_resolve_stats())  # noqa: E731 — resolved at commit
     for _attempt in range(3):

@@ -151,15 +151,19 @@ class ReplayRunner:
                 batch = batches[ep]
                 if pool is not None and i + 1 < len(epochs):
                     nxt = epochs[i + 1]
-                    # pin the bucket modulus at submit: the worker must not
-                    # read it from the shared handle, which apply/compaction
-                    # refresh concurrently (a mid-flight rebucket would give
-                    # nondeterministically-keyed stats)
+                    # pin the bucket modulus AND key type at submit: the
+                    # worker must not read either from the shared handle,
+                    # which apply/compaction refresh concurrently (a
+                    # mid-flight rebucket would give nondeterministically-
+                    # keyed stats; the key type is immutable by contract —
+                    # see overwrite_partitions — but resolving it here keeps
+                    # the worker handle-read-free)
                     pinned = self.table.n_buckets
+                    key_type = self.table.schema[self.table.key_col].dataType
                     futures[nxt] = (
                         pinned,
                         pool.submit(
-                            batch_part_stats, self.table, batches[nxt], None, pinned
+                            batch_part_stats, self.table, batches[nxt], key_type, pinned
                         ),
                     )
                 ent = futures.pop(ep, None)

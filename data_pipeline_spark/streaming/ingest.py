@@ -130,7 +130,8 @@ class StreamingIngest:
         )
         self.applied.append(stats)
         if len(self.applied) > self.applied_cap:
-            del self.applied[: -self.applied_cap]
+            # NOT `[: -cap]` — that slice is a no-op at cap=0 (retention off)
+            del self.applied[: len(self.applied) - self.applied_cap]
         self.batches_applied += 1
         self.events_applied += stats.events_in
 

@@ -83,6 +83,8 @@ class TableFormat(Protocol):
     def expire_snapshots(self, keep_last: int = 3) -> list[str]: ...
 
     def update_properties(self, updates, max_retries: int = 5) -> "CommitResult": ...
+    def ensure_key_type_unchanged(self, new_schema) -> None: ...
+    def migrate_key_type(self, spark, new_root: str, new_key_type, n_buckets=None): ...
 
     # -- time travel / refs -----------------------------------------------------
     def rollback(self, to_version, max_retries: int = 5) -> "CommitResult": ...

@@ -51,6 +51,7 @@ import hashlib
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -89,6 +90,25 @@ class SchemaEvolutionError(ValueError):
     """Incoming schema requires a non-additive (rejected) change."""
 
 
+def _deep_nullable(dt: T.DataType) -> T.DataType:
+    """Normalize a type to its fully-nullable form (containsNull /
+    valueContainsNull / field nullability all True).  Nullability is a
+    CONSTRAINT, not a type: a batch whose array column happens to carry
+    containsNull=false (anything built with F.array of non-null exprs does)
+    must compare EQUAL to the table's nullable array<int> instead of being
+    rejected as a type change — and stored schemas keep the nullable form,
+    since older files may hold nulls the newest batch doesn't."""
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_deep_nullable(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_deep_nullable(dt.keyType), _deep_nullable(dt.valueType), True)
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _deep_nullable(f.dataType), True) for f in dt.fields]
+        )
+    return dt
+
+
 def evolve_schema(current: T.StructType, incoming: T.StructType) -> tuple[T.StructType, bool]:
     """Merge ``incoming`` into ``current`` under additive-evolution rules.
 
@@ -105,8 +125,8 @@ def evolve_schema(current: T.StructType, incoming: T.StructType) -> tuple[T.Stru
     for f in current.fields:
         if f.name in {g.name for g in incoming.fields}:
             g = next(g for g in incoming.fields if g.name == f.name)
-            if g.dataType == f.dataType:
-                merged.append(f)
+            if _deep_nullable(g.dataType) == _deep_nullable(f.dataType):
+                merged.append(f)  # nullability-insensitive: keep table's form
             elif _WIDENINGS.get((f.dataType.typeName(), g.dataType.typeName())):
                 merged.append(T.StructField(f.name, g.dataType, True))
                 changed = True
@@ -121,10 +141,9 @@ def evolve_schema(current: T.StructType, incoming: T.StructType) -> tuple[T.Stru
             merged.append(f)  # column absent from incoming: keep (reads as NULL for new data)
     for g in incoming.fields:
         if g.name not in cur:
-            if not g.nullable:
-                # new columns must be nullable: old rows have no value for them
-                g = T.StructField(g.name, g.dataType, True)
-            merged.append(g)
+            # new columns are stored fully nullable: old rows have no value
+            # for them, and future batches may carry nulls this one doesn't
+            merged.append(T.StructField(g.name, _deep_nullable(g.dataType), True))
             changed = True
     return T.StructType(merged), changed
 
@@ -288,22 +307,30 @@ class IcehouseTable:
         file CONTENT stays deterministic at any parallelism level."""
         return max(1, int(self.meta.get("properties", {}).get("write.fanout", 1)))
 
-    def _layout(self, out: DataFrame, n_buckets: int) -> DataFrame:
+    def _layout(
+        self, out: DataFrame, n_buckets: int, fanout: int | None = None
+    ) -> DataFrame:
         """Deterministic physical layout for a write: partition by bucket
         (× fanout sub-split when ``write.fanout`` > 1), rows sorted by key
-        within each output file."""
-        fanout = self.write_fanout
+        within each output file.  ``fanout`` overrides the table property
+        (append_deltas pins 1: a fanned-out O(batch) delta write would just
+        multiply the small files compaction exists to fix, with no
+        sort-memory benefit)."""
+        fanout = self.write_fanout if fanout is None else fanout
         if fanout <= 1:
             return out.repartition(n_buckets, F.col(PART_COL)).sortWithinPartitions(
                 PART_COL, self.key_col
             )
+        sub_col = "_sub"  # collision-proof vs logical columns
+        while sub_col in out.columns:
+            sub_col += "_"
         sub = F.pmod(
             F.xxhash64(F.col(self.key_col), F.lit("write.fanout")), F.lit(fanout)
         ).cast("int")
         return (
-            out.withColumn("_sub", sub)
-            .repartition(n_buckets * fanout, F.col(PART_COL), F.col("_sub"))
-            .drop("_sub")  # only steers the shuffle; projection keeps slots
+            out.withColumn(sub_col, sub)
+            .repartition(n_buckets * fanout, F.col(PART_COL), F.col(sub_col))
+            .drop(sub_col)  # only steers the shuffle; projection keeps slots
             .sortWithinPartitions(PART_COL, self.key_col)
         )
 
@@ -316,6 +343,28 @@ class IcehouseTable:
         if cap:
             w = w.option("maxRecordsPerFile", int(cap))
         return w.partitionBy("_pw")
+
+    def ensure_key_type_unchanged(self, new_schema: T.StructType) -> None:
+        """The KEY column's type is immutable: bucket addressing is
+        pmod(xxhash64(key), n_buckets), and Spark's xxhash64 hashes an int
+        and the same value as a long DIFFERENTLY — widening the key would
+        re-address every new row while base rows keep their stored ``_part``,
+        permanently forking the table's addressing (a merge for doc 5 would
+        read the new-hash bucket and never see the old row → silent
+        duplicates).  Payload columns widen freely; widening the key
+        requires an explicit full-table migration (read → cast → write into
+        a NEW table), the same way Iceberg forbids changing a bucket-
+        partition source column's type without a new spec + rewrite."""
+        old = self.schema[self.key_col].dataType
+        new = new_schema[self.key_col].dataType
+        if old != new:
+            raise SchemaEvolutionError(
+                f"key column {self.key_col!r} cannot change type "
+                f"{old.simpleString()} -> {new.simpleString()}: bucket "
+                "addressing hashes the key's physical type, so existing rows "
+                "would become unreachable to merges; migrate to a new table "
+                "instead"
+            )
 
     @staticmethod
     def _epoch_key(epoch: int, source: str | None) -> str:
@@ -336,6 +385,43 @@ class IcehouseTable:
                 return True
         return False
 
+    def _pure_metadata_commit(
+        self,
+        mutate,
+        suffix: str,
+        max_retries: int = 5,
+        touched: "set[str] | None" = None,
+    ) -> CommitResult:
+        """Shared CAS loop for pure-metadata commits (tags, properties,
+        rollback, registry compaction): refresh → deep-copy → ``mutate(meta)``
+        → version-stamp → exclusive-create root; retry on a lost race.
+        ``mutate`` edits the copied meta dict in place; returning ``False``
+        skips the commit (CommitResult.skipped=True).  ``touched`` follows
+        :meth:`_write_metadata`'s contract (``set()`` = reuse every manifest
+        ref; ``None`` = re-serialize all).  One definition site for the
+        loop's invariants (refresh-before-copy, parent/committed_at stamping,
+        FileExistsError-retry, exhaustion error)."""
+        for _ in range(max_retries):
+            self.refresh()
+            meta = json.loads(json.dumps(self.meta))
+            if mutate(meta) is False:
+                return CommitResult(
+                    self.version, self.meta["snapshot_id"], None, skipped=True
+                )
+            meta["version"] = self.version + 1
+            meta["parent_version"] = self.version
+            meta["snapshot_id"] = f"s{meta['version']:08d}-{suffix}"
+            meta["committed_at"] = time.time()
+            try:
+                self._write_metadata(meta, touched=touched)
+            except FileExistsError:
+                continue
+            self.meta = meta
+            return CommitResult(meta["version"], meta["snapshot_id"], None)
+        raise ConcurrentCommitError(
+            f"{suffix} commit lost {max_retries} races on {self.root}"
+        )
+
     def compact_epoch_registry(self, keep_recent: int = 100) -> int:
         """Compress the exactly-once registry: per namespace, keep the
         ``keep_recent`` highest epochs as full entries (summaries intact for
@@ -352,14 +438,14 @@ class IcehouseTable:
         keep the durable audit trail.  Returns the number of entries pruned.
         Maintenance operation (``maintenance_job --compact-epochs``); commits
         through the normal CAS like every other metadata mutation."""
-        for _ in range(5):
-            self.refresh()
+        holder = {"pruned": 0}
+
+        def mutate(meta: dict[str, Any]):
             by_ns: dict[str, list[int]] = {}
-            for k in self.meta["committed_epochs"]:
+            for k in meta["committed_epochs"]:
                 ns, _, ep = k.rpartition(":")
                 by_ns.setdefault(ns, []).append(int(ep))
             pruned = 0
-            meta = json.loads(json.dumps(self.meta))
             ranges = meta.setdefault("committed_epoch_ranges", {})
             for ns, eps in by_ns.items():
                 eps.sort()
@@ -381,21 +467,12 @@ class IcehouseTable:
                     else:
                         out.append([lo, hi])
                 ranges[ns] = out
+            holder["pruned"] = pruned
             if pruned == 0:
-                return 0
-            meta["version"] = self.version + 1
-            meta["parent_version"] = self.version
-            meta["snapshot_id"] = f"s{meta['version']:08d}-epochgc"
-            meta["committed_at"] = time.time()
-            try:
-                self._write_metadata(meta, touched=set())  # registry-only commit
-            except FileExistsError:
-                continue
-            self.meta = meta
-            return pruned
-        raise ConcurrentCommitError(
-            f"compact_epoch_registry lost 5 races on {self.root}"
-        )
+                return False
+
+        res = self._pure_metadata_commit(mutate, "epochgc", touched=set())
+        return 0 if res.skipped else holder["pruned"]
 
     def bucket_expr(self, col: str | None = None, n_buckets: int | None = None):
         """The bucket partitioner: pmod(xxhash64(key), n_buckets).
@@ -618,6 +695,7 @@ class IcehouseTable:
         schema_changed = False
         if incoming_schema is not None:
             new_schema, schema_changed = evolve_schema(self.schema, incoming_schema)
+            self.ensure_key_type_unchanged(new_schema)
 
         # conform + deterministic physical layout (see _layout):
         #   one task per bucket × write.fanout (repartition by _part [+ key
@@ -686,6 +764,7 @@ class IcehouseTable:
         schema_changed = False
         if incoming_schema is not None:
             new_schema, schema_changed = evolve_schema(self.schema, incoming_schema)
+            self.ensure_key_type_unchanged(new_schema)
         plan_buckets = self.n_buckets
         with_part = df if PART_COL in df.columns else df.withColumn(PART_COL, self.bucket_expr())
         out = with_part.select(
@@ -699,7 +778,7 @@ class IcehouseTable:
             F.col(DELETED_COL).cast("boolean").alias(DELETED_COL),
             F.col(PART_COL).cast("int").alias(PART_COL),
         )
-        laid_out = self._layout(out, plan_buckets)
+        laid_out = self._layout(out, plan_buckets, fanout=1)  # see _layout
         sdir_rel = sdir = None
         stats: dict[int, int] = {}
         for _attempt in range(max_retries):
@@ -1004,6 +1083,25 @@ class IcehouseTable:
     def _manifest_dir(root: str) -> str:
         return os.path.join(root, "metadata", "manifests")
 
+    @staticmethod
+    def _fsync_dir(path: str) -> None:
+        """fsync a DIRECTORY so just-renamed entries are durable.  The split
+        into root + manifest/segment files creates a cross-file ordering the
+        old single-document layout never had: the root CAS must not become
+        durable while the rename() directory entries of the manifests it
+        references are still only in the page cache — a power loss there
+        would leave the newest root pointing at vanished manifests (table
+        unreadable until manual repair).  No-op where directories can't be
+        opened (non-POSIX)."""
+        try:
+            fd = os.open(path, os.O_RDONLY)
+        except OSError:
+            return
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
     # Manifests and lineage segments are content-addressed / write-once and
     # therefore IMMUTABLE — perfect cache keys.  refresh()/load() re-read
     # the small root document every time, but re-parse only files this
@@ -1013,33 +1111,37 @@ class IcehouseTable:
     # segments can be MB-scale, so a count cap alone is not a memory bound).
     _manifest_cache: "dict[str, tuple[Any, int]]" = {}
     _manifest_cache_bytes = 0
+    _manifest_cache_lock = threading.Lock()
     _MANIFEST_CACHE_MAX = 65536
     _MANIFEST_CACHE_MAX_BYTES = 128 * 1024 * 1024
 
     @classmethod
     def _read_manifest(cls, mandir: str, fname: str):
         key = os.path.join(mandir, fname)
-        hit = cls._manifest_cache.get(key)
+        hit = cls._manifest_cache.get(key)  # hits stay lock-free (GIL-atomic)
         if hit is not None:
             return hit[0]
-        if not cls._manifest_cache:
-            cls._manifest_cache_bytes = 0  # re-sync after an external clear()
         with open(key) as fh:
             text = fh.read()
         content = json.loads(text)
         size = len(text)
-        while cls._manifest_cache and (
-            len(cls._manifest_cache) >= cls._MANIFEST_CACHE_MAX
-            or cls._manifest_cache_bytes + size > cls._MANIFEST_CACHE_MAX_BYTES
-        ):
-            try:  # concurrent evictors may race on the same oldest key
+        # mutations serialize: concurrent same-key misses (the background
+        # stats thread racing the commit loop) must not double-count `size`
+        # into the byte budget — drift would make eviction fire early forever
+        with cls._manifest_cache_lock:
+            if not cls._manifest_cache:
+                cls._manifest_cache_bytes = 0  # re-sync after an external clear()
+            if key in cls._manifest_cache:
+                return cls._manifest_cache[key][0]
+            while cls._manifest_cache and (
+                len(cls._manifest_cache) >= cls._MANIFEST_CACHE_MAX
+                or cls._manifest_cache_bytes + size > cls._MANIFEST_CACHE_MAX_BYTES
+            ):
                 evicted = cls._manifest_cache.pop(next(iter(cls._manifest_cache)), None)
                 if evicted is not None:
                     cls._manifest_cache_bytes -= evicted[1]
-            except (StopIteration, RuntimeError):
-                break
-        cls._manifest_cache[key] = (content, size)
-        cls._manifest_cache_bytes += size
+            cls._manifest_cache[key] = (content, size)
+            cls._manifest_cache_bytes += size
         return content
 
     @classmethod
@@ -1101,6 +1203,7 @@ class IcehouseTable:
         os.makedirs(mandir, exist_ok=True)
         ref_cache = meta.get("manifest_refs_cache") or {}
         refs: dict[str, str] = {}
+        wrote_manifest = wrote_segment = False
         for pkey in sorted(
             set(meta["partitions"]) | set(meta.get("deltas", {})), key=int
         ):
@@ -1122,6 +1225,10 @@ class IcehouseTable:
                     fh.flush()
                     os.fsync(fh.fileno())
                 os.replace(tmp, mpath)  # idempotent: same content, same name
+            # fsync the dir even when the file pre-existed: it may have been
+            # written by a committer that crashed before ITS dir fsync, so
+            # only refs inherited from a durable parent root are exempt
+            wrote_manifest = True
             refs[pkey] = fname
         # lineage segmentation: persist only the rows added since the parent
         # snapshot as ONE new immutable segment; retention drops whole old
@@ -1144,6 +1251,7 @@ class IcehouseTable:
                 fh.flush()
                 os.fsync(fh.fileno())
             os.replace(tmp, os.path.join(ldir, seg_name))
+            wrote_segment = True
             segs.append({"file": seg_name, "n": len(new_rows)})
         while len(segs) > 1 and sum(s["n"] for s in segs) > self.LINEAGE_KEEP_ROWS:
             segs.pop(0)
@@ -1160,6 +1268,12 @@ class IcehouseTable:
         doc["lineage_segments"] = segs
         if "deltas" in meta and not any(meta["deltas"].values()):
             doc["had_deltas_key"] = True  # empty-but-present delta map survives reload
+        # durability ordering: the manifests'/segments' directory entries
+        # must hit disk BEFORE the root that references them (see _fsync_dir)
+        if wrote_manifest:
+            self._fsync_dir(mandir)
+        if wrote_segment:
+            self._fsync_dir(os.path.join(mdir, "lineage"))
         final = os.path.join(mdir, f"v{meta['version']:08d}.metadata.json")
         # O_EXCL: fails with FileExistsError if a concurrent committer won
         fd = os.open(final, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
@@ -1468,6 +1582,92 @@ class IcehouseTable:
                 self.refresh()
         raise ConcurrentCommitError(f"rebucket lost 5 conflict races on {self.root}")
 
+    def migrate_key_type(
+        self,
+        spark: SparkSession,
+        new_root: str,
+        new_key_type: T.DataType,
+        n_buckets: int | None = None,
+    ) -> "IcehouseTable":
+        """The sanctioned escape hatch for a key-type change: one-pass
+        migration into a NEW table keyed under ``new_key_type``.
+
+        In-place key widening is rejected everywhere (see
+        :meth:`ensure_key_type_unchanged` — the bucket hash covers the key's
+        physical type, so existing rows would become unreachable).  This
+        reads the CURRENT snapshot with its CDC meta columns (live rows AND
+        tombstones, carrying their ``_lsn``), casts the key, and writes one
+        commit into a fresh table bucketed under the new type's hash.  The
+        exactly-once registry and epoch watermark carry over atomically with
+        the data, so an in-flight replay resumes against the new root
+        without re-applying committed epochs, and order-insensitive LWW
+        semantics survive (tombstones + LSNs travel).  Table properties
+        carry over; tags/lineage do NOT (they pin snapshots of the OLD root,
+        which stays intact for time travel until retired).
+
+        Cost: one full-table shuffle — the same unavoidable minimum as
+        :meth:`rebucket`, since every row re-addresses.
+        """
+        old_t = self.schema[self.key_col].dataType
+        if old_t != new_key_type and not _WIDENINGS.get(
+            (old_t.typeName(), new_key_type.typeName())
+        ):
+            raise SchemaEvolutionError(
+                f"key migration must widen: {old_t.simpleString()} -> "
+                f"{new_key_type.simpleString()} is not a recorded widening"
+            )
+        new_schema = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    new_key_type if f.name == self.key_col else f.dataType,
+                    f.nullable,
+                )
+                for f in self.schema.fields
+            ]
+        )
+        dst = IcehouseTable.create(
+            new_root,
+            new_schema,
+            key_col=self.key_col,
+            n_buckets=n_buckets or self.n_buckets,
+            properties=dict(self.meta.get("properties", {})),
+        )
+        # like rebucket, a full-table re-address conflicts with ANY
+        # concurrent source commit: a write landing mid-copy would be
+        # silently absent from the new root (deleted rows resurrecting,
+        # rows lost).  Validate the source version after the copy and
+        # re-copy against the fresh snapshot if it advanced.
+        for _ in range(5):
+            self.refresh()
+            src_version = self.version
+            df = self.read(spark, with_meta=True, with_part_col=False).withColumn(
+                self.key_col, F.col(self.key_col).cast(new_key_type)
+            )
+            out = df.withColumn(PART_COL, dst.bucket_expr())
+            dst.overwrite_partitions(
+                out,
+                # force-drop dst buckets a previous attempt populated but
+                # this (fresh-snapshot) copy did not
+                affected_partitions=list(range(dst.n_buckets)),
+                meta_updates={
+                    "committed_epochs": json.loads(
+                        json.dumps(self.meta["committed_epochs"])
+                    ),
+                    "committed_epoch_ranges": json.loads(
+                        json.dumps(self.meta.get("committed_epoch_ranges", {}))
+                    ),
+                    "epoch_watermark": self.meta["epoch_watermark"],
+                },
+            )
+            self.refresh()
+            if self.version == src_version:
+                return dst
+        raise ConcurrentCommitError(
+            f"migrate_key_type lost 5 source-commit races on {self.root}; "
+            "quiesce ingest or retry during a maintenance window"
+        )
+
     def vacuum_tombstones(self, spark: SparkSession, lsn_watermark: int) -> CommitResult:
         """Reclaim tombstones with ``_lsn <= lsn_watermark`` (safe once every
         change source is past that LSN — an older event for a vacuumed key can
@@ -1511,29 +1711,33 @@ class IcehouseTable:
         - ``write.max-file-rows`` (int): cap rows per output file within a
           task (``maxRecordsPerFile``) — bounds file sizes without changing
           the shuffle.
+
+        Known write-path keys are validated HERE: a malformed value would
+        otherwise commit cleanly and then fail every subsequent write with
+        an opaque int() error.
         """
-        for _ in range(max_retries):
-            self.refresh()
-            meta = json.loads(json.dumps(self.meta))
+        for k, v in updates.items():
+            if v is None:
+                continue
+            if k in ("write.fanout", "write.max-file-rows"):
+                try:
+                    ok = int(v) >= 1
+                except (TypeError, ValueError):
+                    ok = False
+                if not ok:
+                    raise ValueError(
+                        f"table property {k!r} must be an integer >= 1, got {v!r}"
+                    )
+
+        def mutate(meta: dict[str, Any]) -> None:
             props = meta.setdefault("properties", {})
             for k, v in updates.items():
                 if v is None:
                     props.pop(k, None)
                 else:
                     props[k] = v
-            meta["version"] = self.version + 1
-            meta["parent_version"] = self.version
-            meta["snapshot_id"] = f"s{meta['version']:08d}-props"
-            meta["committed_at"] = time.time()
-            try:
-                self._write_metadata(meta, touched=set())  # props-only commit
-            except FileExistsError:
-                continue
-            self.meta = meta
-            return CommitResult(meta["version"], meta["snapshot_id"], None)
-        raise ConcurrentCommitError(
-            f"update_properties lost {max_retries} races on {self.root}"
-        )
+
+        return self._pure_metadata_commit(mutate, "props", max_retries, touched=set())
 
     def create_tag(self, name: str, version: int | None = None, max_retries: int = 5) -> CommitResult:
         """Pin a snapshot under a named tag (Iceberg tag analog): a new
@@ -1543,46 +1747,26 @@ class IcehouseTable:
         Typical use: ``create_tag("training-run-17")`` before kicking off a
         training job, so the exact dataset state stays reproducible while
         ingest keeps committing."""
-        for _ in range(max_retries):
-            self.refresh()
+
+        def mutate(meta: dict[str, Any]) -> None:
             pin = self.version if version is None else version
             if not os.path.exists(
                 os.path.join(self.root, "metadata", f"v{pin:08d}.metadata.json")
             ):
                 raise FileNotFoundError(f"no metadata version {pin} to tag")
-            meta = json.loads(json.dumps(self.meta))
-            meta["version"] = self.version + 1
-            meta["parent_version"] = self.version
-            meta["snapshot_id"] = f"s{meta['version']:08d}-tag"
             meta.setdefault("tags", {})[name] = pin
-            meta["committed_at"] = time.time()
-            try:
-                self._write_metadata(meta, touched=set())  # tag-only: reuse all manifests
-            except FileExistsError:
-                continue
-            self.meta = meta
-            return CommitResult(meta["version"], meta["snapshot_id"], None)
-        raise ConcurrentCommitError(f"create_tag lost {max_retries} races on {self.root}")
+
+        return self._pure_metadata_commit(mutate, "tag", max_retries, touched=set())
 
     def delete_tag(self, name: str, max_retries: int = 5) -> CommitResult:
         """Drop a tag (the pinned snapshot becomes expirable again)."""
-        for _ in range(max_retries):
-            self.refresh()
-            meta = json.loads(json.dumps(self.meta))
+
+        def mutate(meta: dict[str, Any]):
             if name not in meta.get("tags", {}):
-                return CommitResult(self.version, self.meta["snapshot_id"], None, skipped=True)
-            meta["version"] = self.version + 1
-            meta["parent_version"] = self.version
-            meta["snapshot_id"] = f"s{meta['version']:08d}-untag"
+                return False
             del meta["tags"][name]
-            meta["committed_at"] = time.time()
-            try:
-                self._write_metadata(meta, touched=set())  # tag-only: reuse all manifests
-            except FileExistsError:
-                continue
-            self.meta = meta
-            return CommitResult(meta["version"], meta["snapshot_id"], None)
-        raise ConcurrentCommitError(f"delete_tag lost {max_retries} races on {self.root}")
+
+        return self._pure_metadata_commit(mutate, "untag", max_retries, touched=set())
 
     def rollback(self, to_version: int | str, max_retries: int = 5) -> CommitResult:
         """Roll the table back to snapshot ``to_version`` as a NEW commit
@@ -1604,14 +1788,10 @@ class IcehouseTable:
                 raise KeyError(f"no tag {to_version!r} on table {self.root}")
             to_version = self.meta["tags"][to_version]
         target = IcehouseTable.load(self.root, version=to_version)
-        for _ in range(max_retries):
-            self.refresh()
+
+        def mutate(meta: dict[str, Any]):
             if self.version == to_version:
-                return CommitResult(self.version, self.meta["snapshot_id"], None, skipped=True)
-            meta = json.loads(json.dumps(self.meta))
-            meta["version"] = self.version + 1
-            meta["parent_version"] = self.version
-            meta["snapshot_id"] = f"s{meta['version']:08d}-rollback{to_version}"
+                return False
             # Restore every state-bearing field, supplying the lazy-init
             # default when the target snapshot predates the field ("deltas"
             # only appears after the first MOR append: rolling back across a
@@ -1627,16 +1807,12 @@ class IcehouseTable:
                 elif default is not None:
                     meta[field_name] = json.loads(json.dumps(default))
             meta.setdefault("rollback_log", []).append(
-                {"version": meta["version"], "restored_version": to_version}
+                {"version": self.version + 1, "restored_version": to_version}
             )
-            meta["committed_at"] = time.time()
-            try:
-                self._write_metadata(meta)
-            except FileExistsError:
-                continue
-            self.meta = meta
-            return CommitResult(meta["version"], meta["snapshot_id"], None)
-        raise ConcurrentCommitError(f"rollback lost {max_retries} races on {self.root}")
+
+        return self._pure_metadata_commit(
+            mutate, f"rollback{to_version}", max_retries, touched=None
+        )
 
     def history(self, spark: SparkSession) -> DataFrame:
         """Commit history across all retained metadata versions (Delta

@@ -77,6 +77,9 @@ def main() -> None:
     ap.add_argument("--compact-ratio", type=float, default=None,
                     help="fold only buckets whose pending delta rows exceed "
                          "RATIO x base rows (read-amplification policy)")
+    ap.add_argument("--compact-min-files", type=int, default=2,
+                    help="ratio policy's pending-delta-file floor (matches "
+                         "ReplayRunner's compact_min_files; default 2)")
     ap.add_argument("--compact-epochs", type=int, default=None, metavar="KEEP",
                     help="compress the exactly-once epoch registry, keeping "
                          "KEEP recent full entries per namespace (older "
@@ -111,7 +114,9 @@ def main() -> None:
              "skipped": res.skipped}
         )
     if args.compact_ratio is not None:
-        hot = table.buckets_needing_compaction(args.compact_ratio)
+        hot = table.buckets_needing_compaction(
+            args.compact_ratio, min_delta_files=args.compact_min_files
+        )
         if hot:
             res = table.compact_partitions(spark, partitions=hot)
             out["actions"].append(

@@ -448,3 +448,157 @@ def test_epoch_registry_compaction_respects_stream_namespaces(spark, tmp_path):
     assert t.epoch_committed(0, "stream-a") and t.epoch_committed(1, "stream-a")
     assert not t.epoch_committed(2, "stream-a")
     assert not t.epoch_committed(4), "batch ns must not inherit stream epochs"
+
+
+def test_key_column_type_is_immutable(spark, tmp_path):
+    """Widening the KEY column is rejected everywhere: bucket addressing is
+    pmod(xxhash64(key), B) and Spark's xxhash64 hashes an int and the same
+    value as a long differently, so a widened key would re-address new rows
+    while base rows keep their stored _part — a permanent addressing fork
+    (merges read the new-hash bucket and never see the old row).  Payload
+    columns keep widening freely (test_schema_evolution_additive)."""
+    int_key_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.IntegerType(), False),
+            T.StructField("n_tok", T.IntegerType(), True),
+        ]
+    )
+    table = IcehouseTable.create(str(tmp_path / "t"), int_key_schema, n_buckets=4)
+    base = spark.createDataFrame(
+        [(1, "I", 5, 10)], "lsn long, op string, doc_id int, n_tok int"
+    )
+    apply_changes(table, base, epoch=0)
+
+    widened = spark.createDataFrame(
+        [(2, "U", 5, 11)], "lsn long, op string, doc_id long, n_tok int"
+    )
+    from data_pipeline_spark.cdc import apply_changes_with_evolution
+
+    with pytest.raises(SchemaEvolutionError, match="doc_id"):
+        apply_changes_with_evolution(table, widened, epoch=1)
+    with pytest.raises(SchemaEvolutionError, match="doc_id"):
+        apply_changes_with_evolution(table, widened, epoch=1, mode="mor")
+    # the table layer enforces it too (any commit path, not just CDC apply)
+    wide_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_tok", T.IntegerType(), True),
+        ]
+    )
+    with pytest.raises(SchemaEvolutionError, match="doc_id"):
+        table.overwrite_partitions(
+            table.read(spark, with_part_col=True, with_meta=True),
+            incoming_schema=wide_schema,
+        )
+    # nothing committed; state intact
+    table.refresh()
+    assert {r["doc_id"]: r["n_tok"] for r in table.read(spark).collect()} == {5: 10}
+
+
+def test_migrate_key_type_to_new_table(spark, tmp_path):
+    """migrate_key_type is the sanctioned path for key widening: a one-pass
+    copy into a NEW table bucketed under the wider type, carrying tombstones
+    + LSNs (order-insensitivity survives) and the exactly-once registry
+    (committed epochs stay fenced; new epochs apply under the new hash)."""
+    int_key_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.IntegerType(), False),
+            T.StructField("n_tok", T.IntegerType(), True),
+        ]
+    )
+    src = IcehouseTable.create(str(tmp_path / "src"), int_key_schema, n_buckets=4)
+    e0 = spark.createDataFrame(
+        [(1, "I", 1, 10), (2, "I", 2, 20), (3, "D", 3, None), (4, "I", 4, 40)],
+        "lsn long, op string, doc_id int, n_tok int",
+    )
+    apply_changes(src, e0, epoch=0)
+    src.delete_where(spark, F.col("doc_id") == 4, lsn=5, epoch=1)
+
+    dst = src.migrate_key_type(spark, str(tmp_path / "dst"), T.LongType())
+    assert dst.schema["doc_id"].dataType == T.LongType()
+    assert {r["doc_id"]: r["n_tok"] for r in dst.read(spark).collect()} == {1: 10, 2: 20}
+
+    # committed epochs stay fenced on the NEW table
+    assert apply_changes(dst, e0.withColumn("doc_id", F.col("doc_id").cast("long")), epoch=0).result.skipped
+    # an out-of-order event older than the carried tombstone stays deleted
+    late = spark.createDataFrame([(4, "I", 4, 44)], "lsn long, op string, doc_id long, n_tok int")
+    apply_changes(dst, late, epoch=2)
+    assert 4 not in {r["doc_id"] for r in dst.read(spark).collect()}
+    # and a genuinely new event applies + LWW-resolves under the new hash
+    fresh = spark.createDataFrame([(9, "U", 2, 99)], "lsn long, op string, doc_id long, n_tok int")
+    apply_changes(dst, fresh, epoch=3)
+    assert {r["doc_id"]: r["n_tok"] for r in dst.read(spark).collect()} == {1: 10, 2: 99}
+
+    # non-widening migrations are rejected
+    with pytest.raises(SchemaEvolutionError, match="widen"):
+        src.migrate_key_type(spark, str(tmp_path / "bad"), T.StringType())
+
+
+def test_schema_evolution_is_nullability_insensitive(spark, tmp_path):
+    """A batch whose array column carries containsNull=false (anything built
+    with F.array of non-null exprs) must evolve as a NO-OP against the
+    table's nullable array<int>, not be rejected as a type change; new
+    columns are stored fully nullable regardless of the batch's form."""
+    from data_pipeline_spark.cdc import apply_changes_with_evolution
+    from data_pipeline_spark.table.icehouse import evolve_schema
+
+    table = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=2)
+    batch = spark.range(5).select(
+        F.col("id").alias("lsn"),
+        F.lit("I").alias("op"),
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.array(F.col("id").cast("int")).alias("tokens"),  # containsNull=false
+        F.lit(1).alias("n_tok"),
+        F.lit("s").alias("source"),
+        F.array(F.lit(0.5)).alias("scores"),  # NEW col, containsNull=false
+    )
+    apply_changes_with_evolution(table, batch, epoch=0)
+    # existing column kept the table's nullable form; new column stored nullable
+    assert table.schema["tokens"].dataType == T.ArrayType(T.IntegerType(), True)
+    assert table.schema["scores"].dataType == T.ArrayType(T.DoubleType(), True)
+    assert table.read(spark).count() == 5
+    # and evolve_schema itself reports no change for a nullability-only diff
+    strict = T.StructType(
+        [T.StructField("tokens", T.ArrayType(T.IntegerType(), False), False)]
+    )
+    merged, changed = evolve_schema(TABLE_SCHEMA, strict)
+    assert not changed and merged == TABLE_SCHEMA
+
+
+def test_migrate_key_type_detects_concurrent_source_commit(spark, tmp_path, monkeypatch):
+    """A source commit landing mid-copy must not be silently absent from the
+    migrated table (the same lost-update class rebucket guards against):
+    migrate validates the source version after the copy and re-copies."""
+    int_key_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.IntegerType(), False),
+            T.StructField("n_tok", T.IntegerType(), True),
+        ]
+    )
+    src = IcehouseTable.create(str(tmp_path / "src"), int_key_schema, n_buckets=2)
+    apply_changes(
+        src,
+        spark.createDataFrame(
+            [(1, "I", 1, 10), (2, "I", 2, 20)],
+            "lsn long, op string, doc_id int, n_tok int",
+        ),
+        epoch=0,
+    )
+    orig_read = IcehouseTable.read
+    fired = {"n": 0}
+
+    def racy_read(self, *a, **k):
+        df = orig_read(self, *a, **k)
+        if self.root == src.root and fired["n"] == 0:
+            fired["n"] += 1
+            # a concurrent delete commits right after the copy's read plan
+            IcehouseTable.load(src.root).delete_where(
+                spark, F.col("doc_id") == 1, lsn=100, epoch=7
+            )
+        return df
+
+    monkeypatch.setattr(IcehouseTable, "read", racy_read)
+    dst = src.migrate_key_type(spark, str(tmp_path / "dst"), T.LongType())
+    assert fired["n"] == 1
+    # the retry re-copied the post-delete snapshot: doc 1 must be gone
+    assert {r["doc_id"] for r in dst.read(spark).collect()} == {2}

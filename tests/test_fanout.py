@@ -176,3 +176,53 @@ def test_fanout_survives_rebucket_and_rollback(spark, log, tmp_path):
     assert all(len(fs) >= 1 for fs in _base_files(fan).values())
     fan.rollback(v)
     assert fan.n_buckets == 4 and state_of(fan, spark) == before
+
+
+def test_update_properties_validates_write_keys(spark, tmp_path):
+    table = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=2)
+    v = table.version
+    for bad in ("8x", 0, -1, "4.5"):
+        with pytest.raises(ValueError):
+            table.update_properties({"write.fanout": bad})
+    assert table.refresh().version == v, "rejected updates must not commit"
+    table.update_properties({"write.fanout": "8"})  # int-coercible string ok
+    assert table.write_fanout == 8
+
+
+def test_mor_deltas_stay_single_file_per_bucket(spark, log, tmp_path):
+    """Fanout applies to COW rewrites only: an O(batch) delta append gains
+    nothing from extra sort tasks and would multiply the small files
+    compaction exists to fix."""
+    fan = _replay(
+        spark, log, tmp_path / "fan", properties={"write.fanout": 4}, mode="mor"
+    )
+    for ds in fan.meta.get("deltas", {}).values():
+        for d in ds:
+            files = glob.glob(os.path.join(fan.root, d["path"], "*.parquet"))
+            assert len(files) == 1, d["path"]
+
+
+def test_fanout_sub_column_name_collision(spark, tmp_path):
+    """A logical column named _sub must survive a fanned-out write (the
+    shuffle-steering column picks a non-colliding name)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("_sub", T.IntegerType(), True),
+        ]
+    )
+    table = IcehouseTable.create(
+        str(tmp_path / "t"), schema, n_buckets=2,
+        properties={"write.fanout": 3},
+    )
+    rows = spark.range(100).select(
+        F.col("id").alias("lsn"),
+        F.lit("I").alias("op"),
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.col("id").cast("int").alias("_sub"),
+    )
+    from data_pipeline_spark.cdc.apply import apply_changes
+
+    apply_changes(table, rows, epoch=0)
+    got = {r["doc_id"]: r["_sub"] for r in table.read(spark).collect()}
+    assert got == {f"d{i}": i for i in range(100)}

@@ -326,3 +326,25 @@ def test_continuous_trigger_soak_with_concurrent_compaction(spark, tmp_path):
     ref = IcehouseTable.create(str(tmp_path / "ref"), TABLE_SCHEMA, n_buckets=8)
     ReplayRunner(ref, str(tmp_path / "refc")).run(read_change_log(spark, log_dir))
     assert _final_state(table.refresh(), spark) == _final_state(ref, spark)
+
+
+def test_applied_cap_zero_disables_stat_retention(spark, tmp_path):
+    """applied_cap=0 must keep the per-batch stats window EMPTY (the
+    `[:-cap]` slice pitfall: deleting up to -0 deletes nothing), while the
+    running totals still count every micro-batch."""
+    from data_pipeline_spark.cdc.changelog import generate_change_log
+
+    log_dir = str(tmp_path / "log")
+    generate_change_log(
+        spark, n_events=600, n_docs=60, events_per_epoch=200, seed=4
+    ).write.mode("overwrite").parquet(log_dir)
+    n_physical = spark.read.parquet(log_dir).count()  # incl. duplicate delivery
+    table = IcehouseTable.create(str(tmp_path / "t"), TABLE_SCHEMA, n_buckets=4)
+    ingest = StreamingIngest(
+        table, str(tmp_path / "ckpt"), max_files_per_trigger=1, applied_cap=0
+    )
+    q = ingest.start(spark, log_dir, trigger_once=True)
+    q.awaitTermination(300)
+    assert ingest.applied == []
+    assert ingest.batches_applied > 1
+    assert ingest.events_applied == n_physical

@@ -31,7 +31,8 @@ CONTRACT_MEMBERS = [
     "read_for_keys", "overwrite_partitions", "append_deltas", "delete_where",
     "truncate", "compact_partitions", "buckets_needing_compaction",
     "vacuum_tombstones", "expire_snapshots", "rollback", "history",
-    "create_tag", "delete_tag",
+    "create_tag", "delete_tag", "update_properties",
+    "ensure_key_type_unchanged", "migrate_key_type",
 ]
 
 
