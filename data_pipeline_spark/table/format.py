@@ -82,6 +82,8 @@ class TableFormat(Protocol):
     def vacuum_tombstones(self, spark, lsn_watermark: int) -> "CommitResult": ...
     def expire_snapshots(self, keep_last: int = 3) -> list[str]: ...
 
+    def remove_orphan_files(self, grace_seconds: float = 3600.0) -> list[str]: ...
+
     def update_properties(self, updates, max_retries: int = 5) -> "CommitResult": ...
     def ensure_key_type_unchanged(self, new_schema) -> None: ...
     def migrate_key_type(self, spark, new_root: str, new_key_type, n_buckets=None): ...

@@ -1379,6 +1379,114 @@ class IcehouseTable:
                         pass
         return removed
 
+    def _live_refs_all_versions(self) -> tuple[set[str], set[str], set[str]]:
+        """(data snapshot dirs, manifest filenames, lineage segment filenames)
+        referenced by ANY retained metadata version — the liveness set for
+        orphan GC.  Data-dir liveness is resolved through the manifests
+        themselves (one read per referenced manifest, cached) instead of a
+        full load() per version."""
+        mdir = os.path.join(self.root, "metadata")
+        mandir = self._manifest_dir(self.root)
+        live_manifests: set[str] = set()
+        live_segments: set[str] = set()
+        for name in os.listdir(mdir):
+            if not name.endswith(".metadata.json"):
+                continue
+            with open(os.path.join(mdir, name)) as fh:
+                doc = json.load(fh)
+            live_manifests.update(doc.get("manifest_refs", {}).values())
+            live_segments.update(s["file"] for s in doc.get("lineage_segments", []))
+        live_dirs: set[str] = set()
+        for fname in live_manifests:
+            content = self._read_manifest(mandir, fname)
+            part = content.get("partition")
+            if part:
+                live_dirs.add(part["path"].split("/_pw=")[0])
+            for d in content.get("deltas", []):
+                live_dirs.add(d["path"].split("/_pw=")[0])
+        return live_dirs, live_manifests, live_segments
+
+    def remove_orphan_files(self, grace_seconds: float = 3600.0) -> list[str]:
+        """Delete files under the table root that NO retained metadata version
+        references (Iceberg analog: remove_orphan_files(older_than)).
+
+        A commit writes its data files, manifests, and lineage segments
+        BEFORE the root CAS — a crash in that window strands them (the
+        lost-race path cleans up only if the process survives).  At 10^10
+        events those leftovers accumulate without bound, and
+        :meth:`expire_snapshots` only reclaims them as a side effect of
+        dropping history.  This op never drops history: every file reachable
+        from any retained version (including tagged and time-travel
+        versions) survives.
+
+        ``grace_seconds`` makes it safe to run CONCURRENTLY with ingest: an
+        in-flight commit's files are newer than the cutoff, so they are
+        never swept even though no root references them yet.  Keep it
+        comfortably above the longest expected commit data-write (the
+        default 1 h is conservative).  One sharp edge is closed explicitly:
+        manifests are content-addressed and REUSABLE, so a new commit can
+        resurrect a reference to an old, previously-orphaned manifest — the
+        liveness set is re-read immediately before the manifest unlink pass,
+        the same CAS-instant window as every other multi-writer path here.
+        """
+        cutoff = time.time() - grace_seconds
+        self.refresh()
+        live_dirs, live_manifests, live_segments = self._live_refs_all_versions()
+
+        def newest_mtime(path: str) -> float:
+            newest = os.path.getmtime(path)
+            for dirpath, _dirnames, filenames in os.walk(path):
+                for n in filenames:
+                    try:
+                        newest = max(newest, os.path.getmtime(os.path.join(dirpath, n)))
+                    except FileNotFoundError:
+                        pass
+            return newest
+
+        removed: list[str] = []
+        # 1. data snapshot dirs (uuid-unique, never resurrected)
+        ddir = os.path.join(self.root, "data")
+        if os.path.isdir(ddir):
+            for snap in os.listdir(ddir):
+                rel = os.path.join("data", snap)
+                full = os.path.join(ddir, snap)
+                if rel not in live_dirs and newest_mtime(full) < cutoff:
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed.append(rel)
+        # 2. manifests + lineage segments (+ crash-leftover .tmp files).
+        # Re-read liveness first: a commit that landed during pass 1 may
+        # have resurrected a content-addressed manifest by reference.
+        _dirs2, live_manifests2, live_segments2 = self._live_refs_all_versions()
+        live_manifests |= live_manifests2
+        live_segments |= live_segments2
+        mdir = os.path.join(self.root, "metadata")
+        sweeps = (
+            (self._manifest_dir(self.root), live_manifests),
+            (os.path.join(mdir, "lineage"), live_segments),
+            (mdir, None),  # .tmp leftovers only (roots are never orphans)
+        )
+        for gc_dir, live in sweeps:
+            if not os.path.isdir(gc_dir):
+                continue
+            for name in os.listdir(gc_dir):
+                full = os.path.join(gc_dir, name)
+                if not os.path.isfile(full):
+                    continue
+                orphan = (
+                    name.endswith(".tmp")
+                    if live is None
+                    else (name.endswith(".json") and name not in live) or name.endswith(".tmp")
+                )
+                if not orphan:
+                    continue
+                try:
+                    if os.path.getmtime(full) < cutoff:
+                        os.unlink(full)
+                        removed.append(os.path.relpath(full, self.root))
+                except FileNotFoundError:
+                    pass
+        return removed
+
     def delete_where(
         self, spark: SparkSession, condition, lsn: int, epoch: int | None = None
     ) -> CommitResult:

@@ -12,6 +12,9 @@ partition-spec evolution, run as scheduled maintenance jobs):
       [--vacuum-lsn N]             # reclaim tombstones with _lsn <= N
       [--rebucket N]               # partition-spec evolution to N buckets
       [--expire-keep N]            # drop all but the last N snapshots' files
+      [--remove-orphans GRACE_SEC] # delete crash-stranded files no retained
+                                   # snapshot references (older than the grace
+                                   # window; safe alongside live ingest)
       [--rollback V]               # restore snapshot V (or tag name) as a NEW
                                    # commit (pure metadata; later epochs re-open)
       [--tag NAME]                 # pin the current snapshot under a tag
@@ -87,6 +90,11 @@ def main() -> None:
     ap.add_argument("--vacuum-lsn", type=int, default=None)
     ap.add_argument("--rebucket", type=int, default=None)
     ap.add_argument("--expire-keep", type=int, default=None)
+    ap.add_argument("--remove-orphans", type=float, default=None, metavar="GRACE_SEC",
+                    help="delete files referenced by NO retained snapshot and "
+                         "older than GRACE_SEC seconds (crash leftovers; safe "
+                         "concurrently with ingest — in-flight commits' files "
+                         "are younger than the grace window)")
     ap.add_argument("--rollback", default=None,
                     help="version number or tag name")
     ap.add_argument("--tag", default=None)
@@ -184,6 +192,13 @@ def main() -> None:
     if args.expire_keep is not None:
         removed = table.expire_snapshots(keep_last=args.expire_keep)
         out["actions"].append({"action": "expire", "snapshots_removed": len(removed)})
+
+    if args.remove_orphans is not None:
+        removed = table.remove_orphan_files(grace_seconds=args.remove_orphans)
+        out["actions"].append(
+            {"action": "remove_orphans", "grace_seconds": args.remove_orphans,
+             "files_removed": len(removed)}
+        )
 
     out["after"] = table_stats(table)
     print(json.dumps(out))
