@@ -84,6 +84,8 @@ class TableFormat(Protocol):
 
     def remove_orphan_files(self, grace_seconds: float = 3600.0) -> list[str]: ...
 
+    def files(self, spark, version: int | None = None) -> "DataFrame": ...
+
     def update_properties(self, updates, max_retries: int = 5) -> "CommitResult": ...
     def ensure_key_type_unchanged(self, new_schema) -> None: ...
     def migrate_key_type(self, spark, new_root: str, new_key_type, n_buckets=None): ...

@@ -1969,6 +1969,53 @@ class IcehouseTable:
         )
         return spark.createDataFrame(rows, schema)
 
+    def files(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """One row per LIVE data file of a snapshot (Iceberg ``.files``
+        metadata-table analog): partition, base/delta kind, the partition's
+        footer LSN stats, and on-disk size.  The diagnostic surface for
+        layout tuning — verifying ``write.fanout`` produced f files per
+        bucket, sizing ``compact_ratio`` from real delta-file counts, or
+        auditing what :meth:`expire_snapshots`/:meth:`remove_orphan_files`
+        may reclaim.  Driver-side metadata + directory listing of live dirs
+        only (O(live files), bounded by buckets × fanout × delta depth —
+        never a scan of the data)."""
+        meta = self.meta if version is None else IcehouseTable.load(self.root, version=version).meta
+
+        def list_dir(rel: str):
+            full = os.path.join(self.root, rel)
+            if not os.path.isdir(full):
+                return
+            for entry in sorted(os.scandir(full), key=lambda e: e.name):
+                if entry.is_file() and entry.name.endswith(".parquet"):
+                    yield os.path.join(rel, entry.name), entry.stat().st_size
+
+        rows = []
+        entries: list[tuple[int, str, dict]] = [
+            (int(p), "base", ref) for p, ref in meta["partitions"].items()
+        ] + [
+            (int(p), "delta", d)
+            for p, ds in meta.get("deltas", {}).items()
+            for d in ds
+        ]
+        for part, kind, ref in entries:
+            for rel, size in list_dir(ref["path"]):
+                rows.append(
+                    (part, kind, rel, size, ref["rows"],
+                     ref.get("lsn_min"), ref.get("lsn_max"))
+                )
+        schema = T.StructType(
+            [
+                T.StructField("partition", T.IntegerType()),
+                T.StructField("kind", T.StringType()),
+                T.StructField("path", T.StringType()),
+                T.StructField("bytes", T.LongType()),
+                T.StructField("entry_rows", T.LongType()),
+                T.StructField("lsn_min", T.LongType()),
+                T.StructField("lsn_max", T.LongType()),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
+
     def lineage_df(self, spark: SparkSession) -> DataFrame:
         """Per-partition lineage as a DataFrame (queryable audit log)."""
         schema = T.StructType(

@@ -143,3 +143,34 @@ def test_maintenance_cli_remove_orphans(table, tmp_path):
     acts = {a["action"]: a for a in out["actions"]}
     assert acts["remove_orphans"]["files_removed"] == 3
     assert not os.path.exists(ddir)
+
+
+# -- files() metadata view (Iceberg .files analog) ---------------------------
+
+
+def test_files_view_lists_live_files(spark, table):
+    f = table.files(spark).toPandas()
+    assert (f["kind"] == "base").all(), "fresh COW table: base files only"
+    assert set(f["partition"]) == {int(p) for p in table.meta["partitions"]}
+    assert (f["bytes"] > 0).all()
+    # default fanout=1: one sorted file per populated bucket
+    assert f.groupby("partition").size().max() == 1
+
+
+def test_files_view_sees_fanout_and_deltas(spark, table, log):
+    from data_pipeline_spark.cdc import apply_changes, apply_changes_mor
+
+    table.update_properties({"write.fanout": 3})
+    apply_changes(table, log.where("epoch = 0").drop("epoch"), epoch=100)
+    f = table.files(spark).toPandas()
+    base = f[f["kind"] == "base"]
+    rewritten = base.groupby("partition").size()
+    assert rewritten.max() == 3, "fanout=3 rewrite leaves 3 sorted files/bucket"
+
+    apply_changes_mor(table, log.where("epoch = 1").drop("epoch"), epoch=101)
+    f2 = table.files(spark).toPandas()
+    deltas = f2[f2["kind"] == "delta"]
+    assert len(deltas) > 0 and (deltas["lsn_max"] >= deltas["lsn_min"]).all()
+    # time travel: the pre-MOR snapshot shows no deltas
+    f_old = table.files(spark, version=table.version - 1).toPandas()
+    assert (f_old["kind"] == "base").all()
