@@ -145,6 +145,22 @@ def generate_change_log_portable(
     path).  The xxhash64 generator remains the bench/production default.
     """
     n_docs = n_docs or max(n_events // 10, 10)
+    # The LCG constants are pinned by every SQL oracle, so the domain where
+    # k*1103515245 stays inside int64 is a hard contract: the largest k is
+    # tag-7's  seed-term + lsn*257 + (doc_num*128 + i)*65537.  Outside it,
+    # ANSI-mode Spark (correctly) raises arithmetic overflow mid-job — fail
+    # fast here instead.  The xxhash64 generator has no such bound.
+    k_max = (
+        abs(seed) * 1_000_003 + 8 * 10_007
+        + n_events * 257
+        + ((n_docs - 1) * 128 + MAX_TOKENS) * 65_537
+    )
+    if k_max > (2**63 - 1) // 1_103_515_245:
+        raise ValueError(
+            f"portable-LCG domain exceeded (n_events={n_events}, n_docs={n_docs}): "
+            "the oracle-pinned constants would overflow int64; use "
+            "generate_change_log (xxhash64) for large inputs"
+        )
     n_hot = max(n_docs // 100, 1)
     rng = spark.range(0, n_events)
     rid = F.col("id")

@@ -1800,6 +1800,151 @@ def cdc_rollback_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle for the Debezium envelope adapter: recompute the portable change
+# log INCLUDING its duplicate-delivery rows (the parse is event-level, so
+# unlike the LWW final state it is not duplicate-invariant), null the delete
+# payloads the way the wire loses them (a Debezium delete carries only the
+# key in `before`), and roll up per (epoch, op) with a token-sum checksum —
+# value-hash-proving that every event's op mapping, LSN, key, and full token
+# array survive the JSON round-trip (the north-rule per-row invariant).
+_DEBEZIUM_PARSE_ORACLE = """
+    WITH base AS (
+      SELECT id AS lsn,
+        CASE WHEN ((42*1000003 + 1*10007 + id*257)*1103515245 + 12345) % 2147483647 % 1000 < 300
+             THEN ((42*1000003 + 2*10007 + id*257)*1103515245 + 12345) % 2147483647 % 5
+             ELSE ((42*1000003 + 3*10007 + id*257)*1103515245 + 12345) % 2147483647 % 500
+        END AS doc_num,
+        ((42*1000003 + 4*10007 + id*257)*1103515245 + 12345) % 2147483647 % 100 AS op_roll
+      FROM range(6000) r(id)
+    ),
+    ev0 AS (
+      SELECT lsn, doc_num,
+             CASE WHEN op_roll < 5 THEN 'D' WHEN op_roll < 45 THEN 'I' ELSE 'U' END AS op,
+             (4 + ((42*1000003 + 5*10007 + lsn*257 + doc_num*65537)*1103515245 + 12345)
+                  % 2147483647 % 92) AS n_tok
+      FROM base
+    ),
+    ev AS (
+      SELECT * FROM ev0
+      UNION ALL
+      SELECT * FROM ev0
+      WHERE ((42*1000003 + 8*10007 + lsn*257)*1103515245 + 12345) % 2147483647 % 100 < 2
+    ),
+    tok AS (
+      SELECT lsn, doc_num, op,
+        CASE WHEN op = 'D' THEN NULL ELSE n_tok END AS n_tok,
+        CASE WHEN op = 'D' THEN NULL ELSE
+          list_sum(list_transform(generate_series(1, n_tok), i ->
+            ((42*1000003 + 7*10007 + lsn*257 + (doc_num*128 + i)*65537)*1103515245 + 12345)
+            % 2147483647 % 50257))
+        END AS tok_sum
+      FROM ev
+    )
+    SELECT CAST(lsn // 2000 AS INT) AS epoch, op,
+           COUNT(*)::BIGINT AS n_events,
+           COUNT(DISTINCT doc_num)::BIGINT AS n_docs,
+           SUM(lsn)::BIGINT AS sum_lsn,
+           COALESCE(SUM(n_tok), 0)::BIGINT AS sum_n_tok,
+           COALESCE(SUM(tok_sum), 0)::BIGINT AS token_checksum
+    FROM tok
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+def _debezium_payload_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), True),
+            T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+            T.StructField("n_tok", T.IntegerType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+
+
+@q("debezium_envelope_parse", _DEBEZIUM_PARSE_ORACLE)
+def debezium_envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binlog/WAL-tail wire format: render the portable change log as
+    Debezium JSON envelopes (``sources/debezium.generate_debezium_log``) and
+    parse them back with the typed ``from_json`` adapter
+    (``debezium_to_change_events`` — op mapping c/r→I u→U d→D, LSN from
+    ``source.lsn``, delete keys from ``before``, Kafka tombstones dropped).
+    Returns a per-(epoch, op) rollup whose ``token_checksum`` sums every
+    token of every event — the DuckDB oracle recomputes the log (with its
+    duplicate deliveries) and the checksum from the LCG directly, so a single
+    flipped token anywhere in the JSON round-trip fails the value hash."""
+    from .sources.debezium import debezium_to_change_events, generate_debezium_log
+
+    raw = generate_debezium_log(
+        spark, n_events=6000, n_docs=500, events_per_epoch=2000, seed=42
+    )
+    events = debezium_to_change_events(
+        raw, _debezium_payload_schema(), events_per_epoch=2000
+    )
+    return (
+        events.groupBy("epoch", "op")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("lsn").alias("sum_lsn"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("sum_n_tok"),
+            F.coalesce(
+                F.sum(F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("token_checksum"),
+        )
+        .orderBy("epoch", "op")
+    )
+
+
+@q("debezium_replay_final_state", _CDC_REPLAY_ORACLE)
+def debezium_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end wire-to-table flagship: the same portable log rendered as
+    Debezium envelopes, parsed with the typed adapter, and replayed through
+    checkpointed exactly-once commits into an icehouse table — the full
+    binlog/WAL-tail → lake-upsert path the north rule names.  The oracle is
+    the identical LCG-recomputed LWW final state as ``cdc_replay_icehouse``
+    (duplicate-invariant, delete-wins), proving the wire path and the native
+    path converge to the same table state."""
+    import tempfile
+
+    from .cdc.replay import ReplayRunner
+    from .sources.debezium import debezium_to_change_events, generate_debezium_log
+    from .table.icehouse import IcehouseTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+            T.StructField("n_tok", T.IntegerType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="icehouse_dbz_")
+    table = IcehouseTable.create(f"{root}/t", schema, key_col="doc_id", n_buckets=8)
+    raw = generate_debezium_log(
+        spark, n_events=6000, n_docs=500, events_per_epoch=2000, seed=42
+    )
+    events = debezium_to_change_events(
+        raw, _debezium_payload_schema(), events_per_epoch=2000
+    )
+    ReplayRunner(table, f"{root}/ckpt.json").run(events)
+    return (
+        table.read(spark)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 # Oracle for the incremental changed-since feed: recompute the portable log
 # and its per-key winners in SQL, then keep only winners past the watermark —
 # exactly the rows the engine's file-skipping scan must emit (including
@@ -3204,6 +3349,8 @@ _DRIVER_WINDOW_FIRST = [
     "returned_item_reporting", "rollup_revenue",
     # upgraded from rows-only this round:
     "sketch_aggregates", "ann_ivf_topk",
+    # new this round (never driver-checked):
+    "debezium_envelope_parse", "debezium_replay_final_state",
 ]
 
 

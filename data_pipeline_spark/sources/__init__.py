@@ -10,9 +10,15 @@ from .json_lake import (
 )
 from ..cdc.changelog import read_change_log  # canonical change-log source
 from .jdbc import read_external_table, subscribed_users
+from .debezium import (
+    debezium_to_change_events,
+    envelope_parse_stats,
+    generate_debezium_log,
+)
 
 __all__ = [
     "PRODUCT_SCHEMA", "debug_snapshot", "parse_products",
     "read_lake_json", "validation_metrics", "read_change_log",
     "read_external_table", "subscribed_users",
+    "debezium_to_change_events", "envelope_parse_stats", "generate_debezium_log",
 ]

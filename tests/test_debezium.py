@@ -1,0 +1,150 @@
+"""Debezium envelope source: round-trip exactness, DLQ stats, streaming
+parity, and end-to-end replay equivalence with the native change log."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_pipeline_spark.cdc.changelog import generate_change_log_portable
+from data_pipeline_spark.cdc.replay import ReplayRunner
+from data_pipeline_spark.sources.debezium import (
+    debezium_to_change_events,
+    envelope_parse_stats,
+    generate_debezium_log,
+)
+from data_pipeline_spark.table.icehouse import IcehouseTable
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), True),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+GEN = dict(n_events=3000, n_docs=300, events_per_epoch=1000, seed=7)
+
+
+def _expected(spark):
+    """Portable log with delete payloads nulled the way the wire loses them
+    (a Debezium delete carries only the key in `before`)."""
+    log = generate_change_log_portable(spark, **GEN)
+    return log.withColumn(
+        "source", F.when(F.col("op") == "D", F.lit(None)).otherwise(F.col("source"))
+    )
+
+
+@pytest.mark.parametrize("wrapped", [False, True])
+def test_roundtrip_exact(spark, wrapped):
+    raw = generate_debezium_log(spark, wrapped=wrapped, **GEN)
+    got = debezium_to_change_events(
+        raw, PAYLOAD, events_per_epoch=GEN["events_per_epoch"], wrapped=wrapped
+    )
+    exp = _expected(spark)
+    assert [(f.name, f.dataType) for f in got.schema.fields] == [
+        (f.name, f.dataType) for f in exp.schema.fields
+    ]
+    # token-array equality both directions (the north-rule per-row invariant)
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+
+
+def test_epoch_from_ts_ms(spark):
+    raw = generate_debezium_log(spark, **GEN)
+    got = debezium_to_change_events(raw, PAYLOAD, epoch_from_ts_ms=3_600_000)
+    # ts_ms = 1_700_000_000_000 + lsn; all lsns < 3000 land in one hour-epoch
+    epochs = [r["epoch"] for r in got.select("epoch").distinct().collect()]
+    assert epochs == [1_700_000_000_000 // 3_600_000]
+
+
+def test_parse_stats_dlq_taxonomy(spark):
+    ok = json.dumps(
+        {
+            "after": {"doc_id": "d1"},
+            "op": "c",
+            "ts_ms": 1,
+            "source": {"lsn": 5, "connector": "postgresql"},
+        }
+    )
+    no_lsn = json.dumps({"after": {"doc_id": "d2"}, "op": "c", "source": {}})
+    rows = [(ok,), ("{not json",), ("",), (None,), (no_lsn,)]
+    raw = spark.createDataFrame(rows, "value string")
+    stats = envelope_parse_stats(raw).collect()[0]
+    assert (
+        stats["lines"],
+        stats["tombstones"],
+        stats["malformed"],
+        stats["incomplete"],
+        stats["events"],
+    ) == (5, 2, 1, 1, 1)
+    # the adapter drops exactly the non-events
+    parsed = debezium_to_change_events(raw, PAYLOAD)
+    assert parsed.count() == 1
+    row = parsed.collect()[0]
+    assert (row["lsn"], row["op"], row["doc_id"]) == (5, "I", "d1")
+
+
+def test_streaming_parity(spark, tmp_path):
+    """The adapter is a pure transform: readStream over the same envelope
+    files drains to the identical event set as the batch parse."""
+    src = str(tmp_path / "envelopes")
+    generate_debezium_log(spark, **GEN).coalesce(2).write.mode("overwrite").text(src)
+
+    batch = debezium_to_change_events(
+        spark.read.schema("value string").text(src),
+        PAYLOAD,
+        events_per_epoch=GEN["events_per_epoch"],
+    )
+    stream = debezium_to_change_events(
+        spark.readStream.schema("value string").text(src),
+        PAYLOAD,
+        events_per_epoch=GEN["events_per_epoch"],
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dbz_drain")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    drained = spark.table("dbz_drain")
+    assert drained.count() == batch.count()
+    assert drained.exceptAll(batch).count() == 0
+    assert batch.exceptAll(drained).count() == 0
+
+
+def test_replay_from_envelopes_matches_native(spark, tmp_path):
+    """Feeding the engine from the Debezium wire format converges to the
+    same final table state (token-array equality) as the native log."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+            T.StructField("n_tok", T.IntegerType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    native_log = generate_change_log_portable(spark, **GEN)
+    envelopes = generate_debezium_log(spark, **GEN)
+    parsed = debezium_to_change_events(
+        envelopes, PAYLOAD, events_per_epoch=GEN["events_per_epoch"]
+    )
+
+    t_native = IcehouseTable.create(
+        str(tmp_path / "native"), schema, key_col="doc_id", n_buckets=4
+    )
+    t_wire = IcehouseTable.create(
+        str(tmp_path / "wire"), schema, key_col="doc_id", n_buckets=4
+    )
+    ReplayRunner(t_native, str(tmp_path / "ck1.json")).run(native_log)
+    ReplayRunner(t_wire, str(tmp_path / "ck2.json")).run(parsed)
+
+    a = t_native.read(spark).select("doc_id", "tokens", "n_tok", "source")
+    b = t_wire.read(spark).select("doc_id", "tokens", "n_tok", "source")
+    assert a.count() > 0
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
