@@ -1945,6 +1945,74 @@ def debezium_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("wap_published_view", _CDC_REPLAY_ORACLE)
+def wap_published_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish gate (`table/wap.py`): replay the portable log,
+    audit + publish the clean snapshot under the `published` tag, then ingest
+    a CORRUPTED epoch (n_tok inflated so it violates `tokens_intact`) past
+    it.  The re-audit must fail and leave the tag untouched, so the consumer
+    view (`read_published`) still serves the clean snapshot — value-hash-
+    checked against the same LCG-recomputed LWW final state as
+    `cdc_replay_icehouse`, while the table HEAD is verifiably dirty (guarded
+    by in-function asserts).  Concurrency, violation budgets, and tag-aware
+    expiry are additionally asserted in tests/test_wap.py."""
+    import tempfile
+
+    from .cdc.changelog import generate_change_log_portable
+    from .cdc.replay import ReplayRunner
+    from .operators.expectations import Expectation
+    from .table.icehouse import IcehouseTable
+    from .table.wap import audit_and_publish, read_published
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+            T.StructField("n_tok", T.IntegerType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    rules = [
+        Expectation("tokens_intact", F.col("n_tok") == F.size("tokens")),
+        Expectation("tokens_nonempty", F.col("n_tok") > 0),
+    ]
+    root = tempfile.mkdtemp(prefix="icehouse_wap_")
+    table = IcehouseTable.create(f"{root}/t", schema, key_col="doc_id", n_buckets=8)
+    log = generate_change_log_portable(
+        spark, n_events=6000, n_docs=500, events_per_epoch=2000, seed=42
+    )
+    ReplayRunner(table, f"{root}/ck.json").run(log)
+    good = audit_and_publish(table, spark, rules)
+    assert good.published, "clean snapshot must publish"
+
+    bad = (
+        generate_change_log_portable(
+            spark, n_events=500, n_docs=500, events_per_epoch=500, seed=42
+        )
+        .withColumn("lsn", F.col("lsn") + 100_000)
+        .withColumn("epoch", F.lit(99))
+        .withColumn(
+            "n_tok",
+            F.when(F.col("op") != "D", F.col("n_tok") + 1).otherwise(F.col("n_tok")),
+        )
+    )
+    ReplayRunner(table, f"{root}/ck_bad.json").run(bad)
+    dirty = audit_and_publish(table.refresh(), spark, rules)
+    assert not dirty.published and "tokens_intact" in dirty.failed_rules
+
+    return (
+        read_published(spark, f"{root}/t")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 # Oracle for the incremental changed-since feed: recompute the portable log
 # and its per-key winners in SQL, then keep only winners past the watermark —
 # exactly the rows the engine's file-skipping scan must emit (including
@@ -3351,6 +3419,7 @@ _DRIVER_WINDOW_FIRST = [
     "sketch_aggregates", "ann_ivf_topk",
     # new this round (never driver-checked):
     "debezium_envelope_parse", "debezium_replay_final_state",
+    "wap_published_view",
 ]
 
 

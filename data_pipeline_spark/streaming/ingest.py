@@ -83,6 +83,8 @@ class StreamingIngest:
     def __post_init__(self) -> None:
         if self.mode not in ("cow", "mor"):
             raise ValueError(f"unknown apply mode {self.mode!r}")
+        if self.source_format not in ("parquet", "debezium"):
+            raise ValueError(f"unknown source format {self.source_format!r}")
         if self.stream_id is None:
             import hashlib
 
@@ -96,7 +98,34 @@ class StreamingIngest:
         if self.dlq is not None and getattr(self.dlq, "owner", None) is None:
             self.dlq.owner = self.stream_id
 
+    #: wire format of the tailed directory: "parquet" (native change-log
+    #: files) or "debezium" (JSON-lines Debezium envelopes — the public
+    #: binlog/WAL-tail format; parsed with sources.debezium's typed
+    #: from_json adapter, tombstones/malformed lines dropped).  A Kafka
+    #: deployment swaps the file source for a Kafka source; the parse and
+    #: everything downstream are identical.
+    source_format: str = "parquet"
+    #: payload schema for source_format="debezium" (defaults to the table's
+    #: logical schema: every non-internal column).
+    payload_schema: "object | None" = None
+
     def source(self, spark: SparkSession, log_path: str) -> DataFrame:
+        if self.source_format == "debezium":
+            from ..sources.debezium import debezium_to_change_events
+
+            from pyspark.sql import types as T
+
+            payload = self.payload_schema or T.StructType(
+                [T.StructField(f.name, f.dataType, True) for f in self.table.schema.fields]
+            )
+            raw = (
+                spark.readStream.schema("value string")
+                .option("maxFilesPerTrigger", self.max_files_per_trigger)
+                .text(log_path)
+            )
+            return debezium_to_change_events(
+                raw, payload, key_col=self.table.key_col
+            )
         return (
             spark.readStream.schema(CHANGE_LOG_SCHEMA)
             .option("maxFilesPerTrigger", self.max_files_per_trigger)

@@ -20,6 +20,12 @@ partition-spec evolution, run as scheduled maintenance jobs):
       [--tag NAME]                 # pin the current snapshot under a tag
                                    # (exempt from expiry until --delete-tag)
       [--delete-tag NAME]
+      [--publish-tag NAME          # write-audit-publish: audit the CURRENT
+       --expect RULE:SQL_EXPR ...  # snapshot with the given row-level rules
+       [--min-pass-rate R]]        # (one aggregate scan) and atomically
+                                   # re-point NAME at it only if every rule's
+                                   # pass_rate >= R (default 1.0). Consumers
+                                   # reading the tag never see a bad snapshot.
       [--set-property K=V ...]     # pure-metadata property commit, e.g.
                                    # write.fanout=8 (bucket-write fan-out) or
                                    # write.max-file-rows=5000000; V empty
@@ -99,6 +105,14 @@ def main() -> None:
                     help="version number or tag name")
     ap.add_argument("--tag", default=None)
     ap.add_argument("--delete-tag", default=None)
+    ap.add_argument("--publish-tag", default=None, metavar="NAME",
+                    help="audit the current snapshot with --expect rules and "
+                         "atomically re-point NAME at it iff all pass")
+    ap.add_argument("--expect", action="append", default=None,
+                    metavar="RULE:SQL_EXPR",
+                    help="row-level rule for --publish-tag (repeatable), e.g. "
+                         "tokens_intact:'n_tok = size(tokens)'")
+    ap.add_argument("--min-pass-rate", type=float, default=1.0)
     ap.add_argument("--set-property", action="append", default=None,
                     metavar="K=V", help="update a table property (repeatable; "
                     "empty value deletes the key); ints auto-coerced")
@@ -172,6 +186,29 @@ def main() -> None:
         out["actions"].append(
             {"action": "rollback", "restored_version": args.rollback,
              "version": res.version, "skipped": res.skipped}
+        )
+    if args.publish_tag is not None:
+        from pyspark.sql import functions as F
+
+        from data_pipeline_spark.operators.expectations import Expectation
+        from data_pipeline_spark.table.wap import audit_and_publish
+
+        rules = []
+        for spec in args.expect or []:
+            name, sep, expr = spec.partition(":")
+            if not sep or not name or not expr:
+                raise SystemExit(f"--expect expects RULE:SQL_EXPR, got {spec!r}")
+            rules.append(Expectation(name, F.expr(expr)))
+        if not rules:
+            raise SystemExit("--publish-tag requires at least one --expect rule")
+        wap = audit_and_publish(
+            table, spark, rules, tag=args.publish_tag,
+            min_pass_rate=args.min_pass_rate,
+        )
+        out["actions"].append(
+            {"action": "publish", "tag": args.publish_tag,
+             "audited_version": wap.version, "published": wap.published,
+             "failed_rules": wap.failed_rules, "report": wap.report}
         )
     if args.delete_tag is not None:
         res = table.delete_tag(args.delete_tag)

@@ -148,3 +148,47 @@ def test_replay_from_envelopes_matches_native(spark, tmp_path):
     assert a.count() > 0
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_streaming_ingest_debezium_tail(spark, tmp_path):
+    """Long-lived tail of a Debezium JSON feed through StreamingIngest:
+    drain the envelope directory with the streaming path (MOR mode) and
+    assert the final table state equals a batch replay of the native log."""
+    from data_pipeline_spark.streaming.ingest import StreamingIngest
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+            T.StructField("n_tok", T.IntegerType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    feed = str(tmp_path / "feed")
+    generate_debezium_log(spark, **GEN).coalesce(4).write.mode("overwrite").text(feed)
+
+    t_stream = IcehouseTable.create(
+        str(tmp_path / "ts"), schema, key_col="doc_id", n_buckets=4
+    )
+    ingest = StreamingIngest(
+        t_stream,
+        str(tmp_path / "ck_stream"),
+        source_format="debezium",
+        mode="mor",
+        max_files_per_trigger=2,
+    )
+    q = ingest.start(spark, feed, trigger_once=True)
+    q.awaitTermination(300)
+    assert ingest.batches_applied > 0
+
+    t_batch = IcehouseTable.create(
+        str(tmp_path / "tb"), schema, key_col="doc_id", n_buckets=4
+    )
+    ReplayRunner(t_batch, str(tmp_path / "ck_batch.json")).run(
+        generate_change_log_portable(spark, **GEN)
+    )
+    a = t_stream.read(spark).select("doc_id", "tokens", "n_tok", "source")
+    b = t_batch.read(spark).select("doc_id", "tokens", "n_tok", "source")
+    assert a.count() > 0
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0

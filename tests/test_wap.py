@@ -1,0 +1,153 @@
+"""Write-audit-publish: the `published` tag only ever points at snapshots
+that passed their audit, ingest keeps committing past it, and a consumer
+reading the tag never observes a bad snapshot."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_pipeline_spark.cdc.changelog import generate_change_log_portable
+from data_pipeline_spark.cdc.replay import ReplayRunner
+from data_pipeline_spark.operators.expectations import Expectation
+from data_pipeline_spark.table.icehouse import IcehouseTable
+from data_pipeline_spark.table.wap import (
+    audit_and_publish,
+    read_published,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+def _rules():
+    # Column construction needs an active session (Spark Connect-style
+    # builtins) — build per test, not at import time.
+    return [
+        Expectation("tokens_intact", F.col("n_tok") == F.size("tokens")),
+        Expectation("tokens_nonempty", F.col("n_tok") > 0),
+    ]
+
+
+def _table(tmp_path, name="t"):
+    return IcehouseTable.create(
+        str(tmp_path / name), SCHEMA, key_col="doc_id", n_buckets=4
+    )
+
+
+def _replay(spark, table, tmp_path, **gen):
+    log = generate_change_log_portable(spark, **gen)
+    ReplayRunner(table, str(tmp_path / f"ck_{table.version}.json")).run(log)
+
+
+def test_publish_advances_on_clean_audit(spark, tmp_path):
+    table = _table(tmp_path)
+    _replay(spark, table, tmp_path, n_events=2000, n_docs=200, events_per_epoch=1000)
+    res = audit_and_publish(table, spark, _rules())
+    assert res.published and not res.failed_rules
+    assert table.refresh().meta["tags"]["published"] == res.version
+    pub = read_published(spark, table.root)
+    assert pub.count() == table.read(spark).count()
+    # report carries every rule
+    assert sorted(r["rule"] for r in res.report) == ["tokens_intact", "tokens_nonempty"]
+
+
+def test_failed_audit_leaves_tag_and_consumers_untouched(spark, tmp_path):
+    table = _table(tmp_path)
+    _replay(spark, table, tmp_path, n_events=2000, n_docs=200, events_per_epoch=1000)
+    first = audit_and_publish(table, spark, _rules())
+    assert first.published
+    good_count = read_published(spark, table.root).count()
+
+    # corrupt ingest: an epoch whose rows violate tokens_intact
+    bad = (
+        generate_change_log_portable(
+            spark, n_events=500, n_docs=200, events_per_epoch=500
+        )
+        .withColumn("lsn", F.col("lsn") + 10_000)
+        .withColumn("epoch", F.lit(99))
+        .withColumn(
+            "n_tok",
+            F.when(F.col("op") != "D", F.col("n_tok") + 1).otherwise(F.col("n_tok")),
+        )
+    )
+    ReplayRunner(table, str(tmp_path / "ck_bad.json")).run(bad)
+
+    res = audit_and_publish(table.refresh(), spark, _rules())
+    assert not res.published
+    assert "tokens_intact" in res.failed_rules
+    # tag still points at the last good snapshot; consumer view unchanged
+    assert table.refresh().meta["tags"]["published"] == first.version
+    assert read_published(spark, table.root).count() == good_count
+    # head is ahead of the published pin (ingest was not blocked)
+    assert table.version > first.version
+
+
+def test_publish_pins_audited_version_under_concurrent_ingest(spark, tmp_path):
+    """The audit pins a version; a commit landing between audit and publish
+    must not be published (pin-first semantics)."""
+    table = _table(tmp_path)
+    _replay(spark, table, tmp_path, n_events=1000, n_docs=100, events_per_epoch=1000)
+    audited_version = table.version
+
+    # audit the pinned snapshot, then a concurrent commit advances the head
+    from data_pipeline_spark.table.wap import audit_snapshot
+
+    report, failed, version = audit_snapshot(table, spark, _rules())
+    assert not failed and version == audited_version
+    more = (
+        generate_change_log_portable(
+            spark, n_events=500, n_docs=100, events_per_epoch=500
+        )
+        .withColumn("lsn", F.col("lsn") + 50_000)
+        .withColumn("epoch", F.lit(7))
+    )
+    ReplayRunner(table, str(tmp_path / "ck2.json")).run(more)
+    assert table.refresh().version > audited_version
+
+    res = audit_and_publish(table, spark, _rules(), version=audited_version)
+    assert res.published and res.version == audited_version
+    assert table.refresh().meta["tags"]["published"] == audited_version
+
+
+def test_violation_budget(spark, tmp_path):
+    table = _table(tmp_path)
+    _replay(spark, table, tmp_path, n_events=2000, n_docs=200, events_per_epoch=1000)
+    # corrupt exactly one row via a targeted second epoch
+    n_live = table.read(spark).count()
+    one_bad = spark.createDataFrame(
+        [(100_000, "I", "doc_badrow", [1, 2, 3], 99, "srcX")],
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    ).withColumn("epoch", F.lit(55))
+    ReplayRunner(table, str(tmp_path / "ck_one.json")).run(one_bad)
+
+    strict = audit_and_publish(table.refresh(), spark, _rules())
+    assert not strict.published
+    lax = audit_and_publish(table, spark, _rules(), min_pass_rate=0.99)
+    assert lax.published
+    assert read_published(spark, table.root).count() == n_live + 1
+
+
+def test_expired_snapshots_respect_published_pin(spark, tmp_path):
+    """expire_snapshots must keep the published snapshot readable even when
+    it is older than the keep window (tag-aware expiry + WAP)."""
+    table = _table(tmp_path)
+    _replay(spark, table, tmp_path, n_events=1000, n_docs=100, events_per_epoch=500)
+    res = audit_and_publish(table, spark, _rules())
+    for i in range(3):
+        extra = (
+            generate_change_log_portable(
+                spark, n_events=300, n_docs=100, events_per_epoch=300
+            )
+            .withColumn("lsn", F.col("lsn") + 100_000 * (i + 1))
+            .withColumn("epoch", F.lit(10 + i))
+        )
+        ReplayRunner(table, str(tmp_path / f"ck_x{i}.json")).run(extra)
+    table.refresh().expire_snapshots(keep_last=1)
+    pub = read_published(spark, table.root)
+    assert pub.count() > 0
+    assert table.refresh().meta["tags"]["published"] == res.version
