@@ -339,9 +339,26 @@ class IcehouseTable:
         (caps rows per output file WITHIN a task — the cheap file-size bound
         when re-shuffling for fanout isn't warranted)."""
         w = laid_out.withColumn("_pw", F.col(PART_COL)).write.mode("overwrite")
-        cap = self.meta.get("properties", {}).get("write.max-file-rows")
+        props = self.meta.get("properties", {})
+        cap = props.get("write.max-file-rows")
         if cap:
             w = w.option("maxRecordsPerFile", int(cap))
+        # write.bloom.columns: comma-separated columns to emit parquet bloom
+        # filters for (typically the key column).  Point lookups and
+        # key-equality scans then skip row groups the parquet reader can
+        # prove key-absent — within-bucket pruning that composes with the
+        # bucket pruning of read_for_keys (a bucket at 100-TB scale is many
+        # row groups; min/max stats on a hash-distributed key never prune).
+        # write.bloom.ndv sizes the filter (expected distinct keys PER ROW
+        # GROUP — the parquet default of 1M costs ~1 MB per row group; a
+        # bucketed CDC table knows its per-file key cardinality, so size it).
+        ndv = props.get("write.bloom.ndv")
+        for col in str(props.get("write.bloom.columns", "")).split(","):
+            col = col.strip()
+            if col:
+                w = w.option(f"parquet.bloom.filter.enabled#{col}", "true")
+                if ndv:
+                    w = w.option(f"parquet.bloom.filter.expected.ndv#{col}", int(ndv))
         return w.partitionBy("_pw")
 
     def ensure_key_type_unchanged(self, new_schema: T.StructType) -> None:
@@ -623,9 +640,11 @@ class IcehouseTable:
         The bucket set is computed with a keys-sized Spark job (the bucket
         hash lives JVM-side), then partitions are pruned driver-side.
         """
+        literal_keys: list | None = None
         if not isinstance(keys, DataFrame):
+            literal_keys = sorted(set(keys))
             keys = spark.createDataFrame(
-                [(k,) for k in keys],
+                [(k,) for k in literal_keys],
                 T.StructType([T.StructField(self.key_col, self.schema[self.key_col].dataType)]),
             )
         keys = keys.select(F.col(keys.columns[0]).alias(self.key_col)).distinct()
@@ -633,9 +652,15 @@ class IcehouseTable:
             r["b"]
             for r in keys.select(self.bucket_expr().alias("b")).distinct().collect()
         ]
-        return self.read(spark, partitions=buckets).join(
-            F.broadcast(keys), self.key_col, "left_semi"
-        )
+        pruned = self.read(spark, partitions=buckets)
+        if literal_keys is not None and len(literal_keys) <= 1000:
+            # literal IN predicate instead of a semi join: it pushes into the
+            # parquet scan, where per-file min/max on the sorted key column,
+            # dictionary filtering, and (with write.bloom.columns) row-group
+            # bloom filters all prune BEFORE any row is materialized — a
+            # semi join prunes nothing below the scan.
+            return pruned.where(F.col(self.key_col).isin(literal_keys))
+        return pruned.join(F.broadcast(keys), self.key_col, "left_semi")
 
     def row_count(self) -> int:
         """PHYSICAL row count from metadata (base + delta files).  With

@@ -226,3 +226,96 @@ def test_fanout_sub_column_name_collision(spark, tmp_path):
     apply_changes(table, rows, epoch=0)
     got = {r["doc_id"]: r["_sub"] for r in table.read(spark).collect()}
     assert got == {f"d{i}": i for i in range(100)}
+
+
+def test_bloom_filter_property_writes_bloom_metadata(spark, tmp_path):
+    """`write.bloom.columns` emits parquet bloom filters for the key column
+    (observable as extra bloom bytes vs an identical bloom-less write, sized
+    by write.bloom.ndv), and key lookups are unchanged."""
+    import glob as _glob
+    import os as _os
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from data_pipeline_spark.table.icehouse import IcehouseTable
+    from data_pipeline_spark.cdc.apply import apply_changes
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("n_tok", T.IntegerType(), True),
+        ]
+    )
+    rows = spark.range(0, 2000).select(
+        F.concat(F.lit("doc_"), F.col("id")).alias("doc_id"),
+        F.lit(1).alias("n_tok"),
+        F.col("id").alias("lsn"),
+        F.lit("I").alias("op"),
+    )
+
+    def _write(name, properties):
+        root = str(tmp_path / name)
+        t = IcehouseTable.create(
+            root, schema, key_col="doc_id", n_buckets=2, properties=properties
+        )
+        apply_changes(t, rows, epoch=0)
+        size = sum(
+            _os.path.getsize(f)
+            for f in _glob.glob(f"{root}/data/**/*.parquet", recursive=True)
+        )
+        return t, size
+
+    plain, plain_bytes = _write("plain", None)
+    bloomed, bloom_bytes = _write(
+        "bloom", {"write.bloom.columns": "doc_id", "write.bloom.ndv": 4096}
+    )
+    # identical data + layout, so the delta is the bloom payload
+    assert bloom_bytes > plain_bytes + 1000
+    # ndv sizing keeps it small: far below the 1 MB/row-group default
+    assert bloom_bytes - plain_bytes < 64 * 1024
+
+    got = bloomed.read_for_keys(spark, ["doc_1500"]).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == "doc_1500"
+    assert bloomed.read(spark).count() == plain.read(spark).count() == 2000
+
+
+def test_read_for_keys_literal_pushdown_reaches_every_scan(spark, tmp_path):
+    """The literal-key path must push the key predicate into EVERY parquet
+    scan (base and pending-delta legs) — that is what lets min/max,
+    dictionary, and bloom metadata prune below the LWW resolve.  A semi
+    join (the DataFrame-keys path) cannot prune below the scan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from data_pipeline_spark.table.icehouse import IcehouseTable
+    from data_pipeline_spark.cdc.apply import apply_changes, apply_changes_mor
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("n_tok", T.IntegerType(), True),
+        ]
+    )
+    t = IcehouseTable.create(
+        str(tmp_path / "pp"), schema, key_col="doc_id", n_buckets=2
+    )
+    rows = spark.range(0, 1000).select(
+        F.concat(F.lit("doc_"), F.col("id")).alias("doc_id"),
+        F.lit(1).alias("n_tok"),
+        F.col("id").alias("lsn"),
+        F.lit("I").alias("op"),
+    )
+    apply_changes(t, rows, epoch=0)
+    upd = spark.range(0, 100).select(
+        F.concat(F.lit("doc_"), F.col("id")).alias("doc_id"),
+        F.lit(2).alias("n_tok"),
+        (F.col("id") + 5000).alias("lsn"),
+        F.lit("U").alias("op"),
+    )
+    apply_changes_mor(t, upd, epoch=1)
+
+    df = t.refresh().read_for_keys(spark, ["doc_7"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scans, "expected parquet scans in the plan"
+    for s in scans:
+        assert "doc_id" in s.split("DataFilters", 1)[-1], f"scan without key filter: {s[:200]}"
+    assert df.collect()[0]["n_tok"] == 2  # delta row wins LWW
