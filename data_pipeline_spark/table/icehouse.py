@@ -4,9 +4,11 @@ No Iceberg runtime jar ships in this environment, so the engine defines the
 table contract itself and implements it with:
 
 - immutable Parquet data files grouped per (snapshot, bucket-partition) dir,
-- a metadata log ``metadata/v{N}.metadata.json`` where each version is created
-  with an **exclusive-create (O_EXCL) compare-and-set** — two concurrent
-  committers cannot both win a version, giving atomic, serialized commits,
+- a metadata log ``metadata/v{N}.metadata.json`` where each version is
+  published with an **exclusive-link compare-and-set** (full document written
+  to a tmp file, then ``link(2)``-ed to the version name — fails if a
+  concurrent committer won): two committers cannot both win a version, and a
+  racing reader can never observe a partial root,
 - **sharded manifests** (Iceberg manifest-list analog): the root document
   holds only table-level state plus content-addressed references to
   per-partition manifest files (``metadata/manifests/m-<sha>.json``) carrying
@@ -1300,16 +1302,22 @@ class IcehouseTable:
         if wrote_segment:
             self._fsync_dir(os.path.join(mdir, "lineage"))
         final = os.path.join(mdir, f"v{meta['version']:08d}.metadata.json")
-        # O_EXCL: fails with FileExistsError if a concurrent committer won
-        fd = os.open(final, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        # CAS publish in two steps: write the COMPLETE document to a private
+        # tmp file, then hard-link it to the version name.  link(2) fails
+        # with FileExistsError if a concurrent committer won (the same
+        # exclusive-create election O_EXCL gave), but unlike writing through
+        # an O_EXCL fd the version name only ever appears with its full
+        # content — a racing reader can never observe an empty/partial root
+        # (found as a JSONDecodeError under multi-writer chaos testing).
+        tmp = final + f".{os.getpid()}.{uuid.uuid4().hex[:6]}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh, indent=1)
+            fh.flush()
+            os.fsync(fh.fileno())
         try:
-            with os.fdopen(fd, "w") as fh:
-                json.dump(doc, fh, indent=1)
-                fh.flush()
-                os.fsync(fh.fileno())
-        except BaseException:
-            os.unlink(final)
-            raise
+            os.link(tmp, final)
+        finally:
+            os.unlink(tmp)
         # refresh the handle's caches so the NEXT commit on this handle can
         # reuse this version's untouched manifests / persisted lineage, and
         # trim the in-memory lineage to the retained segment window
