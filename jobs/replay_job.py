@@ -11,6 +11,12 @@ Cluster deployment (the production shape this engine targets):
       --checkpoint /shared/checkpoints/token_sequences.json \
       [--from-epoch N] [--n-buckets 4096] [--streaming]
       [--mode cow|mor] [--compact-every K]
+      [--source-format parquet|debezium]
+
+``--source-format debezium`` tails a directory of JSON-lines Debezium
+envelopes (the public binlog/WAL wire format) instead of native parquet
+change-log files — the typed from_json adapter feeds the identical merge
+path, batch or streaming.
 
 ``--mode mor`` commits each epoch as merge-on-read delta appends (write
 cost O(batch) — the keep-up mode for a busy change log), folding deltas
@@ -21,7 +27,7 @@ Storage contract: ``--log-path`` may be any Spark-readable URI (s3a/hdfs/
 local — it is only scanned).  ``--table`` and ``--checkpoint`` must live on
 a filesystem with POSIX exclusive-create semantics visible to the DRIVER
 (local disk, NFS, fuse-mounted stores): the icehouse commit protocol's CAS
-is an O_EXCL metadata create (table/icehouse.py:_write_metadata), and
+is an exclusive-link metadata publish (table/icehouse.py:_write_metadata), and
 raw object stores without atomic create would need a CAS-capable catalog
 service in front — the documented integration boundary.
 
@@ -64,6 +70,14 @@ def main() -> None:
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--from-epoch", type=int, default=None)
     ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--events-per-epoch", type=int, default=100_000,
+                    help="epoch fencing granularity for --source-format "
+                         "debezium (epoch = lsn // N; native parquet logs "
+                         "carry their own epoch column)")
+    ap.add_argument("--source-format", default="parquet",
+                    choices=["parquet", "debezium"],
+                    help="wire format under --log-path: native parquet "
+                         "change-log files or JSON-lines Debezium envelopes")
     ap.add_argument("--streaming", action="store_true",
                     help="tail via Structured Streaming instead of batch replay")
     ap.add_argument("--dlq", default=None,
@@ -111,7 +125,8 @@ def main() -> None:
     if args.streaming:
         from data_pipeline_spark.streaming import StreamingIngest
 
-        ingest = StreamingIngest(table, args.checkpoint + ".stream", dlq=dlq)
+        ingest = StreamingIngest(table, args.checkpoint + ".stream", dlq=dlq,
+                                 source_format=args.source_format)
         q = ingest.start(spark, args.log_path, trigger_once=True)
         q.awaitTermination()
         applied = len([s for s in ingest.applied if not s.result.skipped])
@@ -121,7 +136,20 @@ def main() -> None:
             out["quarantined"] = dlq.read(spark).count()
         print(json.dumps(out))
     else:
-        log = read_change_log(spark, args.log_path, from_epoch=args.from_epoch)
+        if args.source_format == "debezium":
+            from pyspark.sql import functions as F
+
+            from data_pipeline_spark.sources.debezium import debezium_to_change_events
+
+            raw = spark.read.schema("value string").text(args.log_path)
+            log = debezium_to_change_events(
+                raw, TABLE_SCHEMA, key_col="doc_id",
+                events_per_epoch=args.events_per_epoch,
+            )
+            if args.from_epoch is not None:
+                log = log.where(F.col("epoch") >= args.from_epoch)
+        else:
+            log = read_change_log(spark, args.log_path, from_epoch=args.from_epoch)
         if dlq is not None:
             from data_pipeline_spark.cdc.quarantine import split_valid
 
