@@ -12,7 +12,7 @@ from .changelog import (
     materialize_change_log,
     read_change_log,
 )
-from .cdf import snapshot_diff
+from .cdf import diff_between_refs, snapshot_diff
 from .quarantine import (
     DeadLetterSink,
     apply_changes_with_dlq,
@@ -42,6 +42,7 @@ __all__ = [
     "salted_lww_latest",
     "scd2_history",
     "snapshot_diff",
+    "diff_between_refs",
     "DeadLetterSink",
     "apply_changes_with_dlq",
     "classify_events",

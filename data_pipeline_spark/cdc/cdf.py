@@ -79,3 +79,26 @@ def snapshot_diff(
         .where(F.col("op").isNotNull())
         .select(key, "op", *[F.col("_img")[c].alias(c) for c in value_cols])
     )
+
+
+def diff_between_refs(
+    spark: SparkSession,
+    root: str,
+    ref_from: "int | str",
+    ref_to: "int | str",
+) -> DataFrame:
+    """:func:`snapshot_diff` with tag names accepted for either endpoint —
+    the WAP consumer's incremental feed: ``diff_between_refs(spark, root,
+    "published-prev", "published")`` yields exactly the I/U/D rows between
+    the last two AUDITED states, regardless of how many raw ingest commits
+    (including bad ones that failed their audit) landed in between."""
+
+    def resolve(ref) -> int:
+        if isinstance(ref, str):
+            tags = IcehouseTable.load(root).meta.get("tags", {})
+            if ref not in tags:
+                raise KeyError(f"no tag {ref!r} on table {root}")
+            return int(tags[ref])
+        return int(ref)
+
+    return snapshot_diff(spark, root, resolve(ref_from), resolve(ref_to))

@@ -151,3 +151,38 @@ def test_expired_snapshots_respect_published_pin(spark, tmp_path):
     pub = read_published(spark, table.root)
     assert pub.count() > 0
     assert table.refresh().meta["tags"]["published"] == res.version
+
+
+def test_diff_between_published_refs(spark, tmp_path):
+    """A consumer can ask for exactly the delta between two AUDITED states,
+    skipping the dirty commits in between."""
+    from data_pipeline_spark.cdc.cdf import diff_between_refs
+
+    table = _table(tmp_path)
+    _replay(spark, table, tmp_path, n_events=1000, n_docs=100, events_per_epoch=1000)
+    first = audit_and_publish(table, spark, _rules(), tag="release-1")
+    # a dirty commit that never publishes
+    bad = spark.createDataFrame(
+        [(5_000, "I", "doc_corrupt", [1, 2], 99, "x")],
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    ).withColumn("epoch", F.lit(40))
+    ReplayRunner(table, str(tmp_path / "ckb.json")).run(bad)
+    # then a clean epoch that publishes
+    good = spark.createDataFrame(
+        [
+            (6_000, "U", "doc_00000001", [7, 8, 9], 3, "srcZ"),
+            (6_001, "D", "doc_corrupt", None, None, None),
+        ],
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    ).withColumn("epoch", F.lit(41))
+    ReplayRunner(table, str(tmp_path / "ckg.json")).run(good)
+    second = audit_and_publish(table.refresh(), spark, _rules(), tag="release-2")
+    assert second.published
+
+    feed = diff_between_refs(spark, table.root, "release-1", "release-2")
+    rows = {r["doc_id"]: r["op"] for r in feed.collect()}
+    # doc_corrupt was inserted AND deleted between the two releases — from
+    # the published-state perspective it never existed
+    assert rows == {"doc_00000001": "U"}
+    upd = [r for r in feed.collect() if r["doc_id"] == "doc_00000001"][0]
+    assert upd["tokens"] == [7, 8, 9] and upd["n_tok"] == 3
