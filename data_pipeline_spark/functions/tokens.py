@@ -149,3 +149,113 @@ def pack_fixed_windows(
             yield pd.DataFrame({"doc_id": ids, "window_idx": widx, "input_ids": out})
 
     return df.select(id_col, tokens_col).mapInPandas(kernel, schema=schema)
+
+
+def pack_corpus_sequences(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    seq_len: int = 1024,
+    eos_id: int = 1,
+    pad_id: int = PAD_ID,
+    num_parts: int | None = None,
+) -> DataFrame:
+    """GPT-style corpus packing: append EOS to every document, concatenate
+    all documents in ``id_col`` order into one virtual token stream, and
+    chunk it into fixed ``seq_len`` training sequences (only the final
+    sequence is padded) — the zero-waste complement of
+    :func:`pack_fixed_windows` (which pads every document's tail).
+
+    Returns one row per sequence: (seq_idx, input_ids[seq_len],
+    n_real_tokens).  Deterministic for a given ``id_col`` order.
+
+    Scale shape (100-TB story) — NO global window, NO per-token explode:
+
+    1. distributed prefix sum for each document's global start offset:
+       range-repartition by id (pinned with localCheckpoint so the partition
+       ids are identical across the two consumers), per-partition token
+       totals collected to the driver (P scalars), broadcast back as a
+       literal map, plus a PARTITION-LOCAL cumulative window;
+    2. each document overlaps at most ceil(len/seq_len)+1 sequences, so it
+       explodes into per-(doc, sequence) FRAGMENTS via ``sequence()`` —
+       O(docs + sequences) rows, never O(tokens);
+    3. fragments are array ``slice()``s (JVM codegen), assembled per
+       sequence with sort-by-offset + flatten; one shuffle keyed by seq_idx.
+    """
+    spark = df.sparkSession
+    from pyspark.sql import Window
+
+    stream = F.concat(F.col(tokens_col), F.array(F.lit(eos_id).cast("int")))
+    d = df.select(F.col(id_col).alias("_id"), stream.alias("_stream")).withColumn(
+        "_slen", F.size("_stream").cast("long")
+    )
+    n_parts = num_parts or spark.sparkContext.defaultParallelism
+    d = d.repartitionByRange(n_parts, "_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    d = d.localCheckpoint()  # pin pid assignment across both consumers below
+    totals = {
+        r["_pid"]: r["s"]
+        for r in d.groupBy("_pid").agg(F.sum("_slen").alias("s")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets += [F.lit(pid), F.lit(acc)]
+        acc += int(totals[pid])
+    if not offsets:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("seq_idx", T.LongType()),
+                    T.StructField("input_ids", T.ArrayType(T.IntegerType())),
+                    T.StructField("n_real_tokens", T.LongType()),
+                ]
+            ),
+        )
+    w = Window.partitionBy("_pid").orderBy("_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    d = d.withColumn(
+        "_start",
+        F.coalesce(F.sum("_slen").over(w), F.lit(0).cast("long"))
+        + F.element_at(F.create_map(*offsets), F.col("_pid")),
+    )
+    L = seq_len
+    frags = d.select(
+        "_stream",
+        "_start",
+        "_slen",
+        F.explode(
+            F.sequence(
+                F.expr(f"_start div {L}"),
+                F.expr(f"(_start + _slen - 1) div {L}"),
+            )
+        ).alias("seq_idx"),
+    )
+    lo = F.greatest(F.col("_start"), F.col("seq_idx") * L)
+    hi = F.least(F.col("_start") + F.col("_slen"), (F.col("seq_idx") + 1) * L)
+    frags = frags.select(
+        "seq_idx",
+        lo.alias("_lo"),
+        F.slice(
+            "_stream", (lo - F.col("_start") + 1).cast("int"), (hi - lo).cast("int")
+        ).alias("_frag"),
+    )
+    assembled = frags.groupBy("seq_idx").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_lo", "_frag"))),
+                lambda s: s["_frag"],
+            )
+        ).alias("_toks")
+    )
+    n_real = F.size("_toks").cast("long")
+    return assembled.select(
+        F.col("seq_idx").cast("long").alias("seq_idx"),
+        F.when(n_real < L, F.concat(
+            "_toks",
+            F.array_repeat(F.lit(pad_id).cast("int"), (F.lit(L) - n_real).cast("int")),
+        )).otherwise(F.col("_toks")).alias("input_ids"),
+        n_real.alias("n_real_tokens"),
+    )

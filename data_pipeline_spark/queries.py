@@ -2474,6 +2474,72 @@ def token_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_pack_sequences",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_append(
+               list_transform(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+                              w -> LENGTH(w)::INTEGER),
+               9999) AS stream
+      FROM documents
+    ),
+    o AS (
+      SELECT stream, len(stream)::BIGINT AS slen,
+             COALESCE(SUM(len(stream)) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
+      FROM tok
+    ),
+    spans AS (
+      SELECT unnest(generate_series(start // 64, (start + slen - 1) // 64)) AS seq_idx,
+             stream, start, slen
+      FROM o
+    ),
+    frags AS (
+      SELECT seq_idx,
+             GREATEST(start, seq_idx * 64) AS lo,
+             LEAST(start + slen, (seq_idx + 1) * 64) AS hi,
+             stream, start
+      FROM spans
+    )
+    SELECT seq_idx::BIGINT AS seq_idx,
+           SUM(hi - lo)::BIGINT AS n_real_tokens,
+           SUM(list_sum(stream[(lo - start + 1):(hi - start)]))::BIGINT AS token_checksum
+    FROM frags
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style corpus packing (``functions/tokens.pack_corpus_sequences``):
+    every document + EOS concatenated in doc_id order and chunked into
+    64-token training sequences — zero padding except the final sequence.
+    The engine computes global offsets with a DISTRIBUTED prefix sum
+    (range-repartition → partition-local cumulative window + broadcast
+    per-partition totals; no global window, no per-token explode — documents
+    become per-sequence array-slice fragments).  The oracle recomputes the
+    whole packing from the same portable tokenization with a window cumsum
+    and list slicing, so every sequence's exact content (checksum) and fill
+    level hash-match — any boundary off-by-one anywhere flips a checksum.
+    Full token-level reconstruction is asserted in
+    tests/test_tokens_maintenance.py."""
+    from .functions.text import words
+    from .functions.tokens import pack_corpus_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.transform(words("text"), lambda w: F.length(w).cast("int")).alias("tokens"),
+    )
+    packed = pack_corpus_sequences(docs, seq_len=64, eos_id=9999, pad_id=0)
+    return packed.select(
+        "seq_idx",
+        "n_real_tokens",
+        F.aggregate("input_ids", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "token_checksum"
+        ),
+    ).orderBy("seq_idx")
+
+
+@q(
     "token_pack_windows",
     r"""
     WITH tok AS (
@@ -3419,7 +3485,7 @@ _DRIVER_WINDOW_FIRST = [
     "sketch_aggregates", "ann_ivf_topk",
     # new this round (never driver-checked):
     "debezium_envelope_parse", "debezium_replay_final_state",
-    "wap_published_view",
+    "wap_published_view", "corpus_pack_sequences",
 ]
 
 
