@@ -2473,6 +2473,30 @@ def token_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("bpe_learned_merges")  # iterative (N data-dependent rounds) — rows-only by design
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (``functions/bpe.bpe_train``):
+    learn the top-12 merges over the documents corpus (portable word-length
+    base tokens).  Each round is one codegen'd pair-count aggregation +
+    a JVM fold applying the chosen merge (zero Python).  Genuinely
+    iterative — each round's counts depend on the previous merge — so it is
+    registered without a SQL oracle (the brief's sanctioned category);
+    exact parity with a reference BPE implementation (merge table AND final
+    tokenization, including chained merges of merged ids) is asserted in
+    tests/test_bpe.py."""
+    from .functions.bpe import bpe_train
+    from .functions.text import words
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.transform(words("text"), lambda w: F.length(w).cast("int")).alias("tokens"),
+    )
+    merges, _ = bpe_train(docs, n_merges=12, new_id_start=1000)
+    return spark.createDataFrame(
+        merges, "rank int, left int, right int, new_id int, count long"
+    ).orderBy("rank")
+
+
 @q(
     "corpus_pack_sequences",
     r"""
@@ -3485,7 +3509,7 @@ _DRIVER_WINDOW_FIRST = [
     "sketch_aggregates", "ann_ivf_topk",
     # new this round (never driver-checked):
     "debezium_envelope_parse", "debezium_replay_final_state",
-    "wap_published_view", "corpus_pack_sequences",
+    "wap_published_view", "corpus_pack_sequences", "bpe_learned_merges",
 ]
 
 
