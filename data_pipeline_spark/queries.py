@@ -2473,6 +2473,53 @@ def token_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "mixture_sample_sources",
+    """
+    WITH c AS (
+      SELECT source, COUNT(*)::BIGINT AS cnt FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT * FROM (VALUES ('src0', 50), ('src1', 30), ('src2', 20),
+                            ('src3', 10)) AS t(source, w)
+    ),
+    j AS (SELECT c.source, cnt, w FROM c JOIN w USING (source) WHERE w > 0),
+    t AS (SELECT MIN(cnt * 1000000 // w) AS ts FROM j),
+    thr AS (
+      SELECT source, LEAST(1000000, w * (SELECT ts FROM t) // cnt) AS thr FROM j
+    )
+    SELECT d.source, COUNT(*)::BIGINT AS n_kept, SUM(d.doc_id)::BIGINT AS id_sum
+    FROM documents d JOIN thr USING (source)
+    WHERE ((29*1000003 + d.doc_id*257)*1103515245 + 12345) % 2147483647 % 1000000
+          < thr
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def mixture_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture construction (``operators/sampling.mixture_sample``):
+    downsample each source deterministically so the corpus hits a target
+    mixture (50/30/20/10 over four sources; the rest dropped) — the
+    data-mixology step of large-corpus assembly.  Thresholds are pure
+    integer floor-division of the observed counts (never upsamples; the
+    scarcest source saturates) and the row gate is the portable LCG, so the
+    DuckDB oracle reproduces the EXACT kept row set (id_sum pins membership,
+    not just counts)."""
+    from .operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        docs, {"src0": 50, "src1": 30, "src2": 20, "src3": 10}, seed=29
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
 @q("bpe_learned_merges")  # iterative (N data-dependent rounds) — rows-only by design
 def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (``functions/bpe.bpe_train``):
@@ -3510,6 +3557,7 @@ _DRIVER_WINDOW_FIRST = [
     # new this round (never driver-checked):
     "debezium_envelope_parse", "debezium_replay_final_state",
     "wap_published_view", "corpus_pack_sequences", "bpe_learned_merges",
+    "mixture_sample_sources",
 ]
 
 
