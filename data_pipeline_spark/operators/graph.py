@@ -106,3 +106,42 @@ def dedup_assignments(
             "cluster_size",
         )
     )
+
+
+def select_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Keep-best dedup: given the corpus and its near-dup pair graph, pick
+    ONE representative per transitive cluster — the highest-``quality_col``
+    member (ties → lowest id), instead of :func:`dedup_assignments`'
+    min-id canonical.  Documents in no pair are their own singleton cluster
+    and always survive.
+
+    Returns every doc with (cluster_id, kept): the curation report a
+    filtering pipeline joins back on ``kept`` (the Gopher/C4-style
+    "keep the best duplicate" policy).  Cost: the component fixpoint over
+    PAIRS only (never the corpus) + one broadcast-sized join + one
+    combinable max_by per cluster.
+    """
+    asg = dedup_assignments(pairs).select(
+        F.col("doc_id").alias("_n"), F.col("canonical_id").alias("_c")
+    )
+    d = docs.join(asg, docs[id_col] == F.col("_n"), "left").select(
+        docs[id_col].alias(id_col),
+        F.coalesce(F.col("_c"), docs[id_col]).alias("cluster_id"),
+        F.col(quality_col).alias(quality_col),
+    )
+    winners = d.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col(id_col), F.struct(F.col(quality_col), (-F.col(id_col)).alias("_t"))
+        ).alias("_rep")
+    )
+    return d.join(winners, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        quality_col,
+        (F.col(id_col) == F.col("_rep")).alias("kept"),
+    )

@@ -1085,6 +1085,80 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_keep_best",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS shingles
+      FROM documents WHERE doc_id < 120
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id
+        AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+            len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      WITH RECURSIVE r(node, label) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+        UNION
+        SELECT s.v, r.label FROM r JOIN sym s ON s.u = r.node
+      )
+      SELECT node, MIN(label) AS component FROM r GROUP BY node
+    ),
+    q AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))::BIGINT AS quality
+      FROM documents WHERE doc_id < 120
+    ),
+    comp AS (
+      SELECT q.doc_id, COALESCE(reach.component, q.doc_id) AS cluster_id, quality
+      FROM q LEFT JOIN reach ON reach.node = q.doc_id
+    ),
+    win AS (SELECT cluster_id, MAX(quality) AS mq FROM comp GROUP BY cluster_id),
+    rep AS (
+      SELECT comp.cluster_id, MIN(comp.doc_id) AS rep_id
+      FROM comp JOIN win USING (cluster_id)
+      WHERE comp.quality = win.mq
+      GROUP BY comp.cluster_id
+    )
+    SELECT comp.doc_id::BIGINT AS doc_id,
+           comp.cluster_id::BIGINT AS cluster_id,
+           comp.quality AS quality,
+           (comp.doc_id = rep.rep_id) AS kept
+    FROM comp JOIN rep USING (cluster_id)
+    ORDER BY doc_id
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best dedup (``operators/graph.select_representatives``): the
+    same transitive near-dup clusters as ``dedup_components``, but the
+    survivor is the highest-QUALITY member (word count here; ties → lowest
+    id) rather than the min-id canonical — the curation policy that keeps
+    the best duplicate instead of an arbitrary one.  Singletons (docs in no
+    pair) always survive.  The oracle recomputes pair graph → recursive-CTE
+    fixpoint → per-cluster argmax end to end."""
+    from .operators.graph import select_representatives
+    from .functions.text import words
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 120)
+        .select("doc_id", "text", F.size(words("text")).cast("long").alias("quality"))
+    )
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=1, min_jaccard=0.5)
+    return (
+        select_representatives(docs, pairs, quality_col="quality")
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "embedding_topk",
     """
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20)
@@ -3557,7 +3631,7 @@ _DRIVER_WINDOW_FIRST = [
     # new this round (never driver-checked):
     "debezium_envelope_parse", "debezium_replay_final_state",
     "wap_published_view", "corpus_pack_sequences", "bpe_learned_merges",
-    "mixture_sample_sources",
+    "mixture_sample_sources", "dedup_keep_best",
 ]
 
 

@@ -79,6 +79,16 @@ class StreamingIngest:
     applied_cap: int = 1000
     batches_applied: int = 0
     events_applied: int = 0
+    #: write-audit-publish cadence: every N applied micro-batches, audit the
+    #: current snapshot with ``publish_expectations`` (table/wap.py) and
+    #: atomically advance ``publish_tag`` iff clean — so downstream readers
+    #: of the tag trail the stream by at most N batches and never see a
+    #: snapshot that failed its audit.  A failed audit just leaves the tag;
+    #: ingest continues.
+    publish_every: "int | None" = None
+    publish_expectations: "list | None" = None
+    publish_tag: str = "published"
+    publish_results: list = field(default_factory=list)
 
     def __post_init__(self) -> None:
         if self.mode not in ("cow", "mor"):
@@ -163,6 +173,22 @@ class StreamingIngest:
             del self.applied[: len(self.applied) - self.applied_cap]
         self.batches_applied += 1
         self.events_applied += stats.events_in
+        if (
+            self.publish_every
+            and self.publish_expectations
+            and self.batches_applied % self.publish_every == 0
+        ):
+            from ..table.wap import audit_and_publish
+
+            res = audit_and_publish(
+                self.table.refresh(),
+                batch_df.sparkSession,
+                self.publish_expectations,
+                tag=self.publish_tag,
+            )
+            self.publish_results.append(res)
+            if len(self.publish_results) > self.applied_cap:
+                del self.publish_results[: len(self.publish_results) - self.applied_cap]
 
     def start(
         self,

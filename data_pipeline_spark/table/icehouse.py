@@ -1333,12 +1333,19 @@ class IcehouseTable:
 
     # -- maintenance ----------------------------------------------------------
 
-    def expire_snapshots(self, keep_last: int = 3) -> list[str]:
+    def expire_snapshots(
+        self, keep_last: int = 3, older_than_seconds: float | None = None
+    ) -> list[str]:
         """Delete data dirs referenced only by metadata versions older than the
         last ``keep_last`` (Iceberg analog: expire_snapshots; reference analog:
         365-day partition expiry, loader.py:135).  TAGGED versions
         (:meth:`create_tag`) are always kept — files and metadata — until
         the tag is deleted.
+
+        ``older_than_seconds``: additionally keep every version committed
+        within the window (root-file mtime), regardless of ``keep_last`` —
+        the Iceberg ``older_than`` retention form, so a burst of recent
+        commits can't age out snapshots a reader may still be pinning.
 
         Concurrency: the tag set is re-read immediately before the unlink
         pass, closing the create_tag race to the CAS-commit window.  Like
@@ -1355,6 +1362,17 @@ class IcehouseTable:
             )
             tagged = set(self.meta.get("tags", {}).values())
             keep = set(versions[-keep_last:]) | (tagged & set(versions))
+            if older_than_seconds is not None:
+                cutoff = time.time() - older_than_seconds
+                for v in versions:
+                    try:
+                        mtime = os.path.getmtime(
+                            os.path.join(mdir, f"v{v:08d}.metadata.json")
+                        )
+                    except FileNotFoundError:
+                        continue
+                    if mtime >= cutoff:
+                        keep.add(v)
             live: set[str] = set()
             for v in sorted(keep):
                 meta = IcehouseTable.load(self.root, version=v).meta

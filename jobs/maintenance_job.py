@@ -11,7 +11,8 @@ partition-spec evolution, run as scheduled maintenance jobs):
                                    # (cost ∝ pending deltas, clean buckets untouched)
       [--vacuum-lsn N]             # reclaim tombstones with _lsn <= N
       [--rebucket N]               # partition-spec evolution to N buckets
-      [--expire-keep N]            # drop all but the last N snapshots' files
+      [--expire-keep N             # drop all but the last N snapshots' files
+       [--expire-older-than SEC]]   # ... but keep anything younger than SEC
       [--remove-orphans GRACE_SEC] # delete crash-stranded files no retained
                                    # snapshot references (older than the grace
                                    # window; safe alongside live ingest)
@@ -96,6 +97,9 @@ def main() -> None:
     ap.add_argument("--vacuum-lsn", type=int, default=None)
     ap.add_argument("--rebucket", type=int, default=None)
     ap.add_argument("--expire-keep", type=int, default=None)
+    ap.add_argument("--expire-older-than", type=float, default=None,
+                    metavar="SEC", help="with --expire-keep: additionally "
+                    "keep every snapshot younger than SEC seconds")
     ap.add_argument("--remove-orphans", type=float, default=None, metavar="GRACE_SEC",
                     help="delete files referenced by NO retained snapshot and "
                          "older than GRACE_SEC seconds (crash leftovers; safe "
@@ -227,7 +231,10 @@ def main() -> None:
             {"action": "set_property", "updates": updates, "version": res.version}
         )
     if args.expire_keep is not None:
-        removed = table.expire_snapshots(keep_last=args.expire_keep)
+        removed = table.expire_snapshots(
+            keep_last=args.expire_keep,
+            older_than_seconds=args.expire_older_than,
+        )
         out["actions"].append({"action": "expire", "snapshots_removed": len(removed)})
 
     if args.remove_orphans is not None:

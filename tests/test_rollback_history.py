@@ -146,3 +146,39 @@ def test_unknown_tag_raises(spark, log, tmp_path):
         IcehouseTable.load(t.root, tag="nope")
     with pytest.raises(KeyError):
         t.rollback("nope")
+
+
+def test_expire_older_than_keeps_recent_burst(spark, tmp_path):
+    """older_than_seconds retention: a burst of recent commits must not age
+    out snapshots inside the window even when keep_last would."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from data_pipeline_spark.cdc.apply import apply_changes
+    from data_pipeline_spark.table.icehouse import IcehouseTable
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("n_tok", T.IntegerType(), True),
+        ]
+    )
+    t = IcehouseTable.create(str(tmp_path / "t"), schema, key_col="doc_id", n_buckets=2)
+    for e in range(5):
+        rows = spark.createDataFrame(
+            [(e * 10 + i, "I", f"d{e}_{i}", 1) for i in range(3)],
+            "lsn long, op string, doc_id string, n_tok int",
+        )
+        apply_changes(t, rows, epoch=e)
+    versions_before = t.refresh().version
+    # everything was committed seconds ago -> a huge window keeps ALL
+    removed = t.expire_snapshots(keep_last=1, older_than_seconds=3600)
+    assert removed == []
+    for v in range(versions_before + 1):
+        assert IcehouseTable.load(t.root, version=v).version == v
+    # window of 0 -> falls back to keep_last semantics
+    removed2 = t.expire_snapshots(keep_last=2, older_than_seconds=0)
+    assert removed2
+    assert t.read(spark).count() == 15

@@ -186,3 +186,31 @@ def test_diff_between_published_refs(spark, tmp_path):
     assert rows == {"doc_00000001": "U"}
     upd = [r for r in feed.collect() if r["doc_id"] == "doc_00000001"][0]
     assert upd["tokens"] == [7, 8, 9] and upd["n_tok"] == 3
+
+
+def test_streaming_auto_publish(spark, tmp_path):
+    """StreamingIngest(publish_every=N): the published tag trails the stream
+    and only ever lands on audited snapshots."""
+    from data_pipeline_spark.cdc.changelog import materialize_change_log
+    from data_pipeline_spark.streaming.ingest import StreamingIngest
+    from data_pipeline_spark.table.wap import read_published
+
+    table = _table(tmp_path, "ts")
+    log_path = str(tmp_path / "log")
+    materialize_change_log(
+        spark, log_path, n_events=4000, n_docs=300, events_per_epoch=500, seed=3
+    )
+    ingest = StreamingIngest(
+        table,
+        str(tmp_path / "ck"),
+        max_files_per_trigger=2,
+        publish_every=2,
+        publish_expectations=_rules(),
+    )
+    q = ingest.start(spark, log_path, trigger_once=True)
+    q.awaitTermination(300)
+    assert ingest.batches_applied >= 2
+    assert ingest.publish_results and all(r.published for r in ingest.publish_results)
+    pinned = table.refresh().meta["tags"]["published"]
+    assert pinned == ingest.publish_results[-1].version
+    assert read_published(spark, table.root).count() > 0
