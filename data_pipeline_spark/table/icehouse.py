@@ -345,6 +345,12 @@ class IcehouseTable:
         cap = props.get("write.max-file-rows")
         if cap:
             w = w.option("maxRecordsPerFile", int(cap))
+        # write.compression: parquet codec (e.g. zstd for ~30% smaller files
+        # at 100-TB scan volumes, snappy for cheapest CPU; Spark default
+        # otherwise).  Applies to base AND delta writes.
+        codec = props.get("write.compression")
+        if codec:
+            w = w.option("compression", str(codec))
         # write.bloom.columns: comma-separated columns to emit parquet bloom
         # filters for (typically the key column).  Point lookups and
         # key-equality scans then skip row groups the parquet reader can

@@ -319,3 +319,40 @@ def test_read_for_keys_literal_pushdown_reaches_every_scan(spark, tmp_path):
     for s in scans:
         assert "doc_id" in s.split("DataFilters", 1)[-1], f"scan without key filter: {s[:200]}"
     assert df.collect()[0]["n_tok"] == 2  # delta row wins LWW
+
+
+def test_write_compression_property(spark, tmp_path):
+    """write.compression selects the parquet codec for base and delta files
+    (verified in file footers), and reads are unchanged."""
+    import glob as _glob
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from data_pipeline_spark.cdc.apply import apply_changes, apply_changes_mor
+    from data_pipeline_spark.table.icehouse import IcehouseTable
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("n_tok", T.IntegerType(), True),
+        ]
+    )
+    t = IcehouseTable.create(
+        str(tmp_path / "z"), schema, key_col="doc_id", n_buckets=2,
+        properties={"write.compression": "zstd"},
+    )
+    rows = spark.range(0, 500).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.lit(1).alias("n_tok"),
+        F.col("id").alias("lsn"),
+        F.lit("I").alias("op"),
+    )
+    apply_changes(t, rows, epoch=0)
+    upd = rows.withColumn("lsn", F.col("lsn") + 1000).withColumn("n_tok", F.lit(2))
+    apply_changes_mor(t, upd, epoch=1)
+    files = _glob.glob(f"{t.root}/data/**/*.parquet", recursive=True)
+    assert files
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        assert md.row_group(0).column(0).compression == "ZSTD", f
+    assert t.refresh().read(spark).where(F.col("n_tok") == 2).count() == 500
