@@ -261,3 +261,42 @@ def test_pack_corpus_sequences_deterministic_and_empty(spark):
 
     empty = spark.createDataFrame([], "doc_id string, tokens array<int>")
     assert pack_corpus_sequences(empty, seq_len=4).count() == 0
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_corpora = st.lists(
+    st.lists(st.integers(min_value=2, max_value=9), min_size=0, max_size=25),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seqs=_corpora, seq_len=st.sampled_from([3, 8, 64]))
+def test_pack_corpus_sequences_property(spark, seqs, seq_len):
+    """Property: for ANY corpus and sequence length, flattening the packed
+    output (minus final padding) reproduces the concatenation of
+    (tokens + EOS) in key order, and all but the last sequence are full."""
+    from data_pipeline_spark.functions.tokens import pack_corpus_sequences
+
+    rows = [(f"k{i:03d}", toks) for i, toks in enumerate(seqs)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = sorted(
+        pack_corpus_sequences(df, seq_len=seq_len, eos_id=1, pad_id=0, num_parts=3)
+        .collect(),
+        key=lambda r: r["seq_idx"],
+    )
+    expected = [t for _, toks in rows for t in list(toks) + [1]]
+    got = [t for r in out for t in r["input_ids"][: r["n_real_tokens"]]]
+    assert got == expected
+    for i, r in enumerate(out):
+        assert len(r["input_ids"]) == seq_len
+        assert r["seq_idx"] == i
+        if i < len(out) - 1:
+            assert r["n_real_tokens"] == seq_len
