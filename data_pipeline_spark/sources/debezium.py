@@ -231,3 +231,63 @@ def generate_debezium_log(
     if wrapped:
         envelope = F.struct(envelope.alias("payload"))
     return log.select(F.to_json(envelope).alias("value"))
+
+
+def debezium_split(
+    raw: DataFrame,
+    payload_schema: T.StructType,
+    key_col: str = "doc_id",
+    value_col: str = "value",
+    events_per_epoch: int = 100_000,
+    epoch_from_ts_ms: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(events, rejects): like :func:`debezium_to_change_events`, but
+    malformed and incomplete envelope LINES are returned as a DLQ frame
+    (``cdc.quarantine.DLQ_SCHEMA`` — the raw line preserved in
+    ``payload_json``) instead of being silently dropped, so the wire tail
+    composes with :class:`~..cdc.quarantine.DeadLetterSink` end to end.
+    Kafka tombstones (null/empty value — compaction artifacts, not errors)
+    are dropped from BOTH frames.
+
+    One typed parse per line; both returned frames derive from the same
+    lazy plan (nothing collects here)."""
+    from ..cdc.quarantine import REASON_COL
+
+    env_schema = envelope_schema(payload_schema)
+    probe = T.StructType(
+        env_schema.fields + [T.StructField("_corrupt", T.StringType(), True)]
+    )
+    env = F.from_json(
+        F.col(value_col),
+        probe,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+    )
+    classified = raw.select(F.col(value_col).alias("_raw"), env.alias("_e")).where(
+        F.col("_raw").isNotNull() & (F.trim("_raw") != "")  # drop tombstones
+    )
+    is_malformed = F.col("_e._corrupt").isNotNull()
+    is_incomplete = (
+        ~is_malformed
+        & (F.col("_e.op").isNull() | F.col("_e.source.lsn").isNull())
+    )
+    rejects = classified.where(is_malformed | is_incomplete).select(
+        F.col("_e.source.lsn").alias("lsn"),
+        F.col("_e.op").alias("op"),
+        F.when(F.col("_e.op") == "d", F.col(f"_e.before.{key_col}"))
+        .otherwise(F.col(f"_e.after.{key_col}"))
+        .cast("string")
+        .alias("key_raw"),
+        F.when(is_malformed, F.lit("malformed_envelope"))
+        .otherwise(F.lit("incomplete_envelope"))
+        .alias(REASON_COL),
+        F.col("_raw").alias("payload_json"),
+    )
+    events = debezium_to_change_events(
+        raw,
+        payload_schema,
+        key_col=key_col,
+        value_col=value_col,
+        events_per_epoch=events_per_epoch,
+        epoch_from_ts_ms=epoch_from_ts_ms,
+    )
+    return events, rejects

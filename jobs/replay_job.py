@@ -139,13 +139,36 @@ def main() -> None:
         if args.source_format == "debezium":
             from pyspark.sql import functions as F
 
-            from data_pipeline_spark.sources.debezium import debezium_to_change_events
+            from data_pipeline_spark.sources.debezium import (
+                debezium_split,
+                debezium_to_change_events,
+            )
 
             raw = spark.read.schema("value string").text(args.log_path)
-            log = debezium_to_change_events(
-                raw, TABLE_SCHEMA, key_col="doc_id",
-                events_per_epoch=args.events_per_epoch,
-            )
+            wire_rejects = None
+            if dlq is not None:
+                # wire-level rejects (malformed/incomplete envelope lines)
+                # are quarantined, never silently dropped; fenced by the
+                # lsn-derived epoch where parseable, epoch -1 otherwise.
+                # Appended TOGETHER with the semantic rejects below (one
+                # append_epochs per epoch — a second append to the same
+                # epoch would be fenced to a no-op).
+                log, wire_rejects = debezium_split(
+                    raw, TABLE_SCHEMA, key_col="doc_id",
+                    events_per_epoch=args.events_per_epoch,
+                )
+                wire_rejects = wire_rejects.withColumn(
+                    "epoch",
+                    F.coalesce(
+                        (F.col("lsn") / args.events_per_epoch).cast("int"),
+                        F.lit(-1),
+                    ),
+                )
+            else:
+                log = debezium_to_change_events(
+                    raw, TABLE_SCHEMA, key_col="doc_id",
+                    events_per_epoch=args.events_per_epoch,
+                )
             if args.from_epoch is not None:
                 log = log.where(F.col("epoch") >= args.from_epoch)
         else:
@@ -161,6 +184,8 @@ def main() -> None:
             log, rejects = split_valid(
                 log, schema=table.schema, key=table.key_col, passthrough=("epoch",)
             )
+            if args.source_format == "debezium" and wire_rejects is not None:
+                rejects = rejects.unionByName(wire_rejects)
             dlq.append_epochs(rejects)
         report = ReplayRunner(
             table, args.checkpoint, mode=args.mode,

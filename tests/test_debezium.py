@@ -192,3 +192,31 @@ def test_streaming_ingest_debezium_tail(spark, tmp_path):
     assert a.count() > 0
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_debezium_split_quarantines_bad_lines(spark, tmp_path):
+    """Malformed/incomplete envelope lines land in the DLQ (raw line
+    preserved); tombstones are dropped from both frames; valid events are
+    untouched — and the rejects frame feeds DeadLetterSink directly."""
+    from data_pipeline_spark.cdc.quarantine import DeadLetterSink
+    from data_pipeline_spark.sources.debezium import debezium_split
+
+    ok = json.dumps(
+        {"after": {"doc_id": "d1", "n_tok": 1}, "op": "c", "ts_ms": 1,
+         "source": {"lsn": 5}}
+    )
+    no_lsn = json.dumps({"after": {"doc_id": "d2"}, "op": "c", "source": {}})
+    raw = spark.createDataFrame(
+        [(ok,), ("{broken",), (None,), ("",), (no_lsn,)], "value string"
+    )
+    events, rejects = debezium_split(raw, PAYLOAD)
+    assert events.count() == 1
+    got = {r["reject_reason"]: r for r in rejects.collect()}
+    assert set(got) == {"malformed_envelope", "incomplete_envelope"}
+    assert got["malformed_envelope"]["payload_json"] == "{broken"
+    assert got["incomplete_envelope"]["key_raw"] == "d2"
+
+    dlq = DeadLetterSink(str(tmp_path / "dlq"), owner="wire")
+    assert dlq.append(rejects, 0)
+    assert dlq.read(spark).count() == 2
+    assert dlq.append(rejects, 0) is False  # fenced re-delivery
