@@ -220,3 +220,55 @@ def test_debezium_split_quarantines_bad_lines(spark, tmp_path):
     assert dlq.append(rejects, 0)
     assert dlq.read(spark).count() == 2
     assert dlq.append(rejects, 0) is False  # fenced re-delivery
+
+
+def test_debezium_schema_evolution_composition(spark, tmp_path):
+    """A source that starts emitting a NEW nullable column mid-stream: the
+    adapter parses it with the widened payload schema and
+    apply_changes_with_evolution widens the table additively — rows from
+    before the change read NULL (the Debezium + additive-evolution path a
+    production tail exercises when upstream DDL adds a column)."""
+    from data_pipeline_spark.cdc.apply import apply_changes_with_evolution
+
+    schema_v1 = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("n_tok", T.IntegerType(), True),
+        ]
+    )
+    table = IcehouseTable.create(
+        str(tmp_path / "t"), schema_v1, key_col="doc_id", n_buckets=2
+    )
+
+    def env(lsn, doc, **payload):
+        return json.dumps(
+            {"after": {"doc_id": doc, **payload}, "op": "c", "ts_ms": lsn,
+             "source": {"lsn": lsn}}
+        )
+
+    p1 = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("n_tok", T.IntegerType())]
+    )
+    raw1 = spark.createDataFrame(
+        [(env(i, f"d{i}", n_tok=i),) for i in range(5)], "value string"
+    )
+    e1 = debezium_to_change_events(raw1, p1).drop("epoch")
+    apply_changes_with_evolution(table, e1, epoch=0)
+
+    # upstream DDL adds `lang`; the adapter schema widens with it
+    p2 = p1.add(T.StructField("lang", T.StringType(), True))
+    raw2 = spark.createDataFrame(
+        [(env(10 + i, f"d{10+i}", n_tok=1, lang="en"),) for i in range(3)],
+        "value string",
+    )
+    e2 = debezium_to_change_events(raw2, p2).drop("epoch")
+    apply_changes_with_evolution(table, e2, epoch=1)
+
+    out = table.refresh().read(spark)
+    assert "lang" in out.columns
+    assert out.count() == 8
+    assert out.where(F.col("lang") == "en").count() == 3
+    assert out.where(F.col("lang").isNull()).count() == 5  # pre-DDL rows
+    # old envelopes parsed with the NEW schema read the absent field as NULL
+    reparsed = debezium_to_change_events(raw1, p2)
+    assert reparsed.where(F.col("lang").isNotNull()).count() == 0
