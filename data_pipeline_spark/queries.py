@@ -2594,6 +2594,149 @@ def mixture_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "dataset_curation_pipeline",
+    r"""
+    WITH q AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS wrds
+      FROM documents WHERE doc_id < 200
+    ),
+    filtered AS (
+      SELECT doc_id, source, wrds FROM q WHERE len(wrds) >= 5
+    ),
+    sh AS (SELECT doc_id, list_distinct(wrds) AS shingles FROM filtered),
+    pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id
+        AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+            len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+    ),
+    sym AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    reach AS (
+      WITH RECURSIVE r(node, label) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+        UNION
+        SELECT s.v, r.label FROM r JOIN sym s ON s.u = r.node
+      )
+      SELECT node, MIN(label) AS component FROM r GROUP BY node
+    ),
+    comp AS (
+      SELECT f.doc_id, f.source, f.wrds,
+             COALESCE(reach.component, f.doc_id) AS cluster_id,
+             len(f.wrds)::BIGINT AS quality
+      FROM filtered f LEFT JOIN reach ON reach.node = f.doc_id
+    ),
+    win AS (SELECT cluster_id, MAX(quality) AS mq FROM comp GROUP BY cluster_id),
+    rep AS (
+      SELECT comp.cluster_id, MIN(comp.doc_id) AS rep_id
+      FROM comp JOIN win USING (cluster_id) WHERE comp.quality = win.mq
+      GROUP BY comp.cluster_id
+    ),
+    survivors AS (
+      SELECT comp.doc_id, comp.source, comp.wrds
+      FROM comp JOIN rep USING (cluster_id) WHERE comp.doc_id = rep.rep_id
+    ),
+    c AS (SELECT source, COUNT(*)::BIGINT AS cnt FROM survivors GROUP BY source),
+    w AS (SELECT * FROM (VALUES ('src0', 40), ('src1', 30), ('src2', 20),
+                                ('src3', 10)) AS t(source, w)),
+    jj AS (SELECT c.source, cnt, w FROM c JOIN w USING (source) WHERE w > 0),
+    ts AS (SELECT MIN(cnt * 1000000 // w) AS ts FROM jj),
+    thr AS (SELECT source, LEAST(1000000, w * (SELECT ts FROM ts) // cnt) AS thr FROM jj),
+    mixed AS (
+      SELECT s.doc_id, s.wrds
+      FROM survivors s JOIN thr USING (source)
+      WHERE ((29*1000003 + s.doc_id*257)*1103515245 + 12345) % 2147483647 % 1000000
+            < thr
+    ),
+    train AS (
+      SELECT doc_id, list_append(list_transform(wrds, x -> LENGTH(x)::INTEGER), 9999) AS stream
+      FROM mixed
+      WHERE ((13*1000003 + doc_id*257)*1103515245 + 12345) % 2147483647 % 100 < 80
+    ),
+    o AS (
+      SELECT stream, len(stream)::BIGINT AS slen,
+             COALESCE(SUM(len(stream)) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
+      FROM train
+    ),
+    spans AS (
+      SELECT unnest(generate_series(start // 64, (start + slen - 1) // 64)) AS seq_idx,
+             stream, start, slen
+      FROM o
+    ),
+    frags AS (
+      SELECT seq_idx, GREATEST(start, seq_idx * 64) AS lo,
+             LEAST(start + slen, (seq_idx + 1) * 64) AS hi, stream, start
+      FROM spans
+    )
+    SELECT seq_idx::BIGINT AS seq_idx,
+           SUM(hi - lo)::BIGINT AS n_real_tokens,
+           SUM(list_sum(stream[(lo - start + 1):(hi - start)]))::BIGINT AS token_checksum
+    FROM frags GROUP BY 1 ORDER BY 1
+    """,
+)
+def dataset_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE composed training-data assembly run, end to end in one plan:
+    quality gate (≥5 words) → keep-best near-dup dedup (Jaccard pair graph
+    → transitive clusters → highest-quality survivor) → domain-mixture
+    downsampling (40/30/20/10 integer thresholds) → train-split assignment
+    (portable LCG, 80%) → corpus packing into 64-token sequences
+    (distributed prefix sum + slice fragments).  Every stage is the library
+    operator the standalone catalog entries prove individually; this entry
+    value-hash-checks their COMPOSITION — the DuckDB oracle recomputes the
+    whole pipeline (recursive-CTE fixpoint, integer mixture thresholds, LCG
+    gates, cumsum packing) and every output sequence's checksum must
+    match."""
+    from .functions.text import words
+    from .functions.tokens import pack_corpus_sequences
+    from .operators.graph import select_representatives
+    from .operators.sampling import mixture_sample
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select(
+            "doc_id", "source", "text",
+            F.size(words("text")).cast("long").alias("quality"),
+        )
+        .where(F.col("quality") >= 5)
+    )
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=1, min_jaccard=0.5)
+    marked = select_representatives(docs, pairs, quality_col="quality")
+    survivors = docs.join(
+        marked.where("kept").select("doc_id"), "doc_id", "left_semi"
+    )
+    mixed = mixture_sample(
+        survivors, {"src0": 40, "src1": 30, "src2": 20, "src3": 10}, seed=29
+    )
+    split_bucket = (
+        F.pmod(
+            (
+                F.lit(13 * 1_000_003).cast("long")
+                + F.col("doc_id").cast("long") * F.lit(257)
+            )
+            * F.lit(1103515245)
+            + F.lit(12345),
+            F.lit(2147483647),
+        )
+        % 100
+    )
+    train = mixed.where(split_bucket < 80).select(
+        "doc_id",
+        F.transform(words("text"), lambda w: F.length(w).cast("int")).alias("tokens"),
+    )
+    packed = pack_corpus_sequences(train, seq_len=64, eos_id=9999, pad_id=0)
+    return packed.select(
+        "seq_idx",
+        "n_real_tokens",
+        F.aggregate("input_ids", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "token_checksum"
+        ),
+    ).orderBy("seq_idx")
+
+
 @q("bpe_learned_merges")  # iterative (N data-dependent rounds) — rows-only by design
 def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (``functions/bpe.bpe_train``):
@@ -3631,7 +3774,7 @@ _DRIVER_WINDOW_FIRST = [
     # new this round (never driver-checked):
     "debezium_envelope_parse", "debezium_replay_final_state",
     "wap_published_view", "corpus_pack_sequences", "bpe_learned_merges",
-    "mixture_sample_sources", "dedup_keep_best",
+    "mixture_sample_sources", "dedup_keep_best", "dataset_curation_pipeline",
 ]
 
 
