@@ -13,6 +13,7 @@ from .changelog import (
     read_change_log,
 )
 from .cdf import diff_between_refs, snapshot_diff
+from .quarantine import drain_dlq
 from .quarantine import (
     DeadLetterSink,
     apply_changes_with_dlq,
@@ -43,6 +44,7 @@ __all__ = [
     "scd2_history",
     "snapshot_diff",
     "diff_between_refs",
+    "drain_dlq",
     "DeadLetterSink",
     "apply_changes_with_dlq",
     "classify_events",

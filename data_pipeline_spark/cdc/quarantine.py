@@ -254,3 +254,78 @@ def apply_changes_with_dlq(
     stats = fn(table, valid, epoch=epoch, **apply_kwargs)
     n_rejected = dlq.read_epoch(valid.sparkSession, epoch).count()
     return stats, n_rejected
+
+
+def _drained_marker(sink: DeadLetterSink, epoch: int) -> str:
+    return os.path.join(sink._epoch_dir(epoch), "_DRAINED")
+
+
+def drain_dlq(
+    sink: DeadLetterSink,
+    table,
+    spark: SparkSession,
+    invariants: list | None = None,
+) -> dict:
+    """Close the quarantine loop: re-validate each DLQ epoch against the
+    table's CURRENT schema (the usual fix is additive evolution or an
+    upstream correction that makes old rejects valid) and apply the ones
+    that now pass, exactly-once.
+
+    Policy — all-or-nothing PER DLQ EPOCH, which keeps every guarantee
+    simple and strong:
+
+    - an epoch drains only if EVERY row re-validates (a partial drain would
+      need to rewrite the committed epoch dir, breaking its immutability and
+      the producer's fence);
+    - drained epochs are fenced twice: the table commit runs under epoch
+      namespace ``dlq-drain:<root sha>`` with the DLQ epoch id (re-running a
+      crashed drain is a no-op), and the epoch dir gains a ``_DRAINED``
+      marker so later drains and audits skip it;
+    - rows are re-parsed from the quarantined ``payload_json`` (the original
+      event serialized at reject time) — the DLQ is the source of truth, no
+      upstream re-read.
+
+    Returns {"drained": [...], "still_invalid": {epoch: n_bad}, "applied_rows": n}.
+    """
+    import hashlib
+
+    from .apply import apply_changes
+
+    ns = "dlq-drain:" + hashlib.sha256(os.path.abspath(sink.root).encode()).hexdigest()[:12]
+    payload = T.StructType(
+        [
+            T.StructField("lsn", T.LongType(), True),
+            T.StructField("op", T.StringType(), True),
+        ]
+        + [f for f in table.schema.fields]
+    )
+    drained: list[int] = []
+    still: dict[int, int] = {}
+    applied_rows = 0
+    epochs = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(sink.root)
+        if d.startswith("epoch=") and sink.epoch_committed(int(d.split("=", 1)[1]))
+    )
+    for ep in epochs:
+        if os.path.exists(_drained_marker(sink, ep)):
+            continue
+        rows = sink.read_epoch(spark, ep)
+        reparsed = rows.select(
+            F.from_json("payload_json", payload).alias("_r")
+        ).select("_r.*")
+        n_total = reparsed.count()
+        valid, rejects = split_valid(
+            reparsed, schema=table.schema, key=table.key_col, invariants=invariants
+        )
+        n_bad = rejects.count()
+        if n_bad or n_total == 0:
+            if n_bad:
+                still[ep] = n_bad
+            continue
+        stats = apply_changes(table, valid, epoch=ep, epoch_source=ns)
+        applied_rows += 0 if stats.result.skipped else n_total
+        with open(_drained_marker(sink, ep), "w") as fh:
+            fh.write("drained\n")
+        drained.append(ep)
+    return {"drained": drained, "still_invalid": still, "applied_rows": applied_rows}

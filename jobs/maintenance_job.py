@@ -27,6 +27,8 @@ partition-spec evolution, run as scheduled maintenance jobs):
                                    # re-point NAME at it only if every rule's
                                    # pass_rate >= R (default 1.0). Consumers
                                    # reading the tag never see a bad snapshot.
+      [--drain-dlq ROOT]           # re-validate + apply quarantined epochs
+                                   # that now pass (exactly-once per epoch)
       [--set-property K=V ...]     # pure-metadata property commit, e.g.
                                    # write.fanout=8 (bucket-write fan-out) or
                                    # write.max-file-rows=5000000; V empty
@@ -120,6 +122,10 @@ def main() -> None:
     ap.add_argument("--set-property", action="append", default=None,
                     metavar="K=V", help="update a table property (repeatable; "
                     "empty value deletes the key); ints auto-coerced")
+    ap.add_argument("--drain-dlq", default=None, metavar="DLQ_ROOT",
+                    help="re-validate quarantined epochs against the CURRENT "
+                         "table schema and apply the ones that now fully "
+                         "pass, exactly-once (all-or-nothing per epoch)")
     ap.add_argument("--stats", action="store_true")
     args = ap.parse_args()
 
@@ -219,6 +225,11 @@ def main() -> None:
         out["actions"].append(
             {"action": "delete_tag", "name": args.delete_tag, "skipped": res.skipped}
         )
+    if args.drain_dlq is not None:
+        from data_pipeline_spark.cdc.quarantine import DeadLetterSink, drain_dlq
+
+        report = drain_dlq(DeadLetterSink(args.drain_dlq), table, spark)
+        out["actions"].append({"action": "drain_dlq", **report})
     if args.set_property:
         updates: dict = {}
         for kv in args.set_property:

@@ -321,3 +321,58 @@ def test_rebucket_conflicts_with_any_concurrent_commit(spark, tmp_path):
     assert table.n_buckets == 4
     assert table_state(table, spark) == {"a": ((1,), 1, "s"), "zz": ((9,), 1, "s")}
     assert all(0 <= int(k) < 4 for k in table.meta["partitions"])
+
+
+def test_drain_dlq_exactly_once(spark, tmp_path):
+    """Closing the quarantine loop: rows rejected under a too-tight ingest
+    invariant drain into the table once ops relaxes the rule; epochs with
+    still-invalid rows stay; re-draining is a double-fenced no-op."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from data_pipeline_spark.cdc.apply import apply_changes
+    from data_pipeline_spark.cdc.quarantine import (
+        DeadLetterSink,
+        drain_dlq,
+        split_valid,
+    )
+    from data_pipeline_spark.table.icehouse import IcehouseTable
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("n_tok", T.IntegerType(), True),
+        ]
+    )
+    table = IcehouseTable.create(str(tmp_path / "t"), schema, key_col="doc_id", n_buckets=2)
+    dlq = DeadLetterSink(str(tmp_path / "dlq"), owner="batch")
+
+    strict = [("n_tok_small", F.col("n_tok") <= 10)]
+    batch0 = spark.createDataFrame(
+        [(1, "I", "a", 5), (2, "I", "b", 50), (3, "I", "c", 60)],
+        "lsn long, op string, doc_id string, n_tok int",
+    )
+    valid, rejects = split_valid(batch0, schema=schema, invariants=strict)
+    apply_changes(table, valid, epoch=0)
+    dlq.append(rejects, 0)
+    # epoch 1: a reject that can never drain (null key)
+    batch1 = spark.createDataFrame(
+        [(9, "I", None, 1)], "lsn long, op string, doc_id string, n_tok int"
+    )
+    _, rejects1 = split_valid(batch1, schema=schema, invariants=strict)
+    dlq.append(rejects1, 1)
+    assert table.read(spark).count() == 1
+
+    # ops relaxes the invariant -> drain
+    report = drain_dlq(dlq, table.refresh(), spark)
+    assert report["drained"] == [0]
+    assert report["applied_rows"] == 2
+    assert report["still_invalid"] == {1: 1}
+    rows = {r["doc_id"]: r["n_tok"] for r in table.read(spark).collect()}
+    assert rows == {"a": 5, "b": 50, "c": 60}
+
+    # idempotent: second drain applies nothing, epoch 0 skipped by marker
+    report2 = drain_dlq(dlq, table.refresh(), spark)
+    assert report2["drained"] == [] and report2["applied_rows"] == 0
+    assert report2["still_invalid"] == {1: 1}
+    assert table.read(spark).count() == 3
