@@ -2605,7 +2605,12 @@ def mixture_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered AS (
       SELECT doc_id, source, wrds FROM q WHERE len(wrds) >= 5
     ),
-    sh AS (SELECT doc_id, list_distinct(wrds) AS shingles FROM filtered),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(wrds) - 1),
+                                          i -> wrds[i] || ' ' || wrds[i + 1])) AS shingles
+      FROM filtered
+    ),
     pairs AS (
       SELECT a.doc_id AS u, b.doc_id AS v
       FROM sh a, sh b
@@ -2703,7 +2708,7 @@ def dataset_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("quality") >= 5)
     )
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=1, min_jaccard=0.5)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=2, min_jaccard=0.5)
     marked = select_representatives(docs, pairs, quality_col="quality")
     survivors = docs.join(
         marked.where("kept").select("doc_id"), "doc_id", "left_semi"
@@ -2727,6 +2732,9 @@ def dataset_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.transform(words("text"), lambda w: F.length(w).cast("int")).alias("tokens"),
     )
+    # a hash-match on an EMPTY result would be vacuous (bad parameters can
+    # dedup away the whole corpus) — fail loudly instead
+    assert train.limit(1).count() == 1, "curation pipeline emptied the corpus"
     packed = pack_corpus_sequences(train, seq_len=64, eos_id=9999, pad_id=0)
     return packed.select(
         "seq_idx",
