@@ -265,6 +265,7 @@ def drain_dlq(
     table,
     spark: SparkSession,
     invariants: list | None = None,
+    payload_parser=None,
 ) -> dict:
     """Close the quarantine loop: re-validate each DLQ epoch against the
     table's CURRENT schema (the usual fix is additive evolution or an
@@ -284,6 +285,13 @@ def drain_dlq(
     - rows are re-parsed from the quarantined ``payload_json`` (the original
       event serialized at reject time) — the DLQ is the source of truth, no
       upstream re-read.
+
+    ``payload_parser``: optional ``DataFrame -> DataFrame`` hook replacing
+    the default row re-parse — it receives the epoch's DLQ rows and must
+    return canonical change events.  Wire-format rejects need this: a
+    Debezium reject's payload_json is the raw envelope LINE, so pass e.g.
+    ``lambda df: debezium_to_change_events(df.select(F.col("payload_json")
+    .alias("value")), payload_schema).drop("epoch")``.
 
     Returns {"drained": [...], "still_invalid": {epoch: n_bad}, "applied_rows": n}.
     """
@@ -311,9 +319,12 @@ def drain_dlq(
         if os.path.exists(_drained_marker(sink, ep)):
             continue
         rows = sink.read_epoch(spark, ep)
-        reparsed = rows.select(
-            F.from_json("payload_json", payload).alias("_r")
-        ).select("_r.*")
+        if payload_parser is not None:
+            reparsed = payload_parser(rows)
+        else:
+            reparsed = rows.select(
+                F.from_json("payload_json", payload).alias("_r")
+            ).select("_r.*")
         n_total = reparsed.count()
         valid, rejects = split_valid(
             reparsed, schema=table.schema, key=table.key_col, invariants=invariants

@@ -376,3 +376,52 @@ def test_drain_dlq_exactly_once(spark, tmp_path):
     assert report2["drained"] == [] and report2["applied_rows"] == 0
     assert report2["still_invalid"] == {1: 1}
     assert table.read(spark).count() == 3
+
+
+def test_drain_dlq_wire_rejects_with_envelope_parser(spark, tmp_path):
+    """Wire-format rejects (raw Debezium lines) drain through an
+    envelope-aware payload_parser once the payload schema is widened —
+    e.g. lines quarantined as incomplete because an old parser schema
+    missed source.lsn are recovered without touching the upstream feed."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from data_pipeline_spark.cdc.quarantine import DeadLetterSink, drain_dlq
+    from data_pipeline_spark.sources.debezium import debezium_to_change_events
+    from data_pipeline_spark.table.icehouse import IcehouseTable
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("n_tok", T.IntegerType(), True),
+        ]
+    )
+    table = IcehouseTable.create(str(tmp_path / "t"), schema, key_col="doc_id", n_buckets=2)
+    dlq = DeadLetterSink(str(tmp_path / "dlq"), owner="batch")
+
+    # two VALID envelope lines that were quarantined (e.g. by an earlier,
+    # broken parser); payload_json carries the raw line per debezium_split
+    lines = [
+        _json.dumps({"after": {"doc_id": f"d{i}", "n_tok": i}, "op": "c",
+                     "ts_ms": i, "source": {"lsn": i}})
+        for i in (1, 2)
+    ]
+    rejects = spark.createDataFrame(
+        [(None, None, None, "incomplete_envelope", l) for l in lines],
+        "lsn long, op string, key_raw string, reject_reason string, payload_json string",
+    )
+    dlq.append(rejects, 7)
+
+    payload = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("n_tok", T.IntegerType())]
+    )
+    report = drain_dlq(
+        dlq, table, spark,
+        payload_parser=lambda df: debezium_to_change_events(
+            df.select(F.col("payload_json").alias("value")), payload
+        ).drop("epoch"),
+    )
+    assert report["drained"] == [7] and report["applied_rows"] == 2
+    assert {r["doc_id"] for r in table.read(spark).collect()} == {"d1", "d2"}
