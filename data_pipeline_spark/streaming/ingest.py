@@ -119,22 +119,23 @@ class StreamingIngest:
     #: logical schema: every non-internal column).
     payload_schema: "object | None" = None
 
+    def _payload_schema(self):
+        from pyspark.sql import types as T
+
+        return self.payload_schema or T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in self.table.schema.fields]
+        )
+
     def source(self, spark: SparkSession, log_path: str) -> DataFrame:
         if self.source_format == "debezium":
-            from ..sources.debezium import debezium_to_change_events
-
-            from pyspark.sql import types as T
-
-            payload = self.payload_schema or T.StructType(
-                [T.StructField(f.name, f.dataType, True) for f in self.table.schema.fields]
-            )
-            raw = (
+            # RAW lines; the parse happens inside foreachBatch so wire-level
+            # rejects (malformed/incomplete envelopes) can be quarantined
+            # under the same batchId fence as semantic rejects — a
+            # stream-side parse would have to drop them silently.
+            return (
                 spark.readStream.schema("value string")
                 .option("maxFilesPerTrigger", self.max_files_per_trigger)
                 .text(log_path)
-            )
-            return debezium_to_change_events(
-                raw, payload, key_col=self.table.key_col
             )
         return (
             spark.readStream.schema(CHANGE_LOG_SCHEMA)
@@ -147,7 +148,21 @@ class StreamingIngest:
         # restart the last uncommitted batch is re-delivered with the SAME id,
         # so using it as the icehouse epoch (namespaced by stream_id) turns
         # redelivery into a no-op without colliding with batch-replay epochs.
-        batch = batch_df.drop("epoch")
+        wire_rejects = None
+        if self.source_format == "debezium":
+            from ..sources.debezium import debezium_split, debezium_to_change_events
+
+            if self.dlq is not None:
+                batch, wire_rejects = debezium_split(
+                    batch_df, self._payload_schema(), key_col=self.table.key_col
+                )
+            else:
+                batch = debezium_to_change_events(
+                    batch_df, self._payload_schema(), key_col=self.table.key_col
+                )
+            batch = batch.drop("epoch")
+        else:
+            batch = batch_df.drop("epoch")
         if self.dlq is not None:
             from ..cdc.quarantine import split_valid
 
@@ -157,6 +172,10 @@ class StreamingIngest:
                 key=self.table.key_col,
                 invariants=self.invariants,
             )
+            if wire_rejects is not None:
+                # ONE fenced append per batchId: a second append to the same
+                # epoch would no-op and silently drop whichever half went last
+                rejects = rejects.unionByName(wire_rejects)
             self.dlq.append(rejects, int(batch_id))
         from ..cdc.apply import apply_changes_mor
 

@@ -272,3 +272,52 @@ def test_debezium_schema_evolution_composition(spark, tmp_path):
     # old envelopes parsed with the NEW schema read the absent field as NULL
     reparsed = debezium_to_change_events(raw1, p2)
     assert reparsed.where(F.col("lang").isNotNull()).count() == 0
+
+
+def test_streaming_ingest_quarantines_wire_rejects(spark, tmp_path):
+    """Streaming tail over a dirty envelope feed: malformed/incomplete
+    lines reach the DLQ under the batchId fence, valid events merge, and a
+    stream RESTART over the same feed adds nothing to either side."""
+    from data_pipeline_spark.cdc.quarantine import DeadLetterSink
+    from data_pipeline_spark.streaming.ingest import StreamingIngest
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+            T.StructField("n_tok", T.IntegerType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    feed = str(tmp_path / "feed")
+    good = generate_debezium_log(spark, **GEN)
+    dirty = spark.createDataFrame(
+        [("{oops",), ('{"after":{"doc_id":"x"},"op":"c","source":{}}',)],
+        "value string",
+    )
+    good.unionByName(dirty).coalesce(3).write.mode("overwrite").text(feed)
+
+    table = IcehouseTable.create(str(tmp_path / "t"), schema, key_col="doc_id", n_buckets=4)
+    dlq = DeadLetterSink(str(tmp_path / "dlq"))
+    ingest = StreamingIngest(
+        table, str(tmp_path / "ck"), source_format="debezium", mode="mor", dlq=dlq
+    )
+    q = ingest.start(spark, feed, trigger_once=True)
+    q.awaitTermination(300)
+    n_rows = table.refresh().read(spark).count()
+    assert n_rows > 0
+    reasons = {
+        r["reject_reason"]
+        for r in dlq.read(spark).select("reject_reason").distinct().collect()
+    }
+    assert {"malformed_envelope", "incomplete_envelope"} <= reasons
+    n_dlq = dlq.read(spark).count()
+
+    # restart over the same feed: checkpoint + fences make it a no-op
+    ingest2 = StreamingIngest(
+        table, str(tmp_path / "ck"), source_format="debezium", mode="mor", dlq=dlq
+    )
+    q2 = ingest2.start(spark, feed, trigger_once=True)
+    q2.awaitTermination(300)
+    assert table.refresh().read(spark).count() == n_rows
+    assert dlq.read(spark).count() == n_dlq
