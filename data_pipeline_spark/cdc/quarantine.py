@@ -260,12 +260,20 @@ def _drained_marker(sink: DeadLetterSink, epoch: int) -> str:
     return os.path.join(sink._epoch_dir(epoch), "_DRAINED")
 
 
+#: reject reasons emitted by the WIRE layer (``sources.debezium.debezium_split``)
+#: — their payload_json is a raw envelope line, not a canonical-event JSON, so
+#: only ``payload_parser`` can re-validate them.  Every other reason's
+#: payload_json is the canonical row serialized by :func:`split_valid`.
+WIRE_REASONS = ("malformed_envelope", "incomplete_envelope")
+
+
 def drain_dlq(
     sink: DeadLetterSink,
     table,
     spark: SparkSession,
     invariants: list | None = None,
     payload_parser=None,
+    wire_reasons: tuple[str, ...] = WIRE_REASONS,
 ) -> dict:
     """Close the quarantine loop: re-validate each DLQ epoch against the
     table's CURRENT schema (the usual fix is additive evolution or an
@@ -275,9 +283,12 @@ def drain_dlq(
     Policy — all-or-nothing PER DLQ EPOCH, which keeps every guarantee
     simple and strong:
 
-    - an epoch drains only if EVERY row re-validates (a partial drain would
-      need to rewrite the committed epoch dir, breaking its immutability and
-      the producer's fence);
+    - an epoch drains only if EVERY quarantined row re-validates — counted
+      against the ORIGINAL DLQ row count, so a payload parser that silently
+      drops rows (or a mixed wire+semantic epoch where only one route
+      succeeds) can never mark an epoch drained with rows left behind (a
+      partial drain would need to rewrite the committed epoch dir, breaking
+      its immutability and the producer's fence);
     - drained epochs are fenced twice: the table commit runs under epoch
       namespace ``dlq-drain:<root sha>`` with the DLQ epoch id (re-running a
       crashed drain is a no-op), and the epoch dir gains a ``_DRAINED``
@@ -286,14 +297,31 @@ def drain_dlq(
       event serialized at reject time) — the DLQ is the source of truth, no
       upstream re-read.
 
-    ``payload_parser``: optional ``DataFrame -> DataFrame`` hook replacing
-    the default row re-parse — it receives the epoch's DLQ rows and must
-    return canonical change events.  Wire-format rejects need this: a
-    Debezium reject's payload_json is the raw envelope LINE, so pass e.g.
-    ``lambda df: debezium_to_change_events(df.select(F.col("payload_json")
-    .alias("value")), payload_schema).drop("epoch")``.
+    Routing — rows are routed by ``reject_reason``, NOT whole epochs: rows
+    whose reason is in ``wire_reasons`` carry a raw envelope line in
+    ``payload_json`` and go through ``payload_parser``; every other row goes
+    through the default canonical re-parse.  A single epoch mixing wire and
+    semantic rejects (exactly what the streaming Debezium tail produces —
+    both reject kinds union into one epoch append) re-validates both routes
+    and drains only when their valid rows together cover the epoch.
 
-    Returns {"drained": [...], "still_invalid": {epoch: n_bad}, "applied_rows": n}.
+    ``payload_parser``: optional ``DataFrame -> DataFrame`` hook for the
+    wire-reason rows — it receives one epoch's wire rows (DLQ schema) and
+    must return canonical change events, e.g.
+    ``lambda df: debezium_to_change_events(df.select(F.col("payload_json")
+    .alias("value")), payload_schema).drop("epoch")``.  Wire rows with no
+    parser simply keep their epoch quarantined (counted in the shortfall).
+
+    Scale shape: re-validation is BATCHED — one scan over all undrained
+    epochs, one classify pass with the epoch riding along, and two small
+    aggregations, regardless of epoch count.  Only the payload_parser hook
+    (per epoch holding wire rows) and the fenced applies (per drainable
+    epoch, required by the per-epoch fence) issue per-epoch jobs.
+
+    Returns ``{"drained": [...], "still_invalid": {epoch: n_shortfall},
+    "applied_rows": n}`` where ``n_shortfall`` counts the epoch's rows that
+    did NOT re-validate (bad rows + parser-dropped rows + unparseable wire
+    rows).
     """
     import hashlib
 
@@ -307,36 +335,88 @@ def drain_dlq(
         ]
         + [f for f in table.schema.fields]
     )
+    empty: dict = {"drained": [], "still_invalid": {}, "applied_rows": 0}
+    undrained = sorted(
+        ep
+        for d in os.listdir(sink.root)
+        if d.startswith("epoch=")
+        for ep in [int(d.split("=", 1)[1])]
+        if sink.epoch_committed(ep) and not os.path.exists(_drained_marker(sink, ep))
+    )
+    if not undrained:
+        return empty
+
+    # ONE scan over every undrained epoch; the partition dir supplies `epoch`
+    # (appended to the pinned schema).  Pinning DLQ_SCHEMA keeps the scan
+    # robust to per-epoch extras (append_epochs passthrough columns) that
+    # single-file inference would otherwise project inconsistently.
+    rows = (
+        spark.read.schema(DLQ_SCHEMA)
+        .option("basePath", sink.root)
+        .parquet(*[sink._epoch_dir(ep) for ep in undrained])
+    )
+    is_wire = F.col(REASON_COL).isin(*wire_reasons)
+    counts = {
+        int(r["epoch"]): (int(r["n"]), int(r["n_wire"]))
+        for r in rows.groupBy("epoch")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(is_wire.cast("long")).alias("n_wire"))
+        .collect()  # one small row per epoch
+    }
+
+    # default route (semantic rejects): batched re-parse + classify, epoch
+    # rides along as a passthrough column
+    reparsed_sem = (
+        rows.where(~is_wire)
+        .select("epoch", F.from_json("payload_json", payload).alias("_r"))
+        .select("epoch", "_r.*")
+    )
+    valid_sem, _ = split_valid(
+        reparsed_sem, schema=table.schema, key=table.key_col, invariants=invariants
+    )
+    valid_sem = valid_sem.persist()
+    sem_valid = {
+        int(r["epoch"]): int(r["n"])
+        for r in valid_sem.groupBy("epoch").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    # wire route: per epoch that actually holds wire rows (parser contract is
+    # one-epoch frames; epochs without wire rows never touch it)
+    wire_valid_frames: dict[int, DataFrame] = {}
+    wire_valid_counts: dict[int, int] = {}
+    if payload_parser is not None:
+        for ep, (_, n_wire) in counts.items():
+            if not n_wire:
+                continue
+            parsed = payload_parser(rows.where((F.col("epoch") == ep) & is_wire).drop("epoch"))
+            valid_w, _ = split_valid(
+                parsed, schema=table.schema, key=table.key_col, invariants=invariants
+            )
+            valid_w = valid_w.persist()
+            wire_valid_counts[ep] = valid_w.count()
+            wire_valid_frames[ep] = valid_w
+
     drained: list[int] = []
     still: dict[int, int] = {}
     applied_rows = 0
-    epochs = sorted(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(sink.root)
-        if d.startswith("epoch=") and sink.epoch_committed(int(d.split("=", 1)[1]))
-    )
-    for ep in epochs:
-        if os.path.exists(_drained_marker(sink, ep)):
-            continue
-        rows = sink.read_epoch(spark, ep)
-        if payload_parser is not None:
-            reparsed = payload_parser(rows)
-        else:
-            reparsed = rows.select(
-                F.from_json("payload_json", payload).alias("_r")
-            ).select("_r.*")
-        n_total = reparsed.count()
-        valid, rejects = split_valid(
-            reparsed, schema=table.schema, key=table.key_col, invariants=invariants
-        )
-        n_bad = rejects.count()
-        if n_bad or n_total == 0:
-            if n_bad:
-                still[ep] = n_bad
-            continue
-        stats = apply_changes(table, valid, epoch=ep, epoch_source=ns)
-        applied_rows += 0 if stats.result.skipped else n_total
-        with open(_drained_marker(sink, ep), "w") as fh:
-            fh.write("drained\n")
-        drained.append(ep)
+    try:
+        for ep in undrained:
+            n_total, _ = counts.get(ep, (0, 0))
+            if n_total == 0:
+                continue  # empty committed epoch: nothing to drain, keep as-is
+            n_valid = sem_valid.get(ep, 0) + wire_valid_counts.get(ep, 0)
+            if n_valid != n_total:
+                still[ep] = n_total - n_valid
+                continue
+            events = valid_sem.where(F.col("epoch") == ep).drop("epoch")
+            if ep in wire_valid_frames:
+                events = events.unionByName(wire_valid_frames[ep], allowMissingColumns=True)
+            stats = apply_changes(table, events, epoch=ep, epoch_source=ns)
+            applied_rows += 0 if stats.result.skipped else n_total
+            with open(_drained_marker(sink, ep), "w") as fh:
+                fh.write("drained\n")
+            drained.append(ep)
+    finally:
+        valid_sem.unpersist()
+        for df in wire_valid_frames.values():
+            df.unpersist()
     return {"drained": drained, "still_invalid": still, "applied_rows": applied_rows}

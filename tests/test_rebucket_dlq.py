@@ -425,3 +425,182 @@ def test_drain_dlq_wire_rejects_with_envelope_parser(spark, tmp_path):
     )
     assert report["drained"] == [7] and report["applied_rows"] == 2
     assert {r["doc_id"] for r in table.read(spark).collect()} == {"d1", "d2"}
+
+
+def test_drain_dlq_mixed_wire_and_semantic_epoch(spark, tmp_path):
+    """ADVICE r03 (high): an epoch mixing wire rejects and semantic rejects —
+    what StreamingIngest's debezium mode produces by unioning both reject
+    kinds into one epoch append — must drain ALL rows or none.  The old
+    drain counted rows AFTER the payload parser ran, so the parser's silent
+    filtering of non-envelope payloads marked the epoch _DRAINED with only
+    the wire rows applied.  Rows are now routed by reject_reason and the
+    drain criterion is the ORIGINAL DLQ row count."""
+    import json as _json
+
+    from data_pipeline_spark.cdc.quarantine import drain_dlq
+    from data_pipeline_spark.sources.debezium import debezium_to_change_events
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("n_tok", T.IntegerType(), True),
+        ]
+    )
+    table = IcehouseTable.create(str(tmp_path / "t"), schema, key_col="doc_id", n_buckets=2)
+    dlq = DeadLetterSink(str(tmp_path / "dlq"), owner="batch")
+
+    wire_line = _json.dumps(
+        {"after": {"doc_id": "w1", "n_tok": 3}, "op": "c", "ts_ms": 1, "source": {"lsn": 1}}
+    )
+    semantic_payload = _json.dumps({"lsn": 2, "op": "I", "doc_id": "s1", "n_tok": 99})
+    rejects = spark.createDataFrame(
+        [
+            (None, None, None, "incomplete_envelope", wire_line),
+            (2, "I", "s1", "violates:n_tok_small", semantic_payload),
+        ],
+        "lsn long, op string, key_raw string, reject_reason string, payload_json string",
+    )
+    dlq.append(rejects, 5)
+
+    payload = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("n_tok", T.IntegerType())]
+    )
+    parser = lambda df: debezium_to_change_events(  # noqa: E731
+        df.select(F.col("payload_json").alias("value")), payload
+    ).drop("epoch")
+
+    # both routes re-validate (invariant relaxed) -> full drain, BOTH rows land
+    report = drain_dlq(dlq, table, spark, payload_parser=parser)
+    assert report["drained"] == [5] and report["applied_rows"] == 2
+    assert report["still_invalid"] == {}
+    assert {r["doc_id"] for r in table.read(spark).collect()} == {"w1", "s1"}
+
+
+def test_drain_dlq_mixed_epoch_never_partially_drains(spark, tmp_path):
+    """If only ONE route of a mixed epoch re-validates, the epoch must stay
+    quarantined in full (all-or-nothing per epoch), with the shortfall
+    reported against the original row count."""
+    import json as _json
+
+    from data_pipeline_spark.cdc.quarantine import drain_dlq
+    from data_pipeline_spark.sources.debezium import debezium_to_change_events
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("n_tok", T.IntegerType(), True),
+        ]
+    )
+    table = IcehouseTable.create(str(tmp_path / "t"), schema, key_col="doc_id", n_buckets=2)
+    dlq = DeadLetterSink(str(tmp_path / "dlq"), owner="batch")
+
+    wire_line = _json.dumps(
+        {"after": {"doc_id": "w1", "n_tok": 3}, "op": "c", "ts_ms": 1, "source": {"lsn": 1}}
+    )
+    # semantic reject whose key is NULL: can never re-validate
+    semantic_payload = _json.dumps({"lsn": 2, "op": "I", "doc_id": None, "n_tok": 4})
+    rejects = spark.createDataFrame(
+        [
+            (None, None, None, "incomplete_envelope", wire_line),
+            (2, "I", None, "null_key", semantic_payload),
+        ],
+        "lsn long, op string, key_raw string, reject_reason string, payload_json string",
+    )
+    dlq.append(rejects, 6)
+
+    payload = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("n_tok", T.IntegerType())]
+    )
+    parser = lambda df: debezium_to_change_events(  # noqa: E731
+        df.select(F.col("payload_json").alias("value")), payload
+    ).drop("epoch")
+
+    report = drain_dlq(dlq, table, spark, payload_parser=parser)
+    assert report["drained"] == [] and report["applied_rows"] == 0
+    assert report["still_invalid"] == {6: 1}
+    assert table.read(spark).count() == 0
+    # wire rows without a parser also keep their epoch quarantined
+    report2 = drain_dlq(dlq, table, spark)
+    assert report2["drained"] == [] and report2["still_invalid"] == {6: 2}
+
+
+def test_drain_dlq_row_dropping_parser_cannot_fence_rows_out(spark, tmp_path):
+    """A payload_parser that silently drops rows (the exact ADVICE repro: a
+    parser that only understands envelopes fed an epoch whose wire rows are
+    partly unparseable) leaves the epoch quarantined instead of marking it
+    drained with rows lost."""
+    import json as _json
+
+    from data_pipeline_spark.cdc.quarantine import drain_dlq
+    from data_pipeline_spark.sources.debezium import debezium_to_change_events
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("n_tok", T.IntegerType(), True),
+        ]
+    )
+    table = IcehouseTable.create(str(tmp_path / "t"), schema, key_col="doc_id", n_buckets=2)
+    dlq = DeadLetterSink(str(tmp_path / "dlq"), owner="batch")
+
+    good = _json.dumps(
+        {"after": {"doc_id": "w1", "n_tok": 3}, "op": "c", "ts_ms": 1, "source": {"lsn": 1}}
+    )
+    rejects = spark.createDataFrame(
+        [
+            (None, None, None, "incomplete_envelope", good),
+            (None, None, None, "malformed_envelope", "{this is still not json"),
+        ],
+        "lsn long, op string, key_raw string, reject_reason string, payload_json string",
+    )
+    dlq.append(rejects, 3)
+
+    payload = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("n_tok", T.IntegerType())]
+    )
+    parser = lambda df: debezium_to_change_events(  # noqa: E731
+        df.select(F.col("payload_json").alias("value")), payload
+    ).drop("epoch")
+
+    report = drain_dlq(dlq, table, spark, payload_parser=parser)
+    assert report["drained"] == [] and report["applied_rows"] == 0
+    assert report["still_invalid"] == {3: 1}  # one row short of the epoch
+    assert table.read(spark).count() == 0
+
+
+def test_drain_dlq_batched_validation_job_count(spark, tmp_path):
+    """VERDICT r03 #8: re-validation across N undrained epochs must issue a
+    BOUNDED number of Spark jobs (one scan + two aggregations), not O(N) —
+    only fenced applies may scale with drainable epochs.  50 never-drainable
+    epochs -> constant validation cost."""
+    from data_pipeline_spark.cdc.quarantine import drain_dlq
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("n_tok", T.IntegerType(), True),
+        ]
+    )
+    table = IcehouseTable.create(str(tmp_path / "t"), schema, key_col="doc_id", n_buckets=2)
+    dlq = DeadLetterSink(str(tmp_path / "dlq"), owner="batch")
+
+    bad = spark.createDataFrame(
+        [(1, "I", None, "null_key", '{"lsn": 1, "op": "I", "doc_id": null, "n_tok": 1}')],
+        "lsn long, op string, key_raw string, reject_reason string, payload_json string",
+    )
+    for ep in range(50):
+        dlq.append(bad, ep)
+
+    sc = spark.sparkContext
+    sc.setJobGroup("drain-bound", "drain_dlq job-count bound")
+    try:
+        report = drain_dlq(dlq, table, spark)
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(report["still_invalid"]) == 50 and report["drained"] == []
+
+    tracker = sc.statusTracker()
+    n_jobs = len(tracker.getJobIdsForGroup("drain-bound"))
+    # one parquet scan + two aggregations (plus schema-inference footers);
+    # the bound must not scale with the 50 epochs
+    assert n_jobs <= 10, f"drain validation issued {n_jobs} jobs for 50 epochs"
