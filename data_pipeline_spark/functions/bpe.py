@@ -7,10 +7,18 @@ word-count dict (Sennrich et al. 2016; GPT-2's BPE); this is the
 Spark-native generalization that trains over sequences too large for one
 machine:
 
+- **The corpus is pre-aggregated ONCE into a weighted unique-sequence
+  dict** — ``(tokens, weight)`` rows, the distributed analog of the classic
+  word-frequency dict.  Pair counts over the dict (each pair weighted by
+  its sequence's multiplicity) are EXACTLY the corpus pair counts, so the
+  learned merge table is bit-identical to training over the raw corpus —
+  but each round's cost is O(unique sequences), independent of corpus
+  volume.  A web corpus is dominated by duplicated/boilerplate sequences;
+  the dict is orders of magnitude smaller than the corpus, and at 32k-100k
+  merges the per-round saving is the difference between feasible and not.
 - **Pair counting is one declarative aggregation per round**: adjacent
   pairs via two array ``slice``s zipped together, exploded, counted with
-  map-side combine — the hot path is whole-stage-codegen'd, O(corpus
-  tokens) per round with no Python.
+  map-side combine — the hot path is whole-stage-codegen'd, no Python.
 - **The argmax merge is a driver-side scalar** (one tiny collect of the
   top row, deterministic tie-break on the pair itself).
 - **Merge application is a JVM fold** (``F.aggregate``) with a one-token
@@ -18,12 +26,15 @@ machine:
   the reference trainer ("aaa" + merge(a,a) → "(aa)a").  No UDF.
 - **Plans stay bounded**: each round folds into a ``localCheckpoint``
   (same pattern as the connected-components fixpoint) — round k's plan
-  never re-derives rounds 1..k-1.
+  never re-derives rounds 1..k-1.  At checkpoint rounds the dict is also
+  re-aggregated (merges can collapse formerly-distinct sequences), keeping
+  it minimal; weights sum, so counts stay exact.
+- **The corpus itself is re-tokenized ONCE at the end** via
+  :func:`bpe_apply` — never inside the merge loop.
 
-At 100 TB each round costs one scan + one shuffle of pair counts (domain ≤
-vocab², heavily combinable).  N merges = N rounds is inherent to BPE (each
-round's counts depend on the previous merge) — the knob that matters is
-per-round cost, not round count.
+N merges = N rounds is inherent to BPE (each round's counts depend on the
+previous merge); the knob that matters is per-round cost, which is now
+bounded by the dict, not the corpus.
 """
 
 from __future__ import annotations
@@ -34,11 +45,16 @@ from pyspark.sql import types as T
 
 
 def _adjacent_pairs(col) -> "F.Column":
-    """All adjacent (left, right) pairs of an int array, JVM-side."""
-    n = F.size(col)
+    """All adjacent (left, right) pairs of an int array, JVM-side.
+
+    The slice length is clamped at 0: for an empty (or single-token) array
+    ``size - 1`` would be negative and Spark raises
+    ``INVALID_PARAMETER_VALUE.LENGTH`` — one empty document must not abort
+    a training round (ADVICE r03)."""
+    n = F.greatest(F.size(col) - 1, F.lit(0)).cast("int")
     return F.arrays_zip(
-        F.slice(col, 1, (n - 1).cast("int")).alias("l"),
-        F.slice(col, 2, (n - 1).cast("int")).alias("r"),
+        F.slice(col, 1, n).alias("l"),
+        F.slice(col, 2, n).alias("r"),
     )
 
 
@@ -74,36 +90,30 @@ def apply_merge(col, left: int, right: int, new_id: int) -> "F.Column":
     return F.aggregate(col, init, step, finish)
 
 
-def bpe_train(
-    df: DataFrame,
-    tokens_col: str = "tokens",
-    n_merges: int = 16,
-    new_id_start: int | None = None,
-    min_count: int = 2,
-    checkpoint_every: int = 1,
-) -> tuple[list[dict], DataFrame]:
-    """Learn ``n_merges`` BPE merges over the corpus; returns
-    (merge table, retokenized corpus).
-
-    Merge table rows: {rank, left, right, new_id, count} — ``count`` is the
-    pair's corpus frequency when it was chosen (monotonicity across ranks is
-    NOT guaranteed by BPE and not asserted).  Training stops early when no
-    pair reaches ``min_count``.  Deterministic: ties break on (left, right).
-
-    ``new_id_start``: first merged-token id (default: max input token + 1).
-    """
-    cur = df
-    if new_id_start is None:
-        mx = df.select(
-            F.max(F.array_max(F.col(tokens_col))).alias("m")
-        ).collect()[0]["m"]
-        new_id_start = int(mx or 0) + 1
+def _train_loop(
+    dict_df: DataFrame,
+    tokens_col: str,
+    weight_col: str,
+    n_merges: int,
+    new_id_start: int,
+    min_count: int,
+    checkpoint_every: int,
+    reaggregate: bool,
+) -> list[dict]:
+    """Shared merge loop over a weighted sequence frame.  Pair counts are
+    ``sum(weight)`` per (l, r); with weight ≡ 1 this is the raw-corpus count,
+    with the unique-dict weights it is the identical number computed over
+    O(unique sequences) rows."""
+    cur = dict_df
     merges: list[dict] = []
     for rank in range(n_merges):
         pairs = (
-            cur.select(F.explode(_adjacent_pairs(F.col(tokens_col))).alias("p"))
+            cur.select(
+                F.col(weight_col).alias("_w"),
+                F.explode(_adjacent_pairs(F.col(tokens_col))).alias("p"),
+            )
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum("_w").alias("c"))
         )
         top = pairs.orderBy(F.desc("c"), "l", "r").limit(1).collect()
         if not top or top[0]["c"] < min_count:
@@ -117,8 +127,66 @@ def bpe_train(
             tokens_col, apply_merge(F.col(tokens_col), left, right, new_id)
         )
         if (rank + 1) % checkpoint_every == 0:
+            if reaggregate:
+                # merges may collapse distinct sequences into one — compact
+                # the dict (weights sum, counts stay exact)
+                cur = cur.groupBy(tokens_col).agg(F.sum(weight_col).alias(weight_col))
             cur = cur.localCheckpoint()  # bound plan depth across rounds
-    return merges, cur
+    return merges
+
+
+def bpe_train(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    n_merges: int = 16,
+    new_id_start: int | None = None,
+    min_count: int = 2,
+    checkpoint_every: int = 1,
+    weighted: bool = True,
+) -> tuple[list[dict], DataFrame]:
+    """Learn ``n_merges`` BPE merges over the corpus; returns
+    (merge table, retokenized corpus).
+
+    Merge table rows: {rank, left, right, new_id, count} — ``count`` is the
+    pair's corpus frequency when it was chosen (monotonicity across ranks is
+    NOT guaranteed by BPE and not asserted).  Training stops early when no
+    pair reaches ``min_count``.  Deterministic: ties break on (left, right).
+
+    ``weighted=True`` (default, the scale path): pre-aggregate the corpus
+    once into a unique-(tokens, count) dict, run every merge round over the
+    dict, and re-tokenize the corpus exactly once at the end — per-round
+    cost O(unique sequences), merge table bit-identical to the raw loop
+    (see module docstring).  ``weighted=False`` keeps the naive
+    O(corpus)-per-round loop (retained for the equivalence test and for
+    corpora already known to be duplicate-free, where the up-front groupBy
+    buys nothing).
+
+    ``new_id_start``: first merged-token id (default: max input token + 1).
+    """
+    if new_id_start is None:
+        mx = df.select(
+            F.max(F.array_max(F.col(tokens_col))).alias("m")
+        ).collect()[0]["m"]
+        new_id_start = int(mx or 0) + 1
+
+    if weighted:
+        dict_df = (
+            df.groupBy(tokens_col)
+            .agg(F.count(F.lit(1)).alias("_w"))
+            .localCheckpoint()  # materialize the dict once, up front
+        )
+        merges = _train_loop(
+            dict_df, tokens_col, "_w", n_merges, new_id_start, min_count,
+            checkpoint_every, reaggregate=True,
+        )
+        return merges, bpe_apply(df, merges, tokens_col)
+
+    corpus = df.withColumn("_w", F.lit(1).cast("long"))
+    merges = _train_loop(
+        corpus, tokens_col, "_w", n_merges, new_id_start, min_count,
+        checkpoint_every, reaggregate=False,
+    )
+    return merges, bpe_apply(df, merges, tokens_col)
 
 
 def bpe_apply(
