@@ -1529,21 +1529,12 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed fraction per key via the portable LCG — replay-stable, join-stable
     (the same doc_id samples identically everywhere), no RNG state.  The
     oracle recomputes membership exactly; at 100 TB this is a pushed-down
-    filter, zero shuffle before the rollup."""
+    filter, zero shuffle before the rollup.  Gate routed through the guarded
+    ``operators/sampling.lcg_gate`` (int64-domain fail-fast in-plan)."""
+    from .operators.sampling import lcg_gate
+
     docs = _t(spark, sf_dir, "documents")
-    gate = (
-        F.pmod(
-            (
-                F.lit(7 * 1_000_003 + 9 * 10_007).cast("long")
-                + F.col("doc_id").cast("long") * F.lit(257)
-            )
-            * F.lit(1103515245)
-            + F.lit(12345),
-            F.lit(2147483647),
-        )
-        % 1000
-        < 200
-    )
+    gate = lcg_gate("doc_id", seed=7, tag=9, mod=1000) < 200
     return (
         docs.where(gate)
         .groupBy("source")
@@ -3683,26 +3674,15 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     80/10/10 by bucket range.  Reference analog: the ML pipelines' ad-hoc
     pandas train_test_split (product_matching/training_pipeline — replaced
     by a deterministic assignment that survives re-runs and incremental
-    appends)."""
+    appends).  Routed through the guarded production operator
+    (``operators/sampling.split_assign``) — the portable-LCG gate carries
+    its int64-domain guard in-plan."""
+    from .operators.sampling import split_assign
+
     docs = _t(spark, sf_dir, "documents")
-    bucket = (
-        F.pmod(
-            (
-                F.lit(13 * 1_000_003).cast("long")
-                + F.col("doc_id").cast("long") * F.lit(257)
-            )
-            * F.lit(1103515245)
-            + F.lit(12345),
-            F.lit(2147483647),
-        )
-        % 100
+    return split_assign(docs, key_col="doc_id", seed=13).select(
+        "doc_id", "source", "split"
     )
-    split = (
-        F.when(bucket < 80, F.lit("train"))
-        .when(bucket < 90, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-    return docs.select("doc_id", "source", split.alias("split"))
 
 
 @q(
@@ -3766,24 +3746,36 @@ def token_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_FIRST = [
-    # never driver-green (rounds 1-2):
-    "token_normalize", "token_pack_windows", "asof_view_before_purchase",
-    "signup_day1_clicks", "scd2_user_tiers", "incremental_group_aggs",
-    "resample_user_daily", "pivot_event_type_counts", "value_histogram",
-    "fuzzy_name_pairs", "streaming_windowed_counts", "data_expectations",
-    "top_unshipped_orders", "promo_revenue_share", "dataset_split_assign",
-    "token_vocab_topk",
-    # driver-green in r01 only (outside the r02 window):
-    "summary_stats", "normalize_contacts", "seed_dimension_union",
-    "latest_date_orders", "forecast_revenue_simple", "order_priority_check",
-    "returned_item_reporting", "rollup_revenue",
-    # upgraded from rows-only this round:
-    "sketch_aggregates", "ann_ivf_topk",
-    # new this round (never driver-checked):
+    # -- round-4 rotation: the 33 entries whose last driver-green row is
+    # r01/r02-era, led by the cdc_* family (round 3 rewrote the metadata
+    # layer — sharded manifests, lineage segments, atomic root publish —
+    # that these exercise most).  bpe_learned_merges is EVICTED from the
+    # window: it has no SQL oracle by design and can never yield a green
+    # row, so its slot is spent on an oracle-backed entry instead.
+    "cdc_replay_icehouse", "cdc_mor_final_state", "cdc_rollback_replay",
+    "cdc_changed_since_feed", "cdc_quarantine_dlq",
+    "sequence_windows", "multimodal_features", "minhash_lsh_pairs",
+    "doc_token_stats", "doc_quality", "doc_langid", "doc_fingerprint_dedup",
+    "doc_repetition_signals", "repeated_spans_crossdoc", "doc_pii_redact",
+    "eval_decontamination", "ngram_jaccard_pairs", "dedup_components",
+    "embedding_topk", "embedding_neardup", "simhash_neardup", "ann_lsh_topk",
+    "ann_index_incremental", "product_match_groups", "stratified_sample",
+    "category_hierarchy", "price_parse_roundtrip", "html_clean",
+    "json_extraction", "minmax_scale", "brand_impute", "graph_edges",
+    "dense_source_ids",
+    # -- slots 34-50: r03-green entries whose code paths round 4 touched
+    # (LCG domain guards in the sampling/split gates, WAP prev-tag, DLQ
+    # drain rework, weighted BPE shares the token kernels) plus the
+    # headline CDC/curation queries — keep them green on round-4 code.
+    "dataset_split_assign", "mixture_sample_sources",
+    "dataset_curation_pipeline", "wap_published_view", "cdc_final_state",
     "debezium_envelope_parse", "debezium_replay_final_state",
-    "wap_published_view", "corpus_pack_sequences", "bpe_learned_merges",
-    "mixture_sample_sources", "dedup_keep_best", "dataset_curation_pipeline",
+    "corpus_pack_sequences", "dedup_keep_best", "sketch_aggregates",
+    "ann_ivf_topk", "pricing_summary", "star_join_revenue",
+    "lww_latest_per_key", "token_normalize", "token_pack_windows",
+    "token_vocab_topk",
 ]
+assert len(_DRIVER_WINDOW_FIRST) == 50 and len(set(_DRIVER_WINDOW_FIRST)) == 50
 
 
 def _reorder_for_driver_window() -> None:
