@@ -81,12 +81,23 @@ def audit_and_publish(
     """The WAP gate: audit a pinned snapshot; on a clean report, atomically
     re-point ``tag`` at it.  On failure the tag does not move and the
     failing rules are reported.  Idempotent: re-running on an already-
-    published version is a harmless re-tag of the same pin."""
+    published version is a harmless re-tag of the same pin.
+
+    Before re-pointing, the OUTGOING pin is recorded under ``{tag}-prev`` —
+    that keeps the consumer's incremental feed
+    (``cdc.cdf.diff_between_refs(spark, root, f"{tag}-prev", tag)``) working
+    out of the box, and pins the previous published snapshot against GC for
+    as long as the feed may need it.  A re-publish of the same version does
+    NOT move ``-prev`` (idempotency)."""
     report, failed, version = audit_snapshot(
         table, spark, expectations, version=version, min_pass_rate=min_pass_rate
     )
     if failed:
         return WapResult(version, False, tag, report, failed)
+    # fresh load: the handle's meta may predate a concurrent publish
+    prev = IcehouseTable.load(table.root).meta.get("tags", {}).get(tag)
+    if prev is not None and int(prev) != int(version):
+        table.create_tag(f"{tag}-prev", version=int(prev))
     table.create_tag(tag, version=version)
     return WapResult(version, True, tag, report, [])
 

@@ -214,3 +214,38 @@ def test_streaming_auto_publish(spark, tmp_path):
     pinned = table.refresh().meta["tags"]["published"]
     assert pinned == ingest.publish_results[-1].version
     assert read_published(spark, table.root).count() > 0
+
+
+def test_publish_maintains_prev_tag_for_incremental_feed(spark, tmp_path):
+    """ADVICE r03 (low): the documented incremental-feed workflow
+    diff_between_refs(root, "published-prev", "published") must work out of
+    the box — audit_and_publish records the outgoing pin under {tag}-prev
+    before re-pointing, and a same-version re-publish never moves it."""
+    from data_pipeline_spark.cdc.cdf import diff_between_refs
+
+    table = _table(tmp_path)
+    _replay(spark, table, tmp_path, n_events=1000, n_docs=100, events_per_epoch=1000)
+    first = audit_and_publish(table, spark, _rules())
+    assert first.published
+    # no previous publish -> no -prev tag yet
+    assert "published-prev" not in table.refresh().meta["tags"]
+    # idempotent re-publish of the same version: still no -prev (the tag
+    # commit itself bumps table.version, so pin the audited version)
+    again = audit_and_publish(table.refresh(), spark, _rules(), version=first.version)
+    assert again.published and again.version == first.version
+    assert "published-prev" not in table.refresh().meta["tags"]
+
+    good = spark.createDataFrame(
+        [(6_000, "U", "doc_00000001", [7, 8, 9], 3, "srcZ")],
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    ).withColumn("epoch", F.lit(41))
+    ReplayRunner(table, str(tmp_path / "ckg.json")).run(good)
+    second = audit_and_publish(table.refresh(), spark, _rules())
+    assert second.published and second.version > first.version
+
+    tags = table.refresh().meta["tags"]
+    assert tags["published"] == second.version
+    assert tags["published-prev"] == first.version
+    feed = diff_between_refs(spark, table.root, "published-prev", "published")
+    rows = {r["doc_id"]: r["op"] for r in feed.collect()}
+    assert rows == {"doc_00000001": "U"}
