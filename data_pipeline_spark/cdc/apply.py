@@ -80,6 +80,13 @@ class ApplyStats:
     events_applied: int
     deletes: int
 
+    @property
+    def cas_retries(self) -> int:
+        """CAS races this apply's commit lost before landing (0 = first
+        try) — the contention counter a multi-writer deployment aggregates
+        (see tools/bench_concurrent.py)."""
+        return self.result.cas_retries
+
 
 def batch_part_stats(
     table: IcehouseTable, changes: DataFrame, key_type=None, n_buckets: int | None = None

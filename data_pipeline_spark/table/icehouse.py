@@ -179,6 +179,9 @@ class CommitResult:
     skipped: bool = False  # True => epoch already committed (exactly-once no-op)
     partitions_rewritten: list[int] = field(default_factory=list)
     rows_written: int = 0
+    #: CAS races lost (and retried) before this commit landed — the
+    #: contention signal a multi-writer deployment monitors; 0 = first try
+    cas_retries: int = 0
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -426,12 +429,13 @@ class IcehouseTable:
         ref; ``None`` = re-serialize all).  One definition site for the
         loop's invariants (refresh-before-copy, parent/committed_at stamping,
         FileExistsError-retry, exhaustion error)."""
-        for _ in range(max_retries):
+        for _attempt in range(max_retries):
             self.refresh()
             meta = json.loads(json.dumps(self.meta))
             if mutate(meta) is False:
                 return CommitResult(
-                    self.version, self.meta["snapshot_id"], None, skipped=True
+                    self.version, self.meta["snapshot_id"], None, skipped=True,
+                    cas_retries=_attempt,
                 )
             meta["version"] = self.version + 1
             meta["parent_version"] = self.version
@@ -442,7 +446,9 @@ class IcehouseTable:
             except FileExistsError:
                 continue
             self.meta = meta
-            return CommitResult(meta["version"], meta["snapshot_id"], None)
+            return CommitResult(
+                meta["version"], meta["snapshot_id"], None, cas_retries=_attempt
+            )
         raise ConcurrentCommitError(
             f"{suffix} commit lost {max_retries} races on {self.root}"
         )
@@ -650,7 +656,17 @@ class IcehouseTable:
         """
         literal_keys: list | None = None
         if not isinstance(keys, DataFrame):
-            literal_keys = sorted(set(keys))
+            # None keys can match nothing (the key column is non-null by
+            # contract) — drop them instead of blowing up sorted(); mixed
+            # uncomparable types fall back to the semi-join path unsorted
+            # (sorting is only for deterministic plan text, not correctness)
+            non_null = {k for k in keys if k is not None}
+            try:
+                literal_keys = sorted(non_null)
+            except TypeError:
+                literal_keys = list(non_null)
+            if not literal_keys:
+                return self.read(spark).limit(0)
             keys = spark.createDataFrame(
                 [(k,) for k in literal_keys],
                 T.StructType([T.StructField(self.key_col, self.schema[self.key_col].dataType)]),
@@ -819,7 +835,10 @@ class IcehouseTable:
             if epoch is not None and self.epoch_committed(epoch, epoch_source):
                 if sdir is not None:
                     shutil.rmtree(sdir, ignore_errors=True)
-                return CommitResult(self.version, self.meta["snapshot_id"], epoch, skipped=True)
+                return CommitResult(
+                    self.version, self.meta["snapshot_id"], epoch, skipped=True,
+                    cas_retries=_attempt,
+                )
             if self.n_buckets != plan_buckets:
                 if sdir is not None:
                     shutil.rmtree(sdir, ignore_errors=True)
@@ -897,6 +916,7 @@ class IcehouseTable:
                 new_version, snapshot_id, epoch,
                 partitions_rewritten=affected,
                 rows_written=sum(v["rows"] for v in stats.values()),
+                cas_retries=_attempt,
             )
         if sdir is not None:
             shutil.rmtree(sdir, ignore_errors=True)
@@ -961,7 +981,10 @@ class IcehouseTable:
         for _attempt in range(max_retries):
             self.refresh()
             if epoch is not None and self.epoch_committed(epoch, epoch_source):
-                return CommitResult(self.version, self.meta["snapshot_id"], epoch, skipped=True)
+                return CommitResult(
+                    self.version, self.meta["snapshot_id"], epoch, skipped=True,
+                    cas_retries=_attempt,
+                )
             new_version = self.version + 1
             # data dir is unique per commit ATTEMPT (not per version): two racing
             # writers must never share a directory — the metadata CAS below, not
@@ -1089,6 +1112,7 @@ class IcehouseTable:
                 new_version, snapshot_id, epoch,
                 partitions_rewritten=affected,
                 rows_written=sum(v["rows"] for v in stats.values()),
+                cas_retries=_attempt,
             )
         raise ConcurrentCommitError(f"lost {max_retries} consecutive commit races on {self.root}")
 

@@ -356,3 +356,36 @@ def test_write_compression_property(spark, tmp_path):
         md = pq.ParquetFile(f).metadata
         assert md.row_group(0).column(0).compression == "ZSTD", f
     assert t.refresh().read(spark).where(F.col("n_tok") == 2).count() == 500
+
+
+def test_read_for_keys_tolerates_none_and_mixed_keys(spark, tmp_path):
+    """ADVICE r03 (low): a None key (or uncomparable mixed-type keys) in a
+    literal key list must match nothing, not raise TypeError at sort time;
+    an all-None list returns an empty frame with the table schema."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from data_pipeline_spark.table.icehouse import IcehouseTable
+    from data_pipeline_spark.cdc.apply import apply_changes
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("n_tok", T.IntegerType(), True),
+        ]
+    )
+    t = IcehouseTable.create(
+        str(tmp_path / "nk"), schema, key_col="doc_id", n_buckets=2
+    )
+    rows = spark.range(0, 50).select(
+        F.concat(F.lit("doc_"), F.col("id")).alias("doc_id"),
+        F.lit(1).alias("n_tok"),
+        F.col("id").alias("lsn"),
+        F.lit("I").alias("op"),
+    )
+    apply_changes(t, rows, epoch=0)
+    t.refresh()
+
+    got = t.read_for_keys(spark, ["doc_7", None, "doc_9"]).collect()
+    assert sorted(r["doc_id"] for r in got) == ["doc_7", "doc_9"]
+    empty = t.read_for_keys(spark, [None, None])
+    assert empty.count() == 0 and empty.columns == ["doc_id", "n_tok"]
