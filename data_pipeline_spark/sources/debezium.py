@@ -233,6 +233,19 @@ def generate_debezium_log(
     return log.select(F.to_json(envelope).alias("value"))
 
 
+def kafka_value_lines(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Adapt a Kafka source frame (``spark.readStream.format("kafka")`` —
+    columns key/value binary, topic, partition, offset, timestamp, ...) to
+    the one-string-column ``value`` frame every envelope parser here takes.
+
+    Source-agnostic seam: the file tail reads text lines, the Kafka leg
+    casts value bytes — everything from :func:`debezium_to_change_events` /
+    :func:`debezium_split` onward is identical, which is what makes the
+    adapter unit-testable without the spark-sql-kafka jar.  Kafka tombstones
+    (null value) become null strings, which the parsers already drop."""
+    return raw.select(F.col(value_col).cast("string").alias("value"))
+
+
 def debezium_split(
     raw: DataFrame,
     payload_schema: T.StructType,

@@ -93,8 +93,19 @@ class StreamingIngest:
     def __post_init__(self) -> None:
         if self.mode not in ("cow", "mor"):
             raise ValueError(f"unknown apply mode {self.mode!r}")
-        if self.source_format not in ("parquet", "debezium"):
+        if self.source_format not in ("parquet", "debezium", "kafka"):
             raise ValueError(f"unknown source format {self.source_format!r}")
+        if self.source_format == "kafka":
+            opts = self.kafka_options or {}
+            if "kafka.bootstrap.servers" not in opts or not (
+                {"subscribe", "subscribepattern", "assign"}
+                & {k.lower() for k in opts}
+            ):
+                raise ValueError(
+                    "source_format='kafka' needs kafka_options with "
+                    "'kafka.bootstrap.servers' and one of subscribe/"
+                    "subscribePattern/assign"
+                )
         if self.stream_id is None:
             import hashlib
 
@@ -108,16 +119,25 @@ class StreamingIngest:
         if self.dlq is not None and getattr(self.dlq, "owner", None) is None:
             self.dlq.owner = self.stream_id
 
-    #: wire format of the tailed directory: "parquet" (native change-log
-    #: files) or "debezium" (JSON-lines Debezium envelopes — the public
+    #: wire format: "parquet" (native change-log files), "debezium"
+    #: (JSON-lines Debezium envelopes tailed from a directory — the public
     #: binlog/WAL-tail format; parsed with sources.debezium's typed
-    #: from_json adapter, tombstones/malformed lines dropped).  A Kafka
-    #: deployment swaps the file source for a Kafka source; the parse and
-    #: everything downstream are identical.
+    #: from_json adapter, tombstones/malformed lines dropped), or "kafka"
+    #: (the same envelopes consumed from a Kafka topic's value bytes).
+    #: The Kafka leg needs the spark-sql-kafka package on the cluster —
+    #: absent in this environment, so it is exercised through the jar-free
+    #: value-column adapter (sources.debezium.kafka_value_lines, unit-
+    #: tested on batch frames); the parse and everything downstream are
+    #: byte-identical across all three.
     source_format: str = "parquet"
-    #: payload schema for source_format="debezium" (defaults to the table's
-    #: logical schema: every non-internal column).
+    #: payload schema for source_format="debezium"/"kafka" (defaults to the
+    #: table's logical schema: every non-internal column).
     payload_schema: "object | None" = None
+    #: reader options for source_format="kafka", passed through verbatim —
+    #: must include "kafka.bootstrap.servers" and a subscription
+    #: (subscribe / subscribePattern / assign); rate-limit micro-batches
+    #: with "maxOffsetsPerTrigger" (the Kafka analog of maxFilesPerTrigger).
+    kafka_options: "dict | None" = None
 
     def _payload_schema(self):
         from pyspark.sql import types as T
@@ -127,6 +147,16 @@ class StreamingIngest:
         )
 
     def source(self, spark: SparkSession, log_path: str) -> DataFrame:
+        if self.source_format == "kafka":
+            from ..sources.debezium import kafka_value_lines
+
+            reader = spark.readStream.format("kafka")
+            for k, v in (self.kafka_options or {}).items():
+                reader = reader.option(k, v)
+            # log_path is unused for Kafka (the subscription names the
+            # source); value bytes -> one-string-column frame, then the
+            # identical envelope parse as the file tail
+            return kafka_value_lines(reader.load())
         if self.source_format == "debezium":
             # RAW lines; the parse happens inside foreachBatch so wire-level
             # rejects (malformed/incomplete envelopes) can be quarantined
@@ -149,7 +179,7 @@ class StreamingIngest:
         # so using it as the icehouse epoch (namespaced by stream_id) turns
         # redelivery into a no-op without colliding with batch-replay epochs.
         wire_rejects = None
-        if self.source_format == "debezium":
+        if self.source_format in ("debezium", "kafka"):
             from ..sources.debezium import debezium_split, debezium_to_change_events
 
             if self.dlq is not None:

