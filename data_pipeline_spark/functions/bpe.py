@@ -143,9 +143,16 @@ def bpe_train(
     min_count: int = 2,
     checkpoint_every: int = 1,
     weighted: bool = True,
-) -> tuple[list[dict], DataFrame]:
+    return_corpus: bool = True,
+) -> tuple[list[dict], DataFrame | None]:
     """Learn ``n_merges`` BPE merges over the corpus; returns
     (merge table, retokenized corpus).
+
+    ``return_corpus=False`` skips the final corpus re-tokenization and
+    returns ``(merges, None)`` — with the weighted trainer that makes the
+    WHOLE training run independent of corpus volume after the one up-front
+    dict aggregation (train the vocab on cluster A, ``bpe_apply`` it
+    wherever the corpus is consumed).
 
     Merge table rows: {rank, left, right, new_id, count} — ``count`` is the
     pair's corpus frequency when it was chosen (monotonicity across ranks is
@@ -179,14 +186,13 @@ def bpe_train(
             dict_df, tokens_col, "_w", n_merges, new_id_start, min_count,
             checkpoint_every, reaggregate=True,
         )
-        return merges, bpe_apply(df, merges, tokens_col)
-
-    corpus = df.withColumn("_w", F.lit(1).cast("long"))
-    merges = _train_loop(
-        corpus, tokens_col, "_w", n_merges, new_id_start, min_count,
-        checkpoint_every, reaggregate=False,
-    )
-    return merges, bpe_apply(df, merges, tokens_col)
+    else:
+        corpus = df.withColumn("_w", F.lit(1).cast("long"))
+        merges = _train_loop(
+            corpus, tokens_col, "_w", n_merges, new_id_start, min_count,
+            checkpoint_every, reaggregate=False,
+        )
+    return merges, (bpe_apply(df, merges, tokens_col) if return_corpus else None)
 
 
 def bpe_apply(

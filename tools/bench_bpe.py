@@ -49,10 +49,15 @@ def corpus(spark, n_docs: int, dup: int = 1):
 
 
 def train_timed(df, n_merges: int, weighted: bool):
+    """Times the MERGE LOOP only (return_corpus=False): the final corpus
+    re-tokenization is a single O(corpus) bpe_apply by design at every
+    trainer, so the cost shape under test is the per-round one."""
     df = df.localCheckpoint()  # isolate generation cost from training cost
     t0 = time.perf_counter()
-    merges, retok = bpe_train(df, n_merges=n_merges, new_id_start=1000, weighted=weighted)
-    retok.write.format("noop").mode("overwrite").save()  # force the final apply
+    merges, _ = bpe_train(
+        df, n_merges=n_merges, new_id_start=1000, weighted=weighted,
+        return_corpus=False,
+    )
     wall = time.perf_counter() - t0
     return merges, wall
 

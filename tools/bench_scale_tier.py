@@ -115,7 +115,7 @@ def main():
         ).localCheckpoint()
         tiers = [
             run_tier(spark, base, "1x", log, n_buckets=16),
-            run_tier(spark, base, "10x", log, n_buckets=64, max_file_rows=2_000),
+            run_tier(spark, base, "10x", log, n_buckets=160, max_file_rows=2_000),
         ]
         print(f"\nevents={n_events} epochs={n_epochs} local[{cpus}] MOR + ratio-compaction(0.5, 4)\n")
         cols = ["tier", "buckets", "files_end", "epoch_s_first5", "epoch_s_last5",
