@@ -2760,6 +2760,80 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def _duck_bpe_fold(expr: str, left: int, right: int, new_id: int) -> str:
+    """DuckDB rendition of ``functions/bpe.apply_merge``'s one-token-carry
+    left-to-right fold: the carry rides as the accumulator's LAST element
+    (list-in-struct accumulators lose state in DuckDB 1.0's list_reduce, so
+    the state is a flat INT list), -99 encodes a null carry (just merged),
+    and a trailing -1 sentinel flushes the final carry.  Neither sentinel
+    collides with the token domain (0..28 base + >=29 merged ids)."""
+    return f"""list_filter(
+      array_pop_back(
+        list_reduce(
+          list_transform(list_concat({expr}, [-1]), x -> [x]),
+          (acc, e) -> CASE
+            WHEN acc[-1] = -99 THEN list_concat(array_pop_back(acc), e)
+            WHEN acc[-1] = {left} AND e[1] = {right}
+              THEN list_concat(list_append(array_pop_back(acc), {new_id}), [-99])
+            ELSE list_concat(acc, e)
+          END
+        )
+      ),
+      y -> y <> -99
+    )"""
+
+
+#: pinned merge table for the oracle-backed BPE-apply entry: chained on
+#: purpose (merge 1's output id 29 is merge 2's left operand — the part
+#: naive reimplementations miss), over the portable word-length%29 token
+#: domain where lengths 3-5 are the most frequent English word shapes.
+_BPE_FIXED_MERGES = [(3, 4, 29), (29, 5, 30), (4, 4, 31)]
+
+
+@q(
+    "bpe_apply_fixed",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+                            w -> (LENGTH(w) % 29)::INTEGER) AS tokens
+      FROM documents
+    ),
+    m1 AS (SELECT doc_id, {_duck_bpe_fold("tokens", *_BPE_FIXED_MERGES[0])} AS tokens FROM tok),
+    m2 AS (SELECT doc_id, {_duck_bpe_fold("tokens", *_BPE_FIXED_MERGES[1])} AS tokens FROM m1),
+    m3 AS (SELECT doc_id, {_duck_bpe_fold("tokens", *_BPE_FIXED_MERGES[2])} AS tokens FROM m2)
+    SELECT doc_id, tokens, len(tokens)::INTEGER AS n_tok FROM m3
+    """,
+)
+def bpe_apply_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-with-a-trained-vocab, hash-verified: apply a PINNED 3-merge
+    BPE table (chained — a merged id is itself a later merge's operand) to
+    the documents corpus through the production fold kernel
+    (``functions/bpe.apply_merge`` via ``bpe_apply``), and have the oracle
+    recompute the identical left-to-right carry fold in pure SQL
+    (:func:`_duck_bpe_fold`).  This gives the BPE family its value-hash
+    evidence: TRAINING is iterative and stays rows-only by design
+    (``bpe_learned_merges``), but APPLY — the half that touches the 100-TB
+    corpus — is deterministic given the merge table, so it gets the full
+    oracle treatment.  100-TB shape: one JVM fold per merge over a pure
+    projection, no shuffle, no Python."""
+    from .functions.bpe import bpe_apply
+    from .functions.text import words
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.transform(words("text"), lambda w: (F.length(w) % 29).cast("int")).alias(
+            "tokens"
+        ),
+    )
+    merges = [
+        {"rank": i, "left": l, "right": r, "new_id": n, "count": 0}
+        for i, (l, r, n) in enumerate(_BPE_FIXED_MERGES)
+    ]
+    out = bpe_apply(docs, merges)
+    return out.select("doc_id", "tokens", F.size("tokens").alias("n_tok"))
+
+
 @q(
     "corpus_pack_sequences",
     r"""
@@ -3773,7 +3847,7 @@ _DRIVER_WINDOW_FIRST = [
     "corpus_pack_sequences", "dedup_keep_best", "sketch_aggregates",
     "ann_ivf_topk", "pricing_summary", "star_join_revenue",
     "lww_latest_per_key", "token_normalize", "token_pack_windows",
-    "token_vocab_topk",
+    "bpe_apply_fixed",
 ]
 assert len(_DRIVER_WINDOW_FIRST) == 50 and len(set(_DRIVER_WINDOW_FIRST)) == 50
 
