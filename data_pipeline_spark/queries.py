@@ -2736,31 +2736,7 @@ def dataset_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("seq_idx")
 
 
-@q("bpe_learned_merges")  # iterative (N data-dependent rounds) — rows-only by design
-def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE tokenizer training (``functions/bpe.bpe_train``):
-    learn the top-12 merges over the documents corpus (portable word-length
-    base tokens).  Each round is one codegen'd pair-count aggregation +
-    a JVM fold applying the chosen merge (zero Python).  Genuinely
-    iterative — each round's counts depend on the previous merge — so it is
-    registered without a SQL oracle (the brief's sanctioned category);
-    exact parity with a reference BPE implementation (merge table AND final
-    tokenization, including chained merges of merged ids) is asserted in
-    tests/test_bpe.py."""
-    from .functions.bpe import bpe_train
-    from .functions.text import words
-
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.transform(words("text"), lambda w: F.length(w).cast("int")).alias("tokens"),
-    )
-    merges, _ = bpe_train(docs, n_merges=12, new_id_start=1000)
-    return spark.createDataFrame(
-        merges, "rank int, left int, right int, new_id int, count long"
-    ).orderBy("rank")
-
-
-def _duck_bpe_fold(expr: str, left: int, right: int, new_id: int) -> str:
+def _duck_bpe_fold(expr: str, left, right, new_id) -> str:
     """DuckDB rendition of ``functions/bpe.apply_merge``'s one-token-carry
     left-to-right fold: the carry rides as the accumulator's LAST element
     (list-in-struct accumulators lose state in DuckDB 1.0's list_reduce, so
@@ -2781,6 +2757,79 @@ def _duck_bpe_fold(expr: str, left: int, right: int, new_id: int) -> str:
       ),
       y -> y <> -99
     )"""
+
+
+def _duck_bpe_train_oracle(n_merges: int, new_id_start: int) -> str:
+    """Unrolled DuckDB rendition of ``functions/bpe.bpe_train``: BPE training
+    is iterative, but for a FIXED round count it is expressible as ``n``
+    chained MATERIALIZED CTE triples — pair counts over the current
+    tokenization (``list_zip`` of the two off-by-one slices), the argmax
+    winner with the engine's exact tie-break (count DESC, left, right), and
+    the carry fold (:func:`_duck_bpe_fold`) parameterized by the winner row's
+    COLUMNS via a cross join (DuckDB lambdas may reference outer columns).
+    MATERIALIZED is load-bearing: round k's frame is referenced twice (pair
+    count + fold), so without it the 12-round chain re-derives exponentially."""
+    parts = [
+        r"""WITH m0 AS MATERIALIZED (
+  SELECT list_transform(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+                        w -> LENGTH(w)::INTEGER) AS tokens
+  FROM documents
+)"""
+    ]
+    for k in range(n_merges):
+        parts.append(
+            f"""p{k} AS (
+  SELECT pr[1] AS l, pr[2] AS r, count(*)::BIGINT AS c FROM (
+    SELECT unnest(list_zip(tokens[1:len(tokens)-1], tokens[2:len(tokens)])) AS pr FROM m{k}
+  )
+  GROUP BY 1, 2
+)"""
+        )
+        parts.append(
+            f"""w{k} AS MATERIALIZED (
+  SELECT {k}::INTEGER AS rank, l, r, ({new_id_start + k})::INTEGER AS new_id, c
+  FROM p{k} ORDER BY c DESC, l, r LIMIT 1
+)"""
+        )
+        parts.append(
+            f"""m{k + 1} AS MATERIALIZED (
+  SELECT {_duck_bpe_fold("m.tokens", "w.l", "w.r", "w.new_id")} AS tokens
+  FROM m{k} m CROSS JOIN w{k} w
+)"""
+        )
+    union = " UNION ALL ".join(
+        f'SELECT rank, l AS "left", r AS "right", new_id, c AS count FROM w{k}'
+        for k in range(n_merges)
+    )
+    return ",\n".join(parts) + f"\nSELECT * FROM ({union}) ORDER BY rank"
+
+
+@q("bpe_learned_merges", _duck_bpe_train_oracle(12, 1000))
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (``functions/bpe.bpe_train``):
+    learn the top-12 merges over the documents corpus (portable word-length
+    base tokens).  Each round is one codegen'd pair-count aggregation over
+    the weighted unique-sequence dict + a JVM fold applying the chosen merge
+    (zero Python; per-round cost O(unique sequences), not O(corpus)).
+    Training is iterative — each round's counts depend on the previous
+    merge — but for the FIXED 12-round entry the oracle unrolls the loop
+    into 12 chained materialized CTEs (:func:`_duck_bpe_train_oracle`), so
+    the learned merge table itself is value-hash-verified: winner choice,
+    tie-break, chained merged-id operands, and counts all recomputed
+    independently in SQL.  Exact parity with a reference BPE implementation
+    (merge table AND final tokenization) is additionally asserted in
+    tests/test_bpe.py."""
+    from .functions.bpe import bpe_train
+    from .functions.text import words
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.transform(words("text"), lambda w: F.length(w).cast("int")).alias("tokens"),
+    )
+    merges, _ = bpe_train(docs, n_merges=12, new_id_start=1000, return_corpus=False)
+    return spark.createDataFrame(
+        merges, "rank int, left int, right int, new_id int, count long"
+    ).orderBy("rank")
 
 
 #: pinned merge table for the oracle-backed BPE-apply entry: chained on
@@ -3841,10 +3890,13 @@ _DRIVER_WINDOW_FIRST = [
     # (LCG domain guards in the sampling/split gates, WAP prev-tag, DLQ
     # drain rework, weighted BPE shares the token kernels) plus the
     # headline CDC/curation queries — keep them green on round-4 code.
+    # bpe_learned_merges REJOINS the window now that the 12-round unrolled
+    # oracle exists: its first-ever hash row replaces a re-check of
+    # sketch_aggregates (r03 hash-green, code untouched this round).
     "dataset_split_assign", "mixture_sample_sources",
     "dataset_curation_pipeline", "wap_published_view", "cdc_final_state",
     "debezium_envelope_parse", "debezium_replay_final_state",
-    "corpus_pack_sequences", "dedup_keep_best", "sketch_aggregates",
+    "corpus_pack_sequences", "dedup_keep_best", "bpe_learned_merges",
     "ann_ivf_topk", "pricing_summary", "star_join_revenue",
     "lww_latest_per_key", "token_normalize", "token_pack_windows",
     "bpe_apply_fixed",
