@@ -2851,7 +2851,10 @@ _BPE_FIXED_MERGES = [(3, 4, 29), (29, 5, 30), (4, 4, 31)]
     m1 AS (SELECT doc_id, {_duck_bpe_fold("tokens", *_BPE_FIXED_MERGES[0])} AS tokens FROM tok),
     m2 AS (SELECT doc_id, {_duck_bpe_fold("tokens", *_BPE_FIXED_MERGES[1])} AS tokens FROM m1),
     m3 AS (SELECT doc_id, {_duck_bpe_fold("tokens", *_BPE_FIXED_MERGES[2])} AS tokens FROM m2)
-    SELECT doc_id, tokens, len(tokens)::INTEGER AS n_tok FROM m3
+    SELECT doc_id,
+           array_to_string(list_transform(tokens, x -> x::VARCHAR), ',') AS tokens_csv,
+           len(tokens)::INTEGER AS n_tok
+    FROM m3
     """,
 )
 def bpe_apply_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2880,7 +2883,14 @@ def bpe_apply_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, (l, r, n) in enumerate(_BPE_FIXED_MERGES)
     ]
     out = bpe_apply(docs, merges)
-    return out.select("doc_id", "tokens", F.size("tokens").alias("n_tok"))
+    return out.select(
+        "doc_id",
+        # stringified: the driver canonicalizer cannot hash bare arrays
+        F.array_join(F.transform("tokens", lambda x: x.cast("string")), ",").alias(
+            "tokens_csv"
+        ),
+        F.size("tokens").alias("n_tok"),
+    )
 
 
 @q(
