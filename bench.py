@@ -75,15 +75,23 @@ HEADLINE_QUERIES = [
 ]
 
 
-def _bench_spark(cpus: int, app: str):
+def _bench_spark(cpus: int, app: str, epoch_rows: int | None = None):
     from data_pipeline_spark.session import get_spark
 
     local_dir = os.path.join(SHM, "spark_graft_local")
     os.makedirs(local_dir, exist_ok=True)
+    # shuffle partitions sized to DATA VOLUME, not just cores: ~500k rows
+    # (~125 MB of token-array payload) per partition keeps the LWW sort-agg
+    # in memory at any epoch size — the same rule a real deployment applies
+    # when setting shuffle.partitions for a 1000-executor job.  Fixed
+    # 2*cores under-partitions big epochs (32M-row epochs at 16 partitions
+    # = 2M rows/partition -> external sort spill); AQE coalesces any excess
+    # at small volume, so over-partitioning costs nothing.
+    shuffle = max(2 * cpus, 8, min((epoch_rows or 0) // 500_000, 1024))
     return get_spark(
         app_name=app,
         master=f"local[{cpus}]",
-        shuffle_partitions=max(2 * cpus, 8),
+        shuffle_partitions=shuffle,
         extra_conf={
             "spark.local.dir": local_dir,
             # tmpfs shuffle: IO is memcpy, so compression is pure CPU cost
@@ -132,7 +140,9 @@ def replay_worker(
     from data_pipeline_spark.cdc.replay import ReplayRunner
     from data_pipeline_spark.table.icehouse import IcehouseTable
 
-    spark = _bench_spark(cpus, f"bench_replay_{cpus}")
+    spark = _bench_spark(
+        cpus, f"bench_replay_{cpus}", epoch_rows=N_EVENTS // N_EPOCHS
+    )
     schema = T.StructType(
         [
             T.StructField("doc_id", T.StringType(), False),

@@ -24,6 +24,33 @@ def _gc_threads(master: str) -> int:
     return max(2, min((os.cpu_count() or 8) // 2, 16))
 
 
+def _gc_jvm_opts(master: str | None) -> str:
+    """JVM GC flags; ``SPARK_GRAFT_GC=parallel|g1`` overrides (default g1 —
+    see the batch-volume measurement note at the call site).
+
+    The G1 defaults deliberately relax pause targeting: this is a batch
+    engine, nothing is latency-sensitive, so a 2 s pause budget plus a
+    large young gen (40-80% of heap) buys ParallelGC-class young-collection
+    throughput on the allocation-heavy merge path while keeping G1's
+    incremental old-gen collection (the property that prevents the full-GC
+    collapse at large epoch volumes).  Measured on the 32M-row-epoch replay:
+    790k ev/s vs 216k under ParallelGC at identical partitioning.
+    ``SPARK_GRAFT_GC_OPTS`` appends/overrides individual flags.
+    """
+    choice = os.environ.get("SPARK_GRAFT_GC", "g1").lower()
+    extra = os.environ.get("SPARK_GRAFT_GC_OPTS", "")
+    threads = _gc_threads(master or "")
+    if choice == "parallel":
+        base = f"-XX:+UseParallelGC -XX:ParallelGCThreads={threads}"
+    else:
+        base = (
+            f"-XX:+UseG1GC -XX:ParallelGCThreads={threads} "
+            "-XX:+UnlockExperimentalVMOptions -XX:MaxGCPauseMillis=2000 "
+            "-XX:G1NewSizePercent=40 -XX:G1MaxNewSizePercent=80"
+        )
+    return f"{base} {extra}".strip()
+
+
 def get_spark(
     app_name: str = "data_pipeline_spark",
     master: str | None = None,
@@ -51,15 +78,18 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
-        # ParallelGC: measured 3.8x faster than default G1 on the
-        # allocation-heavy merge path (token arrays + string keys) at 32
-        # threads — G1 pause-time targeting throttles exactly the batch
-        # throughput this engine optimizes for.  GC threads are pinned to the
-        # task-core budget: the JVM default (#machine-cores) oversubscribes
-        # CPU and measurably slows every parallelism level (409k vs 231k
-        # events/s at local[8] in the replay bench).
-        .config("spark.driver.extraJavaOptions", f"-XX:+UseParallelGC -XX:ParallelGCThreads={_gc_threads(master)}")
-        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        # GC: tuned G1 (big young gen + relaxed pause target, see
+        # _gc_jvm_opts) — measured faster than ParallelGC at EVERY batch
+        # volume on the replay path (BENCH.md "GC at volume": 16M-event MOR
+        # 579k vs 558k ev/s, COW 508k vs 375k; 32M-row epochs 790k vs 216k,
+        # where ParallelGC's stop-the-world full collections collapse once
+        # an epoch's sort/agg buffers push into old gen).  Plain ParallelGC
+        # stays selectable via SPARK_GRAFT_GC=parallel.  GC threads are
+        # pinned to the task-core budget: the JVM default (#machine-cores)
+        # oversubscribes CPU and measurably slows every parallelism level
+        # (409k vs 231k events/s at local[8] in the replay bench).
+        .config("spark.driver.extraJavaOptions", _gc_jvm_opts(master))
+        .config("spark.executor.extraJavaOptions", _gc_jvm_opts(master))
         # v2 commit algorithm: task outputs move to the destination at task
         # commit instead of a serial driver-side rename sweep.  Safe for this
         # engine: snapshot visibility is decided by the icehouse metadata CAS,
