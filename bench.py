@@ -280,10 +280,15 @@ def main() -> None:
             run_pair()
             extra += 1
         # peak sustained throughput: full multi-epoch replay, unpinned,
-        # at the host's sweet spot (exercises the stats-prefetch pipeline)
-        run_worker(PEAK_CPUS, N_EPOCHS, pin=False)
-        # merge-on-read peak: same log, delta-append commits (O(batch)/epoch)
-        run_worker(PEAK_CPUS, N_EPOCHS, pin=False, mode="mor")
+        # at the host's sweet spot (exercises the stats-prefetch pipeline).
+        # Interleaved best-of-2, same estimator as the scaling pair: a
+        # single sample on this shared host swings ±3× with external load
+        # (measured 126.3k vs 685.3k ev/s back-to-back on the identical
+        # job, BENCH.md), and run_worker already keeps the best per key.
+        for _ in range(2):
+            run_worker(PEAK_CPUS, N_EPOCHS, pin=False)
+            # merge-on-read peak: same log, delta-append commits (O(batch)/epoch)
+            run_worker(PEAK_CPUS, N_EPOCHS, pin=False, mode="mor")
 
     qtimes = run_queries()
 
