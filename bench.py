@@ -56,6 +56,20 @@ SCALE_EPOCHS = 1
 N_BUCKETS = 64
 SHM = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 
+
+def _bucket_count(epoch_rows: int) -> int:
+    """Bucket count sized to epoch volume — the same ~500k-rows-per-task
+    rule as shuffle partitions, because a delta append writes exactly
+    n_buckets tasks (`_layout`): a FIXED 64 leaves each write task an
+    in-task sort of 2M rows at the 256M-event tier (measured volume ratio
+    0.649 vs 64M; see BENCH.md "capstone"), which is the per-task growth a
+    real deployment removes by sizing bucket counts to table volume.
+    16M/64M tiers stay at 64 (history-comparable)."""
+    env = os.environ.get("SPARK_GRAFT_BENCH_BUCKETS")
+    if env:
+        return int(env)
+    return max(N_BUCKETS, min(epoch_rows // 500_000, 1024))
+
 HEADLINE_QUERIES = [
     "pricing_summary",
     "star_join_revenue",
@@ -97,8 +111,12 @@ def _bench_spark(cpus: int, app: str, epoch_rows: int | None = None):
             # tmpfs shuffle: IO is memcpy, so compression is pure CPU cost
             # (+22% replay throughput off).  On network-shuffle clusters the
             # default (compressed) is correct — this is a bench-host conf.
-            "spark.shuffle.compress": "false",
-            "spark.shuffle.spill.compress": "false",
+            # Override to "true" for volume tiers whose uncompressed shuffle
+            # would overflow the tmpfs (e.g. the 256M-event capstone run).
+            "spark.shuffle.compress":
+                os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"),
+            "spark.shuffle.spill.compress":
+                os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"),
         },
     )
 
@@ -160,14 +178,15 @@ def replay_worker(
     # machinery are warm before the clock starts.  Without this the first
     # epoch carries ~4-6 s of one-time JVM setup — a constant that is pure
     # Amdahl serial floor and measures the JVM, not the engine.
+    n_buckets = _bucket_count(N_EVENTS // N_EPOCHS)
     warm_table = IcehouseTable.create(
-        f"{root}/warm", schema, key_col="doc_id", n_buckets=N_BUCKETS
+        f"{root}/warm", schema, key_col="doc_id", n_buckets=n_buckets
     )
     ReplayRunner(warm_table, f"{root}/warm_ckpt.json", mode=mode).run(
         log.where(f"lsn < {max(N_EVENTS // 100, 10_000)}"), epochs=[0]
     )
 
-    table = IcehouseTable.create(f"{root}/t", schema, key_col="doc_id", n_buckets=N_BUCKETS)
+    table = IcehouseTable.create(f"{root}/t", schema, key_col="doc_id", n_buckets=n_buckets)
     n_events = N_EVENTS * n_epochs // N_EPOCHS
     t0 = time.time()
     ReplayRunner(table, f"{root}/ckpt.json", mode=mode).run(log, epochs=list(range(n_epochs)))
