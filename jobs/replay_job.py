@@ -69,7 +69,14 @@ def main() -> None:
     ap.add_argument("--table", required=True)
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--from-epoch", type=int, default=None)
-    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--n-buckets", type=int, default=64,
+                    help="hash-bucket count for the new table; size it to "
+                         "volume — a delta append writes exactly n_buckets "
+                         "tasks, so target ~500k rows (~125 MB) per bucket "
+                         "per epoch (fixed 64 buckets measured a 0.65x "
+                         "throughput cliff at 128M-row epochs; 256 buckets "
+                         "restored flat scaling — BENCH.md capstone). "
+                         "Growing tables re-size later via rebucket()")
     ap.add_argument("--events-per-epoch", type=int, default=100_000,
                     help="epoch fencing granularity for --source-format "
                          "debezium (epoch = lsn // N; native parquet logs "
