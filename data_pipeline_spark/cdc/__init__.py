@@ -13,6 +13,11 @@ from .changelog import (
     read_change_log,
 )
 from .cdf import diff_between_refs, snapshot_diff
+from .emit import (
+    emit_debezium_envelopes,
+    emit_published_feed,
+    snapshot_diff_images,
+)
 from .quarantine import drain_dlq
 from .quarantine import (
     DeadLetterSink,
@@ -43,7 +48,10 @@ __all__ = [
     "salted_lww_latest",
     "scd2_history",
     "snapshot_diff",
+    "snapshot_diff_images",
     "diff_between_refs",
+    "emit_debezium_envelopes",
+    "emit_published_feed",
     "drain_dlq",
     "DeadLetterSink",
     "apply_changes_with_dlq",

@@ -1,0 +1,221 @@
+"""Outbound CDC: publish the table's OWN change feed as Debezium envelopes.
+
+``sources/debezium.py`` is the inbound half (wire envelopes → canonical
+change events); this is the outbound half — any two committed snapshots
+(or tags) become a stream of standard Debezium JSON envelopes that ANY
+downstream CDC consumer can tail, including this engine itself
+(``debezium_to_change_events`` parses its own emission bit-faithfully,
+asserted by the mirror round-trip tests).  Together they close the loop
+the reference leaves open: its consumers re-diff whole BigQuery extracts
+client-side every run (``notification_service/bigquery_queries.py``,
+``anomaly_detection/big_query/extraction.py``), while a lakehouse CDC
+engine republishes row-level deltas downstream.
+
+Design points:
+
+- **True-LSN passthrough, no manufactured ordering.**  Every live row and
+  every tombstone already carries the ``_lsn`` of the change event that
+  produced it, so the emitted envelope's ``source.lsn`` is the ORIGINAL
+  upstream LSN — lineage survives the hop, re-emission is deterministic
+  (replay-stable), and a mirror table built from the feed resolves
+  last-writer-wins on the true order.  No window function, no
+  ``monotonically_increasing_id``, no driver-side numbering.
+- **Debezium-faithful images**: ``c`` carries ``after`` only, ``u`` carries
+  ``before`` AND ``after``, ``d`` carries ``before`` only (the convention
+  ``snapshot_diff``'s single-image feed flattens; consumers that want the
+  old value of an update need the two-image form).
+- **Scale shape**: two bucket-pruned snapshot scans + one co-partitioned
+  full-outer join on the immutable key-hash layout (same cost model as
+  ``cdc/cdf.py``), then a pure ``to_json`` projection — whole-stage
+  codegen, zero Python, output size O(changed rows).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..table.icehouse import DELETED_COL, LSN_COL, IcehouseTable
+
+
+def _resolve_ref(root: str, ref: "int | str") -> int:
+    if isinstance(ref, str):
+        tags = IcehouseTable.load(root).meta.get("tags", {})
+        if ref not in tags:
+            raise KeyError(f"no tag {ref!r} on table {root}")
+        return int(tags[ref])
+    return int(ref)
+
+
+def snapshot_diff_images(
+    spark: SparkSession,
+    root: str,
+    v_from: "int | str",
+    v_to: "int | str",
+) -> DataFrame:
+    """Two-image row-level delta between two committed versions:
+    ``(key, op I/U/D, before struct|null, after struct|null, lsn)``.
+
+    ``before`` is the row's value struct in ``v_from`` (null for inserts),
+    ``after`` its value struct in ``v_to`` (null for deletes) — the
+    two-image generalization of ``cdf.snapshot_diff`` (which keeps one
+    image per row).  ``lsn`` is the TRUE LSN of the ``v_to`` row that won
+    the key — for deletes, the retained tombstone's LSN; if a tombstone was
+    compacted away between the versions the lsn is null and the emitter
+    substitutes the snapshot watermark.
+
+    Value columns are the union of both schemas, so additive evolution
+    between the versions surfaces as ``before.<new_col> = null`` — exactly
+    how the table itself reads pre-evolution files.
+    """
+    old_t = IcehouseTable.load(root, version=_resolve_ref(root, v_from))
+    new_t = IcehouseTable.load(root, version=_resolve_ref(root, v_to))
+    key = old_t.key_col
+    fields: dict[str, object] = {}
+    for f in list(old_t.schema.fields) + list(new_t.schema.fields):
+        if f.name != key and f.name not in fields:
+            fields[f.name] = f.dataType
+    value_cols = list(fields)
+
+    def _image(t: IcehouseTable, alias: str, with_tombstones: bool):
+        # live rows define presence in the FROM snapshot; the TO snapshot
+        # keeps tombstones so a delete's true LSN rides along
+        df = t.read(spark, with_meta=with_tombstones)
+        have = set(df.columns)
+        cols = [
+            F.col(c) if c in have else F.lit(None).cast(fields[c]).alias(c)
+            for c in value_cols
+        ]
+        out = df.select(
+            F.col(key).alias("_k"),
+            F.struct(*[c.alias(n) for c, n in zip(cols, value_cols)]).alias(alias),
+            *(
+                [
+                    F.coalesce(F.col(DELETED_COL), F.lit(False)).alias("_dead"),
+                    F.col(LSN_COL).alias("_vlsn"),
+                ]
+                if with_tombstones
+                else []
+            ),
+        )
+        return out
+
+    old = _image(old_t, "_before", with_tombstones=False)
+    new = _image(new_t, "_after_raw", with_tombstones=True)
+    j = old.join(new, "_k", "full_outer")
+    after_live = F.col("_after_raw").isNotNull() & ~F.coalesce(
+        F.col("_dead"), F.lit(False)
+    )
+    after = F.when(after_live, F.col("_after_raw"))
+    op = (
+        F.when(F.col("_before").isNull() & after_live, "I")
+        .when(
+            F.col("_before").isNotNull()
+            & after_live
+            & ~F.col("_before").eqNullSafe(F.col("_after_raw")),
+            "U",
+        )
+        .when(F.col("_before").isNotNull() & ~after_live, "D")
+    )
+    return (
+        j.select(
+            F.col("_k").alias(key),
+            op.alias("op"),
+            F.col("_before").alias("before"),
+            after.alias("after"),
+            F.col("_vlsn").alias("lsn"),
+        )
+        .where(F.col("op").isNotNull())
+    )
+
+
+def emit_debezium_envelopes(
+    spark: SparkSession,
+    root: str,
+    ref_from: "int | str",
+    ref_to: "int | str",
+    connector: str = "icehouse",
+    table_name: str | None = None,
+    lsn_fallback: int | None = None,
+) -> DataFrame:
+    """Emit the delta between two committed snapshots (or tags) as Debezium
+    JSON envelopes — one string column ``value``, the exact shape
+    ``sources.debezium.debezium_to_change_events`` (and any real Debezium
+    consumer) takes.
+
+    - ``op`` ∈ c/u/d with Debezium image conventions (see module docstring);
+    - ``source.lsn`` = the true per-row LSN from the TO snapshot (tombstone
+      LSN for deletes); deletes whose tombstone was compacted away fall back
+      to ``lsn_fallback`` (default: the TO snapshot's LSN watermark from
+      commit metadata — a driver-side max over per-partition footer stats,
+      no data scan);
+    - ``source.txId`` = the TO version, ``ts_ms`` = its commit wall-clock —
+      both deterministic per (table, version) pair, so re-emission of the
+      same feed is byte-identical (modulo the commit timestamp, which is
+      pinned in the metadata, hence byte-identical too).
+    """
+    v_to = _resolve_ref(root, ref_to)
+    new_t = IcehouseTable.load(root, version=v_to)
+    if lsn_fallback is None:
+        highs = [
+            e.get("lsn_max")
+            for e in list(new_t.meta["partitions"].values())
+            + [d for ds in new_t.meta.get("deltas", {}).values() for d in ds]
+        ]
+        lsn_fallback = max((h for h in highs if h is not None), default=0)
+    ts_ms = int((new_t.meta.get("committed_at") or 0) * 1000)
+    diff = snapshot_diff_images(spark, root, ref_from, v_to)
+    key = new_t.key_col
+
+    # Debezium image conventions from the two-image diff: the key column
+    # rides inside before/after (consumers take deletes' key from `before`)
+    def _with_key(img_col: str, present):
+        return F.when(
+            present,
+            F.struct(F.col(key).alias(key), *[F.col(f"{img_col}.{c}").alias(c) for c in
+                                              diff.schema[img_col].dataType.fieldNames()]),
+        )
+
+    is_i = F.col("op") == "I"
+    is_d = F.col("op") == "D"
+    before = _with_key("before", ~is_i)
+    after = _with_key("after", ~is_d)
+    envelope = F.struct(
+        before.alias("before"),
+        after.alias("after"),
+        F.when(is_i, "c").when(is_d, "d").otherwise("u").alias("op"),
+        F.lit(ts_ms).alias("ts_ms"),
+        F.struct(
+            F.lit(connector).alias("connector"),
+            F.lit(None).cast("string").alias("db"),
+            F.lit(None).cast("string").alias("schema"),
+            F.lit(table_name or os.path.basename(os.path.abspath(root))).alias("table"),
+            F.coalesce(F.col("lsn"), F.lit(lsn_fallback)).alias("lsn"),
+            F.lit(v_to).cast("long").alias("txId"),
+        ).alias("source"),
+    )
+    # explicit nulls: Debezium serializes "before": null / "after": null
+    # (and null payload fields) literally — consumers key on their presence
+    return diff.select(
+        F.to_json(envelope, {"ignoreNullFields": "false"}).alias("value")
+    )
+
+
+def emit_published_feed(
+    spark: SparkSession,
+    root: str,
+    tag: str = "published",
+    **kwargs,
+) -> DataFrame:
+    """The WAP consumer's outbound feed: envelopes for everything that
+    changed between the last two AUDITED publishes (``{tag}-prev`` → ``tag``,
+    the pin pair ``table/wap.audit_and_publish`` maintains).  First publish
+    (no ``-prev`` tag yet) emits the full snapshot as inserts by diffing
+    against version 0 (the empty table)."""
+    tags = IcehouseTable.load(root).meta.get("tags", {})
+    if tag not in tags:
+        raise KeyError(f"no tag {tag!r} on table {root}")
+    prev: "int | str" = f"{tag}-prev" if f"{tag}-prev" in tags else 0
+    return emit_debezium_envelopes(spark, root, prev, tag, **kwargs)

@@ -40,7 +40,14 @@ def check_expectations(df: DataFrame, expectations: list[Expectation]) -> DataFr
 
     Returns (rule, n_rows, n_violations, pass_rate) — one row per rule,
     ``pass_rate`` rounded to 6 so reports hash-compare across engines.
+    An empty rule list yields an empty report (a zero-rule audit is
+    trivially clean; ``F.array()`` of zero structs would otherwise fail
+    analysis with a VOID element type).
     """
+    if not expectations:
+        return df.sparkSession.createDataFrame(
+            [], "rule string, n_rows long, n_violations long, pass_rate double"
+        )
     viol = [
         # coalesce the SUM too: over zero rows it is NULL, and an empty
         # input must still report (n_violations=0, pass_rate defined)

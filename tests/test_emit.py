@@ -1,0 +1,192 @@
+"""Outbound CDC tests: the table's emitted Debezium feed must be a faithful,
+LSN-preserving change log — parsing it back through the engine's OWN inbound
+adapter and applying it to a mirror table reproduces the source snapshot
+exactly (the full inbound↔outbound loop), including under schema evolution
+and chained incremental feeds."""
+
+import json
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_pipeline_spark.cdc import apply_changes
+from data_pipeline_spark.cdc.emit import (
+    emit_debezium_envelopes,
+    emit_published_feed,
+    snapshot_diff_images,
+)
+from data_pipeline_spark.sources.debezium import debezium_to_change_events
+from data_pipeline_spark.table import IcehouseTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+    ]
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        [Row(lsn=l, op=o, doc_id=k, tokens=t, n_tok=len(t) if t else None)
+         for l, o, k, t in rows],
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int",
+    )
+
+
+def _state(table, spark):
+    return {
+        r["doc_id"]: (tuple(r["tokens"]) if r["tokens"] is not None else None, r["n_tok"])
+        for r in table.read(spark).collect()
+    }
+
+
+def _mk_v1_v2(spark, tmp_path):
+    root = str(tmp_path / "src")
+    t = IcehouseTable.create(root, SCHEMA, key_col="doc_id", n_buckets=4)
+    apply_changes(t, _batch(spark, [
+        (1, "I", "a", [1]), (2, "I", "b", [2]), (3, "I", "c", [3]),
+    ]), epoch=0)
+    v1 = t.version
+    apply_changes(t, _batch(spark, [
+        (10, "U", "a", [1, 1]),   # update
+        (11, "D", "b", None),     # delete
+        (12, "I", "d", [4]),      # insert
+        (13, "U", "c", [3]),      # net no-op (identical payload)
+    ]), epoch=1)
+    return root, t, v1, t.version
+
+
+def test_two_image_diff_shapes_and_true_lsns(spark, tmp_path):
+    root, _, v1, v2 = _mk_v1_v2(spark, tmp_path)
+    rows = {r["doc_id"]: r for r in snapshot_diff_images(spark, root, v1, v2).collect()}
+    assert set(rows) == {"a", "b", "d"}  # c unchanged -> absent
+    a, b, d = rows["a"], rows["b"], rows["d"]
+    # update: BOTH images, true LSN of the winning event
+    assert a["op"] == "U" and a["lsn"] == 10
+    assert list(a["before"]["tokens"]) == [1] and list(a["after"]["tokens"]) == [1, 1]
+    # delete: before image only, the retained tombstone's LSN
+    assert b["op"] == "D" and b["after"] is None and b["lsn"] == 11
+    assert list(b["before"]["tokens"]) == [2]
+    # insert: after image only
+    assert d["op"] == "I" and d["before"] is None and d["lsn"] == 12
+    assert list(d["after"]["tokens"]) == [4]
+
+
+def test_envelopes_are_debezium_shaped(spark, tmp_path):
+    root, _, v1, v2 = _mk_v1_v2(spark, tmp_path)
+    env = {
+        json.loads(r["value"])["source"]["lsn"]: json.loads(r["value"])
+        for r in emit_debezium_envelopes(spark, root, v1, v2).collect()
+    }
+    assert set(env) == {10, 11, 12}
+    upd, dele, ins = env[10], env[11], env[12]
+    assert upd["op"] == "u" and upd["before"]["tokens"] == [1] and upd["after"]["tokens"] == [1, 1]
+    assert dele["op"] == "d" and dele["after"] is None and dele["before"]["doc_id"] == "b"
+    assert ins["op"] == "c" and ins["before"] is None and ins["after"]["doc_id"] == "d"
+    # txId pins the TO version; ts_ms pins its commit time (deterministic)
+    assert all(e["source"]["txId"] == v2 for e in env.values())
+    assert len({e["ts_ms"] for e in env.values()}) == 1 and upd["ts_ms"] > 0
+
+
+def test_mirror_roundtrip_through_own_inbound_adapter(spark, tmp_path):
+    root, t, v1, v2 = _mk_v1_v2(spark, tmp_path)
+    mirror = IcehouseTable.create(
+        str(tmp_path / "mirror"), SCHEMA, key_col="doc_id", n_buckets=4
+    )
+    for i, (lo, hi) in enumerate([(0, v1), (v1, v2)]):
+        feed = emit_debezium_envelopes(spark, root, lo, hi)
+        events = debezium_to_change_events(feed, SCHEMA).drop("epoch")
+        apply_changes(mirror, events, epoch=i)
+    assert _state(mirror, spark) == _state(t, spark)
+    # exactly-once: re-applying the last feed is a fenced no-op
+    feed = emit_debezium_envelopes(spark, root, v1, v2)
+    stats = apply_changes(
+        mirror, debezium_to_change_events(feed, SCHEMA).drop("epoch"), epoch=1
+    )
+    assert stats.result.skipped
+    assert _state(mirror, spark) == _state(t, spark)
+
+
+def test_chained_feeds_equal_direct_diff(spark, tmp_path):
+    root, t, v1, v2 = _mk_v1_v2(spark, tmp_path)
+    apply_changes(t, _batch(spark, [
+        (20, "D", "d", None), (21, "I", "e", [5, 5]), (22, "U", "a", [7]),
+    ]), epoch=2)
+    v3 = t.version
+    stepped = IcehouseTable.create(str(tmp_path / "s"), SCHEMA, key_col="doc_id", n_buckets=4)
+    for i, (lo, hi) in enumerate([(0, v1), (v1, v2), (v2, v3)]):
+        feed = emit_debezium_envelopes(spark, root, lo, hi)
+        apply_changes(stepped, debezium_to_change_events(feed, SCHEMA).drop("epoch"), epoch=i)
+    direct = IcehouseTable.create(str(tmp_path / "j"), SCHEMA, key_col="doc_id", n_buckets=4)
+    feed = emit_debezium_envelopes(spark, root, 0, v3)
+    apply_changes(direct, debezium_to_change_events(feed, SCHEMA).drop("epoch"), epoch=0)
+    assert _state(stepped, spark) == _state(direct, spark) == _state(t, spark)
+
+
+def test_emit_surfaces_schema_evolution(spark, tmp_path):
+    from data_pipeline_spark.cdc import apply_changes_with_evolution
+
+    root = str(tmp_path / "src")
+    t = IcehouseTable.create(root, SCHEMA, key_col="doc_id", n_buckets=4)
+    apply_changes(t, _batch(spark, [(1, "I", "a", [1])]), epoch=0)
+    v1 = t.version
+    evolved = T.StructType(
+        list(SCHEMA.fields) + [T.StructField("lang", T.StringType(), True)]
+    )
+    batch = spark.createDataFrame(
+        [Row(lsn=10, op="I", doc_id="b", tokens=[2], n_tok=1, lang="en"),
+         Row(lsn=11, op="U", doc_id="a", tokens=[1], n_tok=1, lang="de")],
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int, lang string",
+    )
+    apply_changes_with_evolution(t, batch, epoch=1)
+    v2 = t.version
+
+    feed = emit_debezium_envelopes(spark, root, v1, v2)
+    env = {json.loads(r["value"])["source"]["lsn"]: json.loads(r["value"])
+           for r in feed.collect()}
+    # the pre-evolution BEFORE image surfaces the new column as null
+    assert env[11]["before"]["lang"] is None and env[11]["after"]["lang"] == "de"
+
+    mirror = IcehouseTable.create(str(tmp_path / "m"), evolved, key_col="doc_id", n_buckets=4)
+    full = emit_debezium_envelopes(spark, root, 0, v2)
+    apply_changes(mirror, debezium_to_change_events(full, evolved).drop("epoch"), epoch=0)
+    want = {r["doc_id"]: (tuple(r["tokens"]), r["lang"])
+            for r in t.read(spark).collect()}
+    got = {r["doc_id"]: (tuple(r["tokens"]), r["lang"])
+           for r in mirror.read(spark).collect()}
+    assert got == want == {"a": ((1,), "de"), "b": ((2,), "en")}
+
+
+def test_emit_published_feed_uses_wap_prev_pin(spark, tmp_path):
+    from data_pipeline_spark.operators.expectations import Expectation
+    from data_pipeline_spark.table.wap import audit_and_publish
+
+    rules = [Expectation("has_key", F.col("doc_id").isNotNull())]
+    root, t, v1, v2 = _mk_v1_v2(spark, tmp_path)
+    r1 = audit_and_publish(t, spark, rules, version=v1)
+    assert r1.published
+    # first publish: no -prev tag yet -> full snapshot as inserts
+    first = [json.loads(r["value"]) for r in emit_published_feed(spark, root).collect()]
+    assert {e["op"] for e in first} == {"c"} and len(first) == 3
+    r2 = audit_and_publish(t, spark, rules, version=v2)
+    assert r2.published
+    env = {json.loads(r["value"])["source"]["lsn"]: json.loads(r["value"])
+           for r in emit_published_feed(spark, root).collect()}
+    assert set(env) == {10, 11, 12}  # exactly the audited delta, not raw commits
+    assert env[11]["op"] == "d"
+
+
+def test_emit_empty_delta_and_tombstone_fallback_lsn(spark, tmp_path):
+    root, t, v1, v2 = _mk_v1_v2(spark, tmp_path)
+    assert emit_debezium_envelopes(spark, root, v2, v2).count() == 0
+    # identical-version diff at v1 too (no spurious events from meta columns)
+    assert snapshot_diff_images(spark, root, v1, v1).count() == 0
+    # a delete-then-insert of the SAME key between the endpoints nets to U/I
+    apply_changes(t, _batch(spark, [(30, "D", "a", None)]), epoch=3)
+    apply_changes(t, _batch(spark, [(31, "I", "a", [9])]), epoch=4)
+    rows = {r["doc_id"]: r for r in
+            snapshot_diff_images(spark, root, v2, t.version).collect()}
+    assert rows["a"]["op"] == "U" and rows["a"]["lsn"] == 31

@@ -60,3 +60,12 @@ def test_referential_is_lazy_and_rounds_half_up(spark):
     rep = referential_violations(child, parent, "fk", "pk")
     r = rep.collect()[0]
     assert (r.n_rows, r.n_violations, r.pass_rate) == (128, 127, 0.007813)
+
+
+def test_zero_rules_is_trivially_clean(spark):
+    # an empty rule list must yield an empty report, not an analysis error
+    # (F.array() of zero structs has VOID element type)
+    df = spark.createDataFrame([Row(x=1)])
+    rep = check_expectations(df, [])
+    assert rep.count() == 0
+    assert rep.columns == ["rule", "n_rows", "n_violations", "pass_rate"]
