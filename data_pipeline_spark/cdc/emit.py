@@ -203,6 +203,70 @@ def emit_debezium_envelopes(
     )
 
 
+def emit_to_files(
+    spark: SparkSession,
+    root: str,
+    out_dir: str,
+    checkpoint: str,
+    ref_to: "int | str | None" = None,
+    **kwargs,
+) -> dict:
+    """Checkpointed incremental publisher: emit everything committed since
+    the last run as Debezium JSON-lines files in ``out_dir`` — the exact
+    wire a downstream ``StreamingIngest(source_format="debezium")`` (or any
+    Kafka-Connect-style consumer) tails.
+
+    ``checkpoint`` is a tiny JSON file holding the last emitted version;
+    each run emits ``(last, head]`` (or ``(last, ref_to]``) and advances it.
+    Files are written to a scratch subdirectory and MOVED into ``out_dir``
+    with unique names (rename = the atomic-visibility contract file-stream
+    sources rely on).
+
+    Delivery contract: AT-LEAST-ONCE with idempotent effect — a crash
+    between the move and the checkpoint write re-emits the same delta next
+    run, but re-applied envelopes carry identical true LSNs and payloads,
+    so a LWW consumer converges to the same state (and the engine's own
+    streaming tail additionally fences per micro-batch).  Exactly-once
+    OUTPUT would need a transactional sink; the checkpoint bounds the
+    window to one delta.
+    """
+    import json as _json
+    import shutil
+    import tempfile
+
+    last = 0
+    if os.path.exists(checkpoint):
+        with open(checkpoint) as fh:
+            last = int(_json.load(fh)["last_emitted_version"])
+    head = _resolve_ref(root, ref_to) if ref_to is not None else IcehouseTable.load(root).version
+    if head <= last:
+        return {"emitted_versions": None, "files": 0, "rows": 0}
+    feed = emit_debezium_envelopes(spark, root, last, head, **kwargs)
+    os.makedirs(out_dir, exist_ok=True)
+    scratch = tempfile.mkdtemp(prefix="emit_", dir=out_dir)
+    try:
+        feed.write.mode("overwrite").text(os.path.join(scratch, "data"))
+        moved = 0
+        rows = 0
+        for name in sorted(os.listdir(os.path.join(scratch, "data"))):
+            if not name.startswith("part-"):
+                continue
+            src = os.path.join(scratch, "data", name)
+            if os.path.getsize(src) == 0:
+                continue
+            with open(src) as fh:
+                rows += sum(1 for _ in fh)
+            os.rename(src, os.path.join(out_dir, f"delta_v{last:08d}_v{head:08d}_{name}"))
+            moved += 1
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    tmp_ck = checkpoint + ".tmp"
+    with open(tmp_ck, "w") as fh:
+        _json.dump({"last_emitted_version": head}, fh)
+    os.replace(tmp_ck, checkpoint)
+    return {"emitted_versions": (last, head), "files": moved, "rows": rows}
+
+
 def emit_published_feed(
     spark: SparkSession,
     root: str,

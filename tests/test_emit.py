@@ -190,3 +190,49 @@ def test_emit_empty_delta_and_tombstone_fallback_lsn(spark, tmp_path):
     rows = {r["doc_id"]: r for r in
             snapshot_diff_images(spark, root, v2, t.version).collect()}
     assert rows["a"]["op"] == "U" and rows["a"]["lsn"] == 31
+
+
+def test_emit_to_files_feeds_a_live_streaming_mirror(spark, tmp_path):
+    """Table→table replication through the engine's own wire: incremental
+    emit runs publish Debezium JSON-lines files, a streaming Debezium tail
+    ingests them exactly-once into a mirror, mirror ≡ source after every
+    round — the full outbound→inbound loop over an actual directory feed."""
+    from data_pipeline_spark.cdc.emit import emit_to_files
+    from data_pipeline_spark.streaming.ingest import StreamingIngest
+
+    root = str(tmp_path / "src")
+    t = IcehouseTable.create(root, SCHEMA, key_col="doc_id", n_buckets=4)
+    feed_dir = str(tmp_path / "feed")
+    ck_emit = str(tmp_path / "emit_ck.json")
+    mirror = IcehouseTable.create(str(tmp_path / "m"), SCHEMA, key_col="doc_id", n_buckets=4)
+    ingest = StreamingIngest(
+        mirror, str(tmp_path / "stream_ck"), source_format="debezium"
+    )
+
+    def drain():
+        q = ingest.start(spark, feed_dir, trigger_once=True)
+        q.awaitTermination(120)
+
+    # round 1: initial snapshot
+    apply_changes(t, _batch(spark, [
+        (1, "I", "a", [1]), (2, "I", "b", [2]), (3, "I", "c", [3]),
+    ]), epoch=0)
+    r1 = emit_to_files(spark, root, feed_dir, ck_emit)
+    assert r1["rows"] == 3 and r1["files"] >= 1
+    drain()
+    assert _state(mirror.refresh(), spark) == _state(t, spark)
+
+    # round 2: incremental delta only (checkpoint advanced)
+    apply_changes(t, _batch(spark, [
+        (10, "U", "a", [1, 1]), (11, "D", "b", None), (12, "I", "d", [4]),
+    ]), epoch=1)
+    r2 = emit_to_files(spark, root, feed_dir, ck_emit)
+    assert r2["rows"] == 3  # delta, not a re-snapshot
+    drain()
+    assert _state(mirror.refresh(), spark) == _state(t, spark)
+
+    # round 3: nothing new -> no files, tail drains nothing, states stable
+    r3 = emit_to_files(spark, root, feed_dir, ck_emit)
+    assert r3 == {"emitted_versions": None, "files": 0, "rows": 0}
+    drain()
+    assert _state(mirror.refresh(), spark) == _state(t, spark)
