@@ -1865,6 +1865,58 @@ def cdc_rollback_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("cdc_emit_mirror_state", _CDC_REPLAY_ORACLE)
+def cdc_emit_mirror_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outbound-CDC flagship: replay the portable log into a source table,
+    then rebuild a MIRROR table from nothing but the source's own emitted
+    Debezium feed (``cdc/emit.emit_debezium_envelopes`` → the engine's own
+    inbound ``debezium_to_change_events`` → ``apply_changes``) and return
+    the MIRROR's per-source rollup.  The oracle is the identical
+    LCG-recomputed final state — so the full outbound→inbound replication
+    loop (two-image diff, true-LSN passthrough, envelope serialization,
+    typed re-parse, LWW re-apply) is value-hash-certified end to end.
+    Image-shape, schema-evolution, and live streaming-tail variants are
+    additionally asserted in tests/test_emit.py."""
+    import tempfile
+
+    from .cdc.apply import apply_changes
+    from .cdc.changelog import generate_change_log_portable
+    from .cdc.emit import emit_debezium_envelopes
+    from .cdc.replay import ReplayRunner
+    from .sources.debezium import debezium_to_change_events
+    from .table.icehouse import IcehouseTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+            T.StructField("n_tok", T.IntegerType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="icehouse_emit_")
+    table = IcehouseTable.create(f"{root}/src", schema, key_col="doc_id", n_buckets=8)
+    log = generate_change_log_portable(
+        spark, n_events=6000, n_docs=500, events_per_epoch=2000, seed=42
+    )
+    ReplayRunner(table, f"{root}/ckpt.json").run(log)
+
+    mirror = IcehouseTable.create(f"{root}/mirror", schema, key_col="doc_id", n_buckets=8)
+    feed = emit_debezium_envelopes(spark, f"{root}/src", 0, table.version)
+    apply_changes(mirror, debezium_to_change_events(feed, schema).drop("epoch"), epoch=0)
+    return (
+        mirror.read(spark)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 # Oracle for the Debezium envelope adapter: recompute the portable change
 # log INCLUDING its duplicate-delivery rows (the parse is event-level, so
 # unlike the LWW final state it is not duplicate-invariant), null the delete
