@@ -14,8 +14,10 @@ from .changelog import (
 )
 from .cdf import diff_between_refs, snapshot_diff
 from .emit import (
+    emit_changed_since,
     emit_debezium_envelopes,
     emit_published_feed,
+    emit_to_files,
     snapshot_diff_images,
 )
 from .quarantine import drain_dlq
@@ -50,8 +52,10 @@ __all__ = [
     "snapshot_diff",
     "snapshot_diff_images",
     "diff_between_refs",
+    "emit_changed_since",
     "emit_debezium_envelopes",
     "emit_published_feed",
+    "emit_to_files",
     "drain_dlq",
     "DeadLetterSink",
     "apply_changes_with_dlq",

@@ -203,6 +203,70 @@ def emit_debezium_envelopes(
     )
 
 
+def emit_changed_since(
+    spark: SparkSession,
+    table: IcehouseTable,
+    lsn_watermark: int,
+    connector: str = "icehouse",
+    table_name: str | None = None,
+) -> DataFrame:
+    """The O(changed-data) emitter: Debezium envelopes for every key whose
+    winning version has ``_lsn > lsn_watermark``, built on
+    ``IcehouseTable.read_changed_since`` — per-file ``lsn_max`` footer stats
+    prune every file that cannot hold a newer winner, so a consumer polling
+    each epoch reads (and emits) only that epoch's changed data, never the
+    table.
+
+    Cost/fidelity trade vs :func:`emit_debezium_envelopes` (pick per feed):
+
+    - **snapshot-pair diff**: exact ``c``/``u``/``d`` with full BEFORE
+      images, but costs two table scans + a key join — the audited-publish
+      feed shape;
+    - **watermark feed (this)**: one pruned scan, no join, O(changed data) —
+      but no before images and no insert/update distinction (the old state
+      was never read).  Non-deletes are emitted as ``op": "u"`` with
+      ``before: null`` — the shape Postgres logical replication produces
+      under ``REPLICA IDENTITY NOTHING``, and every upsert consumer
+      (including this engine's inbound adapter, which maps c/r/u alike to
+      upsert) converges identically on it.  Deletes carry the key inside
+      ``before`` per the Debezium contract, also with null payload fields.
+
+    ``source.lsn`` is the row's true ``_lsn``; ``txId`` the current version;
+    ``ts_ms`` its commit wall-clock.  The next poll's watermark is the max
+    emitted lsn (aggregate it from the feed, or track the table's own
+    lineage high-water mark).
+    """
+    key = table.key_col
+    changed = table.read_changed_since(spark, lsn_watermark)
+    value_cols = [f.name for f in table.schema.fields if f.name != key]
+    is_d = F.coalesce(F.col(DELETED_COL), F.lit(False))
+    row_image = F.struct(
+        F.col(key).alias(key), *[F.col(c).alias(c) for c in value_cols]
+    )
+    # delete envelopes carry the key (payload fields are NULL on tombstone
+    # rows already — the apply path never writes a delete's payload)
+    ts_ms = int((table.meta.get("committed_at") or 0) * 1000)
+    envelope = F.struct(
+        F.when(is_d, row_image).alias("before"),
+        F.when(~is_d, row_image).alias("after"),
+        F.when(is_d, "d").otherwise("u").alias("op"),
+        F.lit(ts_ms).alias("ts_ms"),
+        F.struct(
+            F.lit(connector).alias("connector"),
+            F.lit(None).cast("string").alias("db"),
+            F.lit(None).cast("string").alias("schema"),
+            F.lit(table_name or os.path.basename(os.path.abspath(table.root))).alias(
+                "table"
+            ),
+            F.col(LSN_COL).alias("lsn"),
+            F.lit(int(table.version)).cast("long").alias("txId"),
+        ).alias("source"),
+    )
+    return changed.select(
+        F.to_json(envelope, {"ignoreNullFields": "false"}).alias("value")
+    )
+
+
 def emit_to_files(
     spark: SparkSession,
     root: str,

@@ -236,3 +236,39 @@ def test_emit_to_files_feeds_a_live_streaming_mirror(spark, tmp_path):
     assert r3 == {"emitted_versions": None, "files": 0, "rows": 0}
     drain()
     assert _state(mirror.refresh(), spark) == _state(t, spark)
+
+
+def test_emit_changed_since_is_an_upsert_feed_mirror(spark, tmp_path):
+    """Watermark emitter: O(changed-data) envelopes (upsert/delete, no
+    before images) still converge a mirror to the source state, and each
+    poll emits ONLY the delta beyond the watermark."""
+    from data_pipeline_spark.cdc.emit import emit_changed_since
+
+    root = str(tmp_path / "src")
+    t = IcehouseTable.create(root, SCHEMA, key_col="doc_id", n_buckets=4)
+    apply_changes(t, _batch(spark, [
+        (1, "I", "a", [1]), (2, "I", "b", [2]), (3, "I", "c", [3]),
+    ]), epoch=0)
+    mirror = IcehouseTable.create(str(tmp_path / "m"), SCHEMA, key_col="doc_id", n_buckets=4)
+
+    feed0 = emit_changed_since(spark, t, lsn_watermark=0)
+    env0 = [json.loads(r["value"]) for r in feed0.collect()]
+    assert len(env0) == 3 and {e["op"] for e in env0} == {"u"}
+    assert all(e["before"] is None for e in env0)  # no old state was read
+    apply_changes(mirror, debezium_to_change_events(feed0, SCHEMA).drop("epoch"), epoch=0)
+    assert _state(mirror, spark) == _state(t, spark)
+
+    apply_changes(t, _batch(spark, [
+        (10, "U", "a", [1, 1]), (11, "D", "b", None), (12, "I", "d", [4]),
+    ]), epoch=1)
+    feed1 = emit_changed_since(spark, t.refresh(), lsn_watermark=3)
+    env1 = {json.loads(r["value"])["source"]["lsn"]: json.loads(r["value"])
+            for r in feed1.collect()}
+    assert set(env1) == {10, 11, 12}  # ONLY the delta past the watermark
+    dele = env1[11]
+    assert dele["op"] == "d" and dele["after"] is None and dele["before"]["doc_id"] == "b"
+    apply_changes(mirror, debezium_to_change_events(feed1, SCHEMA).drop("epoch"), epoch=1)
+    assert _state(mirror, spark) == _state(t, spark)
+
+    # quiescent poll: nothing past the head watermark
+    assert emit_changed_since(spark, t, lsn_watermark=12).count() == 0
