@@ -272,3 +272,64 @@ def test_emit_changed_since_is_an_upsert_feed_mirror(spark, tmp_path):
 
     # quiescent poll: nothing past the head watermark
     assert emit_changed_since(spark, t, lsn_watermark=12).count() == 0
+
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# an event: (key 0..3, op, payload token) — the same space the replay
+# property test explores (duplicate keys, delete-then-reinsert, any mix)
+_events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.sampled_from(["I", "U", "D"]),
+        st.integers(min_value=0, max_value=99),
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@pytest.mark.parametrize("emitter", ["pair", "watermark"])
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=_events_strategy, split=st.integers(min_value=1, max_value=13))
+def test_property_replication_loop_converges(
+    spark, tmp_path_factory, events, split, emitter
+):
+    """For ARBITRARY event sequences split into two feeds at an arbitrary
+    point, a mirror built from the source's emitted envelopes (either
+    emitter) equals the source's final state under token-array equality."""
+    from data_pipeline_spark.cdc.emit import (
+        emit_changed_since,
+        emit_debezium_envelopes,
+    )
+
+    rows = [
+        (lsn, op, f"k{k}", None if op == "D" else [tok, tok + 1],
+         None if op == "D" else 2)
+        for lsn, (k, op, tok) in enumerate(events)
+    ]
+    log = spark.createDataFrame(
+        rows, "lsn long, op string, doc_id string, tokens array<int>, n_tok int"
+    )
+    root = tmp_path_factory.mktemp("prop_emit")
+    src = IcehouseTable.create(str(root / "s"), SCHEMA, key_col="doc_id", n_buckets=2)
+    mirror = IcehouseTable.create(str(root / "m"), SCHEMA, key_col="doc_id", n_buckets=2)
+    cut = min(split, len(rows))
+    marks = [(0, cut - 1), (cut, len(rows) - 1)]
+    prev_v = 0
+    for ep, (lo, hi) in enumerate(marks):
+        batch = log.where(f"lsn >= {lo} and lsn <= {hi}")
+        if batch.isEmpty():
+            continue
+        apply_changes(src, batch, epoch=ep)
+        if emitter == "pair":
+            feed = emit_debezium_envelopes(spark, src.root, prev_v, src.version)
+        else:
+            feed = emit_changed_since(spark, src.refresh(), lsn_watermark=lo - 1)
+        apply_changes(
+            mirror, debezium_to_change_events(feed, SCHEMA).drop("epoch"), epoch=ep
+        )
+        prev_v = src.version
+    assert _state(mirror.refresh(), spark) == _state(src, spark)
