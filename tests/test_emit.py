@@ -333,3 +333,40 @@ def test_property_replication_loop_converges(
         )
         prev_v = src.version
     assert _state(mirror.refresh(), spark) == _state(src, spark)
+
+
+def test_emit_across_rebucket_compaction_and_vacuum_boundaries(spark, tmp_path):
+    """Layout-change hardening: the diff endpoints may straddle a rebucket
+    (different bucket counts per side), a compaction (deltas folded), and a
+    tombstone vacuum (delete's tombstone physically gone).  The mirror must
+    still converge; a vacuumed delete falls back to the metadata LSN
+    watermark for its envelope LSN."""
+    root = str(tmp_path / "src")
+    t = IcehouseTable.create(root, SCHEMA, key_col="doc_id", n_buckets=2)
+    apply_changes(t, _batch(spark, [
+        (1, "I", "a", [1]), (2, "I", "b", [2]), (3, "I", "c", [3]),
+    ]), epoch=0)
+    v1 = t.version
+    # layout churn between the endpoints: rebucket 2->8, then changes,
+    # then compaction, then vacuum the delete's tombstone
+    t.rebucket(spark, 8)
+    apply_changes(t, _batch(spark, [
+        (10, "U", "a", [1, 1]), (11, "D", "b", None), (12, "I", "d", [4]),
+    ]), epoch=1)
+    t.compact_partitions(spark)
+    t.vacuum_tombstones(spark, lsn_watermark=100)
+    v2 = t.version
+
+    rows = {r["doc_id"]: r for r in snapshot_diff_images(spark, root, v1, v2).collect()}
+    assert set(rows) == {"a", "b", "d"}
+    assert rows["b"]["op"] == "D" and rows["b"]["lsn"] is None  # tombstone vacuumed
+    env = {json.loads(r["value"])["before" if json.loads(r["value"])["op"] == "d" else "after"]["doc_id"]:
+           json.loads(r["value"])
+           for r in emit_debezium_envelopes(spark, root, v1, v2).collect()}
+    assert env["b"]["op"] == "d" and env["b"]["source"]["lsn"] == 12  # fallback = lsn watermark
+
+    mirror = IcehouseTable.create(str(tmp_path / "m"), SCHEMA, key_col="doc_id", n_buckets=4)
+    for i, (lo, hi) in enumerate([(0, v1), (v1, v2)]):
+        feed = emit_debezium_envelopes(spark, root, lo, hi)
+        apply_changes(mirror, debezium_to_change_events(feed, SCHEMA).drop("epoch"), epoch=i)
+    assert _state(mirror, spark) == _state(t, spark)
