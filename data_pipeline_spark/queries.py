@@ -3955,11 +3955,16 @@ _DRIVER_WINDOW_FIRST = [
     # bpe_learned_merges REJOINS the window now that the 12-round unrolled
     # oracle exists: its first-ever hash row replaces a re-check of
     # sketch_aggregates (r03 hash-green, code untouched this round).
+    # cdc_emit_mirror_state (NEW round-4 engine code: the outbound→inbound
+    # replication loop) takes the slot of star_join_revenue (r03 hash-green,
+    # plan untouched this round, still exercised by the in-repo parity suite
+    # and the bench sweep) — driver evidence for new code beats a third
+    # re-check of an unchanged query.
     "dataset_split_assign", "mixture_sample_sources",
     "dataset_curation_pipeline", "wap_published_view", "cdc_final_state",
     "debezium_envelope_parse", "debezium_replay_final_state",
     "corpus_pack_sequences", "dedup_keep_best", "bpe_learned_merges",
-    "ann_ivf_topk", "pricing_summary", "star_join_revenue",
+    "ann_ivf_topk", "pricing_summary", "cdc_emit_mirror_state",
     "lww_latest_per_key", "token_normalize", "token_pack_windows",
     "bpe_apply_fixed",
 ]
