@@ -70,11 +70,21 @@ def snapshot_diff_images(
     between the versions surfaces as ``before.<new_col> = null`` — exactly
     how the table itself reads pre-evolution files.
     """
-    old_t = IcehouseTable.load(root, version=_resolve_ref(root, v_from))
+    vf = _resolve_ref(root, v_from)
+    try:
+        old_t = IcehouseTable.load(root, version=vf)
+    except FileNotFoundError:
+        if vf != 0:
+            raise
+        # v0 is BY CONSTRUCTION the empty table; if snapshot retention has
+        # expired its metadata, a bootstrap diff (0 -> head) still has a
+        # well-defined answer — every live head row as an insert
+        old_t = None
     new_t = IcehouseTable.load(root, version=_resolve_ref(root, v_to))
-    key = old_t.key_col
+    key = new_t.key_col
     fields: dict[str, object] = {}
-    for f in list(old_t.schema.fields) + list(new_t.schema.fields):
+    old_fields = list(old_t.schema.fields) if old_t is not None else []
+    for f in old_fields + list(new_t.schema.fields):
         if f.name != key and f.name not in fields:
             fields[f.name] = f.dataType
     value_cols = list(fields)
@@ -102,8 +112,12 @@ def snapshot_diff_images(
         )
         return out
 
-    old = _image(old_t, "_before", with_tombstones=False)
     new = _image(new_t, "_after_raw", with_tombstones=True)
+    old = (
+        _image(old_t, "_before", with_tombstones=False)
+        if old_t is not None
+        else _image(new_t, "_before", with_tombstones=False).limit(0)
+    )
     j = old.join(new, "_k", "full_outer")
     after_live = F.col("_after_raw").isNotNull() & ~F.coalesce(
         F.col("_dead"), F.lit(False)
@@ -293,18 +307,69 @@ def emit_to_files(
     streaming tail additionally fences per micro-batch).  Exactly-once
     OUTPUT would need a transactional sink; the checkpoint bounds the
     window to one delta.
+
+    GC safety: each successful run re-points a feed tag (``emit:<checkpoint
+    sha>``, override with ``pin_tag``; ``pin_tag=None`` disables) at the
+    newly emitted head — tagged versions are exempt from
+    ``expire_snapshots``, so snapshot retention can never age out the
+    baseline the NEXT run must diff against.  If the baseline is gone
+    anyway (pinning was off, or the tag was deleted), the run fails fast
+    with the remediation named instead of silently mis-diffing.
+
+    Idle polls are metadata-only: when the baseline and head reference the
+    IDENTICAL data files (only pure-metadata commits in between — tags,
+    including this publisher's own pin, GC bookkeeping), no row can have
+    changed, so the run returns empty without a Spark job and without
+    advancing checkpoint or tag.
     """
+    import hashlib
     import json as _json
     import shutil
     import tempfile
 
+    pin_tag = kwargs.pop(
+        "pin_tag",
+        "emit:" + hashlib.sha256(os.path.abspath(checkpoint).encode()).hexdigest()[:12],
+    )
     last = 0
     if os.path.exists(checkpoint):
         with open(checkpoint) as fh:
             last = int(_json.load(fh)["last_emitted_version"])
     head = _resolve_ref(root, ref_to) if ref_to is not None else IcehouseTable.load(root).version
+    empty: dict = {"emitted_versions": None, "files": 0, "rows": 0}
     if head <= last:
-        return {"emitted_versions": None, "files": 0, "rows": 0}
+        return empty
+    last_meta: "dict | None" = None
+    try:
+        if last > 0:  # v0 needs no metadata: a bootstrap diff is inserts-only
+            last_meta = IcehouseTable.load(root, version=last).meta
+    except FileNotFoundError:
+        raise RuntimeError(
+            f"emit baseline v{last} of {root} was expired by snapshot "
+            f"retention — the incremental feed cannot diff against it. "
+            f"Keep the feed tag ({pin_tag or 'pin_tag'}) in place (it is "
+            "created automatically unless pin_tag=None), or re-bootstrap "
+            "the consumer: delete the emit checkpoint to emit a full "
+            "snapshot from version 0."
+        ) from None
+
+    def _data_refs(meta: "dict | None"):
+        if meta is None:  # v0: the empty table
+            return ({}, {})
+        return (
+            {p: r["path"] for p, r in meta["partitions"].items()},
+            {p: [d["path"] for d in ds] for p, ds in meta.get("deltas", {}).items()},
+        )
+
+    head_meta = IcehouseTable.load(root, version=head).meta
+    if _data_refs(last_meta) == _data_refs(head_meta):
+        # only pure-metadata commits since the baseline (tags — including
+        # this publisher's OWN pin —, GC bookkeeping): no row can have
+        # changed, so emit nothing and leave checkpoint+tag in place.
+        # This is also what keeps an idle poll cheap (two driver-side
+        # metadata loads, zero Spark jobs) and prevents the pin commit
+        # from turning every idle run into a fresh "new version".
+        return empty
     feed = emit_debezium_envelopes(spark, root, last, head, **kwargs)
     os.makedirs(out_dir, exist_ok=True)
     scratch = tempfile.mkdtemp(prefix="emit_", dir=out_dir)
@@ -328,6 +393,10 @@ def emit_to_files(
     with open(tmp_ck, "w") as fh:
         _json.dump({"last_emitted_version": head}, fh)
     os.replace(tmp_ck, checkpoint)
+    if pin_tag:
+        # pin the new baseline against snapshot retention (re-pointing the
+        # same tag each run releases the previous baseline for GC)
+        IcehouseTable.load(root).create_tag(pin_tag, version=head)
     return {"emitted_versions": (last, head), "files": moved, "rows": rows}
 
 

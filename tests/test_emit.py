@@ -370,3 +370,36 @@ def test_emit_across_rebucket_compaction_and_vacuum_boundaries(spark, tmp_path):
         feed = emit_debezium_envelopes(spark, root, lo, hi)
         apply_changes(mirror, debezium_to_change_events(feed, SCHEMA).drop("epoch"), epoch=i)
     assert _state(mirror, spark) == _state(t, spark)
+
+
+def test_emit_checkpoint_baseline_survives_snapshot_retention(spark, tmp_path):
+    """emit_to_files pins its baseline with a tag, so expire_snapshots can
+    never age out the version the next incremental run diffs against; with
+    pinning disabled the run fails FAST with the remediation named."""
+    from data_pipeline_spark.cdc.emit import emit_to_files
+
+    root = str(tmp_path / "src")
+    t = IcehouseTable.create(root, SCHEMA, key_col="doc_id", n_buckets=2)
+    feed, ck = str(tmp_path / "feed"), str(tmp_path / "ck.json")
+    apply_changes(t, _batch(spark, [(1, "I", "a", [1])]), epoch=0)
+    r1 = emit_to_files(spark, root, feed, ck)
+    assert r1["rows"] == 1
+    # churn several versions past the retention window
+    for i in range(4):
+        apply_changes(t, _batch(spark, [(10 + i, "U", "a", [i])]), epoch=1 + i)
+    t.expire_snapshots(keep_last=1)
+    # the pinned baseline (v1) survived; the incremental diff still works
+    r2 = emit_to_files(spark, root, feed, ck)
+    # baseline (the pre-churn version) survived; one net U for 'a' — the
+    # head is whatever version the churn plus the tag commits reached
+    assert r2["emitted_versions"][0] == 1 and r2["rows"] == 1
+
+    # unpinned feed: baseline expires -> loud failure with remediation
+    ck2 = str(tmp_path / "ck2.json")
+    apply_changes(t, _batch(spark, [(50, "I", "b", [2])]), epoch=9)
+    emit_to_files(spark, root, str(tmp_path / "feed2"), ck2, pin_tag=None)
+    for i in range(4):
+        apply_changes(t, _batch(spark, [(60 + i, "U", "b", [i])]), epoch=10 + i)
+    t.refresh().expire_snapshots(keep_last=1)
+    with pytest.raises(RuntimeError, match="expired by snapshot retention"):
+        emit_to_files(spark, root, str(tmp_path / "feed2"), ck2, pin_tag=None)
