@@ -89,6 +89,18 @@ class StreamingIngest:
     publish_expectations: "list | None" = None
     publish_tag: str = "published"
     publish_results: list = field(default_factory=list)
+    #: downstream republication: when set (a directory path), every
+    #: SUCCESSFUL audit-publish also runs the checkpointed outbound
+    #: publisher (``cdc.emit.emit_to_files``) pinned to the fresh
+    #: ``publish_tag`` — the feed directory another
+    #: ``StreamingIngest(source_format="debezium")`` (or any Debezium
+    #: consumer) tails, so one streaming job closes the whole chain:
+    #: ingest → audit → publish → republish downstream.  Consumers only
+    #: ever see deltas between AUDITED snapshots.  The emit checkpoint
+    #: lives at ``<emit_feed_dir>/_emit_checkpoint.json``; failed audits
+    #: emit nothing.
+    emit_feed_dir: "str | None" = None
+    emit_results: list = field(default_factory=list)
 
     def __post_init__(self) -> None:
         if self.mode not in ("cow", "mor"):
@@ -238,6 +250,19 @@ class StreamingIngest:
             self.publish_results.append(res)
             if len(self.publish_results) > self.applied_cap:
                 del self.publish_results[: len(self.publish_results) - self.applied_cap]
+            if res.published and self.emit_feed_dir:
+                from ..cdc.emit import emit_to_files
+
+                rep = emit_to_files(
+                    batch_df.sparkSession,
+                    self.table.root,
+                    self.emit_feed_dir,
+                    os.path.join(self.emit_feed_dir, "_emit_checkpoint.json"),
+                    ref_to=self.publish_tag,
+                )
+                self.emit_results.append(rep)
+                if len(self.emit_results) > self.applied_cap:
+                    del self.emit_results[: len(self.emit_results) - self.applied_cap]
 
     def start(
         self,

@@ -403,3 +403,49 @@ def test_emit_checkpoint_baseline_survives_snapshot_retention(spark, tmp_path):
     t.refresh().expire_snapshots(keep_last=1)
     with pytest.raises(RuntimeError, match="expired by snapshot retention"):
         emit_to_files(spark, root, str(tmp_path / "feed2"), ck2, pin_tag=None)
+
+
+def test_streaming_ingest_republishes_downstream(spark, tmp_path):
+    """One streaming job closes the whole chain — ingest → audit → publish
+    → republish downstream: StreamingIngest A (publish_every + emit_feed_dir)
+    writes an audited Debezium feed that StreamingIngest B tails into a
+    mirror; the mirror equals A's PUBLISHED state."""
+    from data_pipeline_spark.cdc.changelog import materialize_change_log
+    from data_pipeline_spark.operators.expectations import Expectation
+    from data_pipeline_spark.streaming.ingest import StreamingIngest
+    from data_pipeline_spark.table.wap import read_published
+
+    src_schema = T.StructType(
+        list(SCHEMA.fields) + [T.StructField("source", T.StringType(), True)]
+    )
+    table = IcehouseTable.create(str(tmp_path / "a"), src_schema, key_col="doc_id", n_buckets=4)
+    log_path = str(tmp_path / "log")
+    materialize_change_log(
+        spark, log_path, n_events=3000, n_docs=250, events_per_epoch=500, seed=5
+    )
+    feed_dir = str(tmp_path / "feed")
+    a = StreamingIngest(
+        table,
+        str(tmp_path / "ck_a"),
+        max_files_per_trigger=2,
+        publish_every=2,
+        publish_expectations=[Expectation("has_key", F.col("doc_id").isNotNull())],
+        emit_feed_dir=feed_dir,
+    )
+    q = a.start(spark, log_path, trigger_once=True)
+    q.awaitTermination(300)
+    assert a.publish_results and all(r.published for r in a.publish_results)
+    assert a.emit_results and sum(r["rows"] for r in a.emit_results) > 0
+
+    mirror = IcehouseTable.create(str(tmp_path / "b"), src_schema, key_col="doc_id", n_buckets=4)
+    b = StreamingIngest(mirror, str(tmp_path / "ck_b"), source_format="debezium")
+    qb = b.start(spark, feed_dir, trigger_once=True)
+    qb.awaitTermination(300)
+
+    def state(df):
+        return {r["doc_id"]: (tuple(r["tokens"]), r["n_tok"], r["source"])
+                for r in df.collect()}
+
+    published = state(read_published(spark, table.root))
+    assert len(published) > 0
+    assert state(mirror.refresh().read(spark)) == published
