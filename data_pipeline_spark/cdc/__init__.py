@@ -14,10 +14,12 @@ from .changelog import (
 )
 from .cdf import diff_between_refs, snapshot_diff
 from .emit import (
+    changed_since_events,
     emit_changed_since,
     emit_debezium_envelopes,
     emit_published_feed,
     emit_to_files,
+    kafka_sink_frame,
     snapshot_diff_images,
 )
 from .quarantine import drain_dlq
@@ -52,10 +54,12 @@ __all__ = [
     "snapshot_diff",
     "snapshot_diff_images",
     "diff_between_refs",
+    "changed_since_events",
     "emit_changed_since",
     "emit_debezium_envelopes",
     "emit_published_feed",
     "emit_to_files",
+    "kafka_sink_frame",
     "drain_dlq",
     "DeadLetterSink",
     "apply_changes_with_dlq",

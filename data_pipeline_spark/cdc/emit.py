@@ -281,6 +281,54 @@ def emit_changed_since(
     )
 
 
+def changed_since_events(
+    spark: SparkSession, table: IcehouseTable, lsn_watermark: int
+) -> DataFrame:
+    """The BULK replication feed: the watermark delta as the engine's own
+    canonical change-event frame ``(lsn, op, <key>, <payload cols>)`` —
+    written as parquet it is directly tailable by ``jobs/replay_job.py``
+    (``--source-format parquet``) or ``ReplayRunner``.
+
+    This is the efficient wire for table→table replication of token
+    payloads: JSON envelopes (:func:`emit_changed_since`) cost ~4× the
+    bytes of parquet for large ``array<int>`` columns and exist for
+    interop with external Debezium consumers; between two instances of
+    THIS engine, ship the columnar frame.  Same O(changed-data) scan, no
+    serialization round-trip.  Insert/update collapse to ``U`` (upsert) —
+    identical apply semantics."""
+    changed = table.read_changed_since(spark, lsn_watermark)
+    is_d = F.coalesce(F.col(DELETED_COL), F.lit(False))
+    cols = [f.name for f in table.schema.fields]
+    return changed.select(
+        F.col(LSN_COL).alias("lsn"),
+        F.when(is_d, "D").otherwise("U").alias("op"),
+        *cols,
+    )
+
+
+def kafka_sink_frame(feed: DataFrame, key_expr=None, key_col: str = "doc_id") -> DataFrame:
+    """Shape an envelope feed (one ``value`` string column) for Spark's
+    Kafka sink: ``(key, value)`` string columns for
+    ``feed.writeStream.format("kafka").option("topic", ...)``.
+
+    ``key_expr`` defaults to the envelope's row key (``after.<key_col>``,
+    falling back to ``before.<key_col>`` for deletes) — the Debezium
+    convention that makes Kafka LOG COMPACTION retain exactly the latest
+    envelope per key, turning the topic itself into a bounded changelog.
+    The outbound twin of ``sources.debezium.kafka_value_lines``; like the
+    inbound leg it is jar-free to construct and test (the ``kafka`` format
+    is only needed at ``writeStream`` time)."""
+    if key_expr is None:
+        env = F.from_json(
+            F.col("value"),
+            f"before struct<{key_col}:string>, after struct<{key_col}:string>",
+        )
+        key_expr = F.coalesce(env["after"][key_col], env["before"][key_col])
+    return feed.select(
+        key_expr.cast("string").alias("key"), F.col("value").cast("string")
+    )
+
+
 def emit_to_files(
     spark: SparkSession,
     root: str,

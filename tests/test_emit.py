@@ -449,3 +449,41 @@ def test_streaming_ingest_republishes_downstream(spark, tmp_path):
     published = state(read_published(spark, table.root))
     assert len(published) > 0
     assert state(mirror.refresh().read(spark)) == published
+
+
+def test_changed_since_events_is_a_replayable_canonical_frame(spark, tmp_path):
+    """Bulk path: the watermark delta as the engine's own canonical frame,
+    round-tripped through a parquet change-log directory and the standard
+    ReplayRunner — the efficient engine→engine wire for token payloads."""
+    from data_pipeline_spark.cdc.emit import changed_since_events
+    from data_pipeline_spark.cdc.replay import ReplayRunner
+
+    root = str(tmp_path / "src")
+    t = IcehouseTable.create(root, SCHEMA, key_col="doc_id", n_buckets=2)
+    apply_changes(t, _batch(spark, [
+        (1, "I", "a", [1]), (2, "I", "b", [2]),
+    ]), epoch=0)
+    apply_changes(t, _batch(spark, [
+        (10, "U", "a", [9]), (11, "D", "b", None), (12, "I", "c", [3]),
+    ]), epoch=1)
+    ev = changed_since_events(spark, t, lsn_watermark=0)
+    assert dict(ev.groupBy("op").count().collect()) == {"U": 2, "D": 1}
+    # parquet wire -> standard replay into the mirror
+    log_dir = str(tmp_path / "wire")
+    ev.withColumn("epoch", F.lit(0)).write.partitionBy("epoch").parquet(log_dir)
+    mirror = IcehouseTable.create(str(tmp_path / "m"), SCHEMA, key_col="doc_id", n_buckets=2)
+    from data_pipeline_spark.cdc.changelog import read_change_log
+    ReplayRunner(mirror, str(tmp_path / "ck.json")).run(read_change_log(spark, log_dir))
+    assert _state(mirror, spark) == _state(t, spark)
+
+
+def test_kafka_sink_frame_keys_envelopes_by_row_key(spark, tmp_path):
+    """Outbound Kafka shape: (key, value) with key = the row key from
+    after (upserts) or before (deletes) — what log compaction needs."""
+    from data_pipeline_spark.cdc.emit import kafka_sink_frame
+
+    root, t, v1, v2 = _mk_v1_v2(spark, tmp_path)
+    frame = kafka_sink_frame(emit_debezium_envelopes(spark, root, v1, v2))
+    assert frame.columns == ["key", "value"]
+    keys = {r["key"]: json.loads(r["value"])["op"] for r in frame.collect()}
+    assert keys == {"a": "u", "b": "d", "d": "c"}  # delete keyed via before
