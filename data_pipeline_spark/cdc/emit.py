@@ -420,19 +420,23 @@ def emit_to_files(
         return empty
     feed = emit_debezium_envelopes(spark, root, last, head, **kwargs)
     os.makedirs(out_dir, exist_ok=True)
-    scratch = tempfile.mkdtemp(prefix="emit_", dir=out_dir)
+    # scratch lives INSIDE out_dir so the renames below stay same-filesystem
+    # (atomic); the leading underscore keeps it invisible to any file-stream
+    # source already tailing out_dir (Spark ignores _/. prefixed paths)
+    scratch = tempfile.mkdtemp(prefix="_emit_tmp_", dir=out_dir)
     try:
-        feed.write.mode("overwrite").text(os.path.join(scratch, "data"))
+        data_dir = os.path.join(scratch, "data")
+        feed.write.mode("overwrite").text(data_dir)
+        # distributed line count over the just-written files — never pull
+        # the feed's bytes through the driver (a big delta is GBs)
+        rows = spark.read.text(data_dir).count()
         moved = 0
-        rows = 0
-        for name in sorted(os.listdir(os.path.join(scratch, "data"))):
+        for name in sorted(os.listdir(data_dir)):
             if not name.startswith("part-"):
                 continue
-            src = os.path.join(scratch, "data", name)
+            src = os.path.join(data_dir, name)
             if os.path.getsize(src) == 0:
                 continue
-            with open(src) as fh:
-                rows += sum(1 for _ in fh)
             os.rename(src, os.path.join(out_dir, f"delta_v{last:08d}_v{head:08d}_{name}"))
             moved += 1
     finally:
