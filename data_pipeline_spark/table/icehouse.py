@@ -244,18 +244,62 @@ class IcehouseTable:
 
     @classmethod
     def load(
-        cls, root: str, version: int | None = None, tag: str | None = None
+        cls,
+        root: str,
+        version: int | None = None,
+        tag: str | None = None,
+        as_of_timestamp: float | None = None,
     ) -> "IcehouseTable":
+        """Open a snapshot: latest by default, or pinned by ``version``,
+        ``tag``, or ``as_of_timestamp`` (Iceberg ``FOR TIMESTAMP AS OF`` —
+        the newest snapshot whose ``committed_at`` is <= the given Unix
+        timestamp).  Timestamp resolution is a driver-side scan of retained
+        metadata versions only; snapshots dropped by ``expire_snapshots``
+        are not time-travelable, same as Iceberg.
+
+        Reference analog: the reference pins consumers to a load date via
+        ``detail_date`` columns (`product_matching/main.py`); here any
+        historical state is directly readable without date columns.
+        """
+        if sum(x is not None for x in (version, tag, as_of_timestamp)) > 1:
+            raise ValueError("pass at most one of version / tag / as_of_timestamp")
         if tag is not None:
             latest = cls.load(root)
             if tag not in latest.meta.get("tags", {}):
                 raise KeyError(f"no tag {tag!r} on table {root}")
             version = latest.meta["tags"][tag]
+        if as_of_timestamp is not None:
+            version = cls._version_as_of(root, as_of_timestamp)
         v = version if version is not None else cls._latest_version(root)
         if v is None:
             raise FileNotFoundError(f"no icehouse metadata under {root}")
         with open(os.path.join(root, "metadata", f"v{v:08d}.metadata.json")) as fh:
             return cls(root, cls._inline_manifests(root, json.load(fh)))
+
+    @classmethod
+    def _version_as_of(cls, root: str, ts: float) -> int:
+        """Newest retained version with ``committed_at`` <= ``ts``.  v0
+        (create) carries ``committed_at = None`` and acts as the floor:
+        eligible whenever ANY retained version exists, so a timestamp
+        older than the first commit resolves to the empty created table
+        rather than erroring (matching ``read``'s empty-table behavior)."""
+        mdir = os.path.join(root, "metadata")
+        if not os.path.isdir(mdir):
+            raise FileNotFoundError(f"no icehouse metadata under {root}")
+        best: int | None = None
+        for name in sorted(os.listdir(mdir)):
+            if not (name.endswith(".metadata.json") and name[1:9].isdigit()):
+                continue
+            v = int(name[1:9])
+            with open(os.path.join(mdir, name)) as fh:
+                committed = json.load(fh).get("committed_at")
+            if committed is None or committed <= ts:
+                best = v if best is None else max(best, v)
+        if best is None:
+            raise ValueError(
+                f"no retained snapshot at or before timestamp {ts} under {root}"
+            )
+        return best
 
     @staticmethod
     def _latest_version(root: str) -> int | None:
@@ -320,11 +364,32 @@ class IcehouseTable:
         within each output file.  ``fanout`` overrides the table property
         (append_deltas pins 1: a fanned-out O(batch) delta write would just
         multiply the small files compaction exists to fix, with no
-        sort-memory benefit)."""
+        sort-memory benefit).
+
+        ``write.sort-order`` (comma-separated columns) clusters rows WITHIN
+        each bucket on secondary columns ahead of the key — the Iceberg
+        ``SORTED BY`` analog.  The key is hash-distributed, so its row-group
+        min/max never prune; clustering on a low-cardinality/range column
+        (``source``, an event date) gives parquet row-group min/max stats
+        that DO prune for predicates on those columns — data skipping the
+        scan gets for free at any scale, orthogonal to bucket pruning and
+        ``write.bloom.columns`` point lookups."""
         fanout = self.write_fanout if fanout is None else fanout
+        order = [
+            c.strip()
+            for c in str(
+                self.meta.get("properties", {}).get("write.sort-order", "")
+            ).split(",")
+            if c.strip()
+        ]
+        unknown = [c for c in order if c not in out.columns]
+        if unknown:
+            raise ValueError(
+                f"write.sort-order references columns not in the write: {unknown}"
+            )
         if fanout <= 1:
             return out.repartition(n_buckets, F.col(PART_COL)).sortWithinPartitions(
-                PART_COL, self.key_col
+                PART_COL, *order, self.key_col
             )
         sub_col = "_sub"  # collision-proof vs logical columns
         while sub_col in out.columns:
@@ -336,7 +401,7 @@ class IcehouseTable:
             out.withColumn(sub_col, sub)
             .repartition(n_buckets * fanout, F.col(PART_COL), F.col(sub_col))
             .drop(sub_col)  # only steers the shuffle; projection keeps slots
-            .sortWithinPartitions(PART_COL, self.key_col)
+            .sortWithinPartitions(PART_COL, *order, self.key_col)
         )
 
     def _writer(self, laid_out: DataFrame):
