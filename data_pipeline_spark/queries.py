@@ -1865,6 +1865,56 @@ def cdc_rollback_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("time_travel_snapshot", _CDC_REPLAY_ORACLE.replace("range(6000)", "range(4000)"))
+def time_travel_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp time travel (Iceberg ``FOR TIMESTAMP AS OF``): replay all
+    three epochs of the portable log, then read the table AS OF the wall
+    clock right after the epoch-1 commit — the rollup must match the LCG
+    oracle recomputed over ONLY the first two epochs' events (lsn < 4000),
+    while the live head holds the full replay.  Certifies that
+    ``load(as_of_timestamp=…)`` resolves to exactly the committed snapshot
+    a reader at that instant would have seen — the reproducible-training-
+    dataset read path when no tag was pinned in advance (reference analog:
+    consumers re-filtering on ``detail_date`` snapshot columns,
+    product_matching/main.py)."""
+    import tempfile
+
+    from .cdc.changelog import generate_change_log_portable
+    from .cdc.replay import ReplayRunner
+    from .table.icehouse import IcehouseTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+            T.StructField("n_tok", T.IntegerType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="icehouse_tt_")
+    table = IcehouseTable.create(f"{root}/t", schema, key_col="doc_id", n_buckets=8)
+    log = generate_change_log_portable(
+        spark, n_events=6000, n_docs=500, events_per_epoch=2000, seed=42
+    )
+    ReplayRunner(table, f"{root}/ckpt0.json").run(log, epochs=[0, 1])
+    ts_after_epoch1 = table.meta["committed_at"]
+    ReplayRunner(table, f"{root}/ckpt1.json").run(log, epochs=[2])
+    assert table.meta["committed_at"] > ts_after_epoch1
+    snap = IcehouseTable.load(f"{root}/t", as_of_timestamp=ts_after_epoch1)
+    assert snap.version < table.version
+    return (
+        snap.read(spark)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 @q("cdc_emit_mirror_state", _CDC_REPLAY_ORACLE)
 def cdc_emit_mirror_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outbound-CDC flagship: replay the portable log into a source table,
