@@ -4009,12 +4009,15 @@ _DRIVER_WINDOW_FIRST = [
     # replication loop) takes the slot of star_join_revenue (r03 hash-green,
     # plan untouched this round, still exercised by the in-repo parity suite
     # and the bench sweep) — driver evidence for new code beats a third
-    # re-check of an unchanged query.
+    # re-check of an unchanged query.  time_travel_snapshot (NEW round-4
+    # engine code: timestamp time travel through the snapshot log) likewise
+    # takes the slot of pricing_summary (r03 hash-green, plan untouched,
+    # re-measured by the bench sweep every round).
     "dataset_split_assign", "mixture_sample_sources",
     "dataset_curation_pipeline", "wap_published_view", "cdc_final_state",
     "debezium_envelope_parse", "debezium_replay_final_state",
     "corpus_pack_sequences", "dedup_keep_best", "bpe_learned_merges",
-    "ann_ivf_topk", "pricing_summary", "cdc_emit_mirror_state",
+    "ann_ivf_topk", "time_travel_snapshot", "cdc_emit_mirror_state",
     "lww_latest_per_key", "token_normalize", "token_pack_windows",
     "bpe_apply_fixed",
 ]
