@@ -1,0 +1,380 @@
+"""Incrementally-maintained materialized views over icehouse tables.
+
+A materialized view here is a grouped-aggregate table (COUNT / fixed-point
+SUM per group — the self-maintainable aggregates of incremental view
+maintenance) that is itself an :class:`~.icehouse.IcehouseTable`, keyed by a
+deterministic group key and kept in sync with its BASE table's change feed
+without ever rescanning the base:
+
+    new_agg(g) = old_agg(g) - contrib(rows of changed keys AT the last
+                              refreshed snapshot)
+                            + contrib(current winning rows of changed keys)
+
+Per refresh the engine touches O(changed keys + affected groups) data:
+
+- the changed-key set comes from :meth:`IcehouseTable.read_changed_since`
+  (LSN-footer file skipping — per-epoch polls read only that epoch's files),
+- the retract side reads the changed keys' PRIOR rows from the base's
+  **time-travelled snapshot** at the last refreshed version
+  (:meth:`IcehouseTable.load` ``version=`` + bucket-pruned
+  :meth:`read_for_keys` — pending snapshot expiry, history is already on
+  disk, so "what did these keys look like last time" is a point lookup, not
+  a second copy of the table),
+- the affected groups' current aggregates come from a bucket-pruned point
+  read of the view itself.
+
+Exactly-once without a second ledger: the refresh commit is fenced through
+the view table's own epoch registry with ``epoch = base snapshot version``
+(namespace ``mv-refresh``), so the last refreshed base version is *derived
+from the registry*, not from a property that could go stale — a refresh
+that crashes between its data commit and anything else simply re-runs: the
+fence skips the data apply and the next delta picks up from the committed
+version.  A base ROLLBACK (head LSN moves backwards) is detected from the
+snapshot's LSN high-water mark and degrades to a fenced full recompute.
+
+The reference recomputes every rollup from scratch per run (the
+``FactProductPrice`` summary queries in
+``notification_service/bigquery_queries.py`` and the validation rollups in
+``staging_schema.py`` are full-table GROUP BYs on a schedule).  At 10^10
+rows the full re-aggregate per epoch is the dominant cost; this module is
+the O(changed-data) form, stacked on the same commit protocol as the data
+path.
+
+Scale shape: no global shuffle ever touches the base table.  One changed-
+since scan (file-skipped), two bucket-pruned point reads, one groupBy of
+the (small) changed-row set, one keyed MERGE into the view.  Measures are
+fixed-point BIGINT so increments are exact and order-independent — a float
+sum would drift from a from-scratch recompute and fail the oracle.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .icehouse import CommitResult, IcehouseTable
+from ..cdc.apply import ApplyStats, apply_changes
+
+GROUP_KEY_COL = "group_key"
+_REFRESH_NS = "mv-refresh"
+# measure columns maintained for every view
+_MEASURES = ["n_rows", "n_vals", "value_sum_scaled"]
+
+
+def _group_key(group_cols: list[str]) -> F.Column:
+    """Deterministic, injective string key for a group tuple: ``to_json`` of
+    the group struct (fixed field order = fixed schema order; a NULL group
+    value serializes as an omitted field, which is unambiguous because every
+    group row shares the same schema).  The key is the view table's bucket-
+    addressing key, so it must be stable across refreshes and sessions —
+    ``to_json`` is, being a pure function of the values."""
+    return F.to_json(F.struct(*[F.col(c) for c in group_cols]))
+
+
+def _contributions(
+    rows: DataFrame, group_cols: list[str], value_col: str, scale: int, sign: int
+) -> DataFrame:
+    """Per-group signed contributions of a row set.  ``n_rows`` counts rows,
+    ``n_vals`` counts non-NULL measure values (so a consumer can reconstruct
+    SQL SUM/AVG semantics: sum IS NULL iff n_vals = 0), and the sum is
+    fixed-point with NULLs contributing 0 — increments stay exact and
+    order-independent."""
+    v = F.round(F.col(value_col) * scale).cast("long")
+    return rows.groupBy(*group_cols).agg(
+        (F.lit(sign) * F.count(F.lit(1))).alias("n_rows"),
+        (F.lit(sign) * F.count(F.col(value_col))).alias("n_vals"),
+        (F.lit(sign) * F.sum(F.coalesce(v, F.lit(0)))).alias("value_sum_scaled"),
+    )
+
+
+@dataclass(frozen=True)
+class RefreshStats:
+    """Outcome of one :func:`refresh_matview` call."""
+
+    mode: str  # "incremental" | "full" | "skipped"
+    base_version_from: int
+    base_version_to: int
+    commit: CommitResult | None
+
+    @property
+    def skipped(self) -> bool:
+        return self.mode == "skipped"
+
+
+def _mv_schema(base_schema: T.StructType, group_cols: list[str]) -> T.StructType:
+    fields = [T.StructField(GROUP_KEY_COL, T.StringType(), False)]
+    fields += [
+        T.StructField(c, base_schema[c].dataType, True) for c in group_cols
+    ]
+    fields += [T.StructField(m, T.LongType(), True) for m in _MEASURES]
+    return T.StructType(fields)
+
+
+def _aggregate(
+    base_rows: DataFrame, group_cols: list[str], value_col: str, scale: int
+) -> DataFrame:
+    """Full aggregate of a base row set in view-row shape (no sign)."""
+    return _contributions(base_rows, group_cols, value_col, scale, sign=1).select(
+        _group_key(group_cols).alias(GROUP_KEY_COL), *group_cols, *_MEASURES
+    )
+
+
+def _last_refreshed_version(mv: IcehouseTable) -> int:
+    """The base snapshot version the view currently reflects, derived from
+    the view's OWN exactly-once registry (namespace ``mv-refresh``) — the
+    fence and the watermark are the same record, so they can never disagree
+    (a property cache could go stale between a data commit and a property
+    commit; the registry is written atomically with the data).  A refresh
+    whose net delta was EMPTY commits no data and registers no epoch; it
+    advances the ``mv.refreshed_floor`` property instead (safe: there is no
+    data whose application the floor could outrun), so repeated no-op
+    refreshes don't re-walk ever-longer changed-since windows."""
+    high = -1
+    for k in mv.meta["committed_epochs"]:
+        ns, _, ep = k.rpartition(":")
+        if ns == _REFRESH_NS:
+            high = max(high, int(ep))
+    for lo, hi in mv.meta.get("committed_epoch_ranges", {}).get(_REFRESH_NS, []):
+        high = max(high, hi)
+    floor = mv.meta.get("properties", {}).get("mv.refreshed_floor")
+    if floor is not None:
+        high = max(high, int(floor))
+    if high < 0:
+        raise ValueError(
+            f"{mv.root} has no committed mv-refresh epoch — not a materialized "
+            "view created by create_matview?"
+        )
+    return high
+
+
+def _lsn_high(table: IcehouseTable) -> int | None:
+    """Snapshot LSN high-water mark from per-file footer stats in metadata
+    (no scan).  ``None`` when the snapshot has no stats-bearing files —
+    callers must then take the full-recompute path (conservative)."""
+    highs = [
+        e.get("lsn_max")
+        for e in table.meta["partitions"].values()
+    ] + [
+        d.get("lsn_max")
+        for ds in table.meta.get("deltas", {}).values()
+        for d in ds
+    ]
+    known = [h for h in highs if h is not None]
+    if len(known) != len(highs) or not highs:
+        return None
+    return max(known)
+
+
+def create_matview(
+    spark: SparkSession,
+    mv_root: str,
+    base: IcehouseTable,
+    group_cols: list[str],
+    value_col: str,
+    scale: int = 1_000_000,
+    n_buckets: int = 8,
+) -> IcehouseTable:
+    """Create a materialized grouped-aggregate view of ``base`` at its
+    current snapshot.  The initial full aggregate commits through the same
+    fenced apply as every later refresh (``epoch = base.version``), so
+    create itself is idempotent and the registry seeds the watermark."""
+    missing = [c for c in group_cols + [value_col] if c not in base.schema.fieldNames()]
+    if missing:
+        raise ValueError(f"base table {base.root} lacks columns {missing}")
+    mv = IcehouseTable.create(
+        mv_root,
+        _mv_schema(base.schema, group_cols),
+        key_col=GROUP_KEY_COL,
+        n_buckets=n_buckets,
+    )
+    mv.update_properties(
+        {
+            "mv.base_root": base.root,
+            "mv.group_cols": json.dumps(group_cols),
+            "mv.value_col": value_col,
+            "mv.scale": scale,
+            # floor covers the empty-base create (an empty apply commits no
+            # epoch) and every later empty-delta refresh
+            "mv.refreshed_floor": base.version,
+        }
+    )
+    agg = _aggregate(base.read(spark), group_cols, value_col, scale)
+    changes = agg.select(
+        F.lit(0).cast("long").alias("lsn"),
+        F.lit("U").alias("op"),
+        "*",
+    )
+    apply_changes(mv, changes, epoch=base.version, epoch_source=_REFRESH_NS)
+    return mv.refresh()
+
+
+def _view_spec(mv: IcehouseTable) -> tuple[str, list[str], str, int]:
+    props = mv.meta.get("properties", {})
+    try:
+        return (
+            props["mv.base_root"],
+            json.loads(props["mv.group_cols"]),
+            props["mv.value_col"],
+            int(props["mv.scale"]),
+        )
+    except KeyError as e:
+        raise ValueError(f"{mv.root} is missing matview property {e}") from e
+
+
+def _apply_view_delta(
+    mv: IcehouseTable,
+    delta: DataFrame,
+    group_cols: list[str],
+    base_version: int,
+) -> ApplyStats:
+    """MERGE a signed per-group delta into the view: point-read the affected
+    groups' current aggregates (bucket-pruned through the view's own key
+    addressing), add, and upsert — groups whose row count reaches 0 become
+    tombstones, so a fully-retracted group disappears from the view exactly
+    as it would from a re-aggregate.  An EMPTY delta commits nothing; the
+    caller advances the refresh floor instead (see
+    :func:`_last_refreshed_version`)."""
+    spark = delta.sparkSession
+    delta = delta.persist()
+    try:
+        current = mv.read_for_keys(spark, delta.select(GROUP_KEY_COL))
+        cur = current.select(
+            GROUP_KEY_COL, *[F.col(m).alias(f"_cur_{m}") for m in _MEASURES]
+        )
+        merged = delta.join(cur, GROUP_KEY_COL, "left_outer").select(
+            GROUP_KEY_COL,
+            *group_cols,
+            *[
+                (F.coalesce(F.col(f"_cur_{m}"), F.lit(0)) + F.col(m)).alias(m)
+                for m in _MEASURES
+            ],
+        )
+        changes = merged.select(
+            F.lit(base_version).cast("long").alias("lsn"),
+            F.when(F.col("n_rows") <= 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+            GROUP_KEY_COL,
+            *group_cols,
+            *_MEASURES,
+        )
+        stats = apply_changes(mv, changes, epoch=base_version, epoch_source=_REFRESH_NS)
+    finally:
+        delta.unpersist()
+    mv.refresh()
+    if not mv.epoch_committed(base_version, _REFRESH_NS):
+        # the delta was empty (apply_changes skips a no-row batch without
+        # committing) — record the advance as a pure-metadata floor bump so
+        # the next refresh's changed-since window starts here
+        mv.update_properties({"mv.refreshed_floor": base_version})
+    return stats
+
+
+def refresh_matview(
+    spark: SparkSession,
+    mv: IcehouseTable,
+    full: bool = False,
+) -> RefreshStats:
+    """Bring the view up to the base table's CURRENT snapshot.
+
+    Incremental by default (O(changed keys + affected groups)); ``full=True``
+    forces a from-scratch re-aggregate diffed against the view (one base
+    scan, still a single fenced commit — used after a base rollback, or when
+    the prior snapshot's metadata was expired).  Either way the commit is
+    fenced on ``epoch = base version``, so concurrent or crash-retried
+    refreshes of the same version are no-ops and the watermark can never
+    run ahead of the applied data.
+    """
+    mv.refresh()
+    base_root, group_cols, value_col, scale = _view_spec(mv)
+    base = IcehouseTable.load(base_root)  # pins the target snapshot
+    v0 = _last_refreshed_version(mv)
+    v1 = base.version
+    if v1 <= v0:
+        return RefreshStats("skipped", v0, v0, None)
+
+    prior = None
+    if not full:
+        try:
+            prior = IcehouseTable.load(base_root, version=v0)
+        except FileNotFoundError:
+            full = True  # snapshot expired — incremental retract impossible
+        else:
+            w0 = _lsn_high(prior)
+            w1 = _lsn_high(base)
+            # LSN moving backwards = the base was rolled back; forward-only
+            # changed-since cannot see the reversal.  A head snapshot with
+            # files missing LSN stats (w1 None on non-empty) defeats the
+            # detection, so it recomputes too — conservative, never wrong.
+            base_nonempty = base.meta["partitions"] or any(
+                base.meta.get("deltas", {}).values()
+            )
+            if (w1 is not None and w0 is not None and w1 < w0) or (
+                w1 is None and base_nonempty
+            ):
+                full = True
+
+    if full:
+        agg = _aggregate(base.read(spark), group_cols, value_col, scale)
+        cur = mv.read(spark).select(
+            GROUP_KEY_COL, *[F.col(m).alias(f"_cur_{m}") for m in _MEASURES]
+        )
+        # diff against the current view so untouched groups write nothing
+        # and vanished groups tombstone; the delta form reuses the same
+        # fenced merge as the incremental path (one commit, one epoch).
+        joined = agg.join(cur, GROUP_KEY_COL, "full_outer")
+        delta = joined.select(
+            GROUP_KEY_COL,
+            *group_cols,
+            *[
+                (F.coalesce(F.col(m), F.lit(0)) - F.coalesce(F.col(f"_cur_{m}"), F.lit(0))).alias(m)
+                for m in _MEASURES
+            ],
+        ).where(" OR ".join(f"{m} != 0" for m in _MEASURES))
+        stats = _apply_view_delta(mv, delta, group_cols, v1)
+        return RefreshStats("full", v0, v1, stats.result)
+
+    # None w0 (no stats / empty prior) degrades to watermark -1: changed-
+    # since then returns every live key, and the retract side reads every
+    # prior row of those keys — O(table) instead of O(changed), but still
+    # the exact delta.  Real apply paths always record LSN stats.
+    w0 = _lsn_high(prior)
+    w0 = -1 if w0 is None else w0
+    changed = base.read_changed_since(spark, w0).persist()
+    try:
+        key = base.key_col
+        changed_keys = changed.select(key).distinct()
+        live_changed = changed.where(
+            ~F.coalesce(F.col("_deleted"), F.lit(False))
+        ).select(*base.schema.fieldNames())
+        prior_rows = prior.read_for_keys(spark, changed_keys)
+        retract = _contributions(prior_rows, group_cols, value_col, scale, sign=-1)
+        add = _contributions(live_changed, group_cols, value_col, scale, sign=1)
+        delta = (
+            retract.unionByName(add)
+            .groupBy(*group_cols)
+            .agg(*[F.sum(m).alias(m) for m in _MEASURES])
+            .where(" OR ".join(f"{m} != 0" for m in _MEASURES))
+            .select(
+                _group_key(group_cols).alias(GROUP_KEY_COL), *group_cols, *_MEASURES
+            )
+        )
+        stats = _apply_view_delta(mv, delta, group_cols, v1)
+    finally:
+        changed.unpersist()
+    return RefreshStats("incremental", v0, v1, stats.result)
+
+
+def read_matview(spark: SparkSession, mv: IcehouseTable) -> DataFrame:
+    """The view's logical contents: group columns + measures, with SQL SUM
+    semantics restored (``value_sum_scaled`` NULL when every measure value
+    in the group was NULL)."""
+    _, group_cols, _, _ = _view_spec(mv)
+    return mv.read(spark).select(
+        *group_cols,
+        "n_rows",
+        "n_vals",
+        F.when(F.col("n_vals") > 0, F.col("value_sum_scaled")).alias("value_sum_scaled"),
+    )

@@ -1,0 +1,306 @@
+"""Materialized-view maintenance (table/matview.py): every refreshed state
+must equal a from-scratch GROUP BY over the base table's state at that
+snapshot — under updates, deletes, group moves, fully-retracted groups,
+NULL measures, crash-retried refreshes, no-op refreshes, and base rollback.
+"""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_pipeline_spark.cdc.apply import apply_changes, apply_changes_mor
+from data_pipeline_spark.table.icehouse import IcehouseTable
+from data_pipeline_spark.table.matview import (
+    GROUP_KEY_COL,
+    create_matview,
+    read_matview,
+    refresh_matview,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+    ]
+)
+
+
+def _mk_table(n_buckets=4):
+    root = tempfile.mkdtemp(prefix="mv_base_")
+    return IcehouseTable.create(f"{root}/t", SCHEMA, key_col="doc_id", n_buckets=n_buckets)
+
+
+def _mk_mv(spark, base, **kw):
+    root = tempfile.mkdtemp(prefix="mv_view_")
+    return create_matview(spark, f"{root}/v", base, ["source"], "n_tok", scale=1, **kw)
+
+
+def _changes(spark, rows):
+    """rows: (lsn, op, doc_id, source, n_tok)"""
+    return spark.createDataFrame(
+        rows, "lsn long, op string, doc_id string, source string, n_tok int"
+    )
+
+
+def _recompute(spark, base):
+    return (
+        base.read(spark)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("n_tok").alias("n_vals"),
+            F.sum(F.coalesce(F.col("n_tok").cast("long"), F.lit(0))).alias("s"),
+        )
+        .select(
+            "source",
+            "n_rows",
+            "n_vals",
+            F.when(F.col("n_vals") > 0, F.col("s")).alias("value_sum_scaled"),
+        )
+    )
+
+
+def _null_safe_key(row):
+    return tuple((v is None, v) for v in row)
+
+
+def _assert_mv_equals_recompute(spark, mv, base):
+    got = sorted(read_matview(spark, mv.refresh()).collect(), key=_null_safe_key)
+    want = sorted(_recompute(spark, base).collect(), key=_null_safe_key)
+    assert got == want
+
+
+def test_create_then_incremental_updates_deletes(spark):
+    base = _mk_table()
+    apply_changes(
+        base,
+        _changes(
+            spark,
+            [
+                (1, "U", "d1", "a", 10),
+                (2, "U", "d2", "a", 20),
+                (3, "U", "d3", "b", 5),
+            ],
+        ),
+        epoch=0,
+    )
+    mv = _mk_mv(spark, base)
+    _assert_mv_equals_recompute(spark, mv, base)
+
+    # update d2 (same group), delete d3 (group b empties), insert d4 (new
+    # group c), move d1 from a to b
+    apply_changes(
+        base.refresh(),
+        _changes(
+            spark,
+            [
+                (4, "U", "d2", "a", 25),
+                (5, "D", "d3", None, None),
+                (6, "U", "d4", "c", 7),
+                (7, "U", "d1", "b", 11),
+            ],
+        ),
+        epoch=1,
+    )
+    st = refresh_matview(spark, mv)
+    assert st.mode == "incremental"
+    _assert_mv_equals_recompute(spark, mv, base.refresh())
+    # group b was emptied then repopulated by d1's move; group a lost d1
+    rows = {r["source"]: r for r in read_matview(spark, mv).collect()}
+    assert rows["a"]["n_rows"] == 1 and rows["a"]["value_sum_scaled"] == 25
+    assert rows["b"]["n_rows"] == 1 and rows["b"]["value_sum_scaled"] == 11
+    assert rows["c"]["n_rows"] == 1
+
+
+def test_group_fully_retracted_disappears(spark):
+    base = _mk_table()
+    apply_changes(base, _changes(spark, [(1, "U", "d1", "solo", 3)]), epoch=0)
+    mv = _mk_mv(spark, base)
+    apply_changes(base.refresh(), _changes(spark, [(2, "D", "d1", None, None)]), epoch=1)
+    refresh_matview(spark, mv)
+    assert read_matview(spark, mv.refresh()).count() == 0
+    _assert_mv_equals_recompute(spark, mv, base.refresh())
+
+
+def test_null_measures_sql_sum_semantics(spark):
+    base = _mk_table()
+    apply_changes(
+        base,
+        _changes(
+            spark,
+            [
+                (1, "U", "d1", "a", None),
+                (2, "U", "d2", "a", None),
+                (3, "U", "d3", "b", 4),
+                (4, "U", "d4", "b", None),
+            ],
+        ),
+        epoch=0,
+    )
+    mv = _mk_mv(spark, base)
+    rows = {r["source"]: r for r in read_matview(spark, mv).collect()}
+    # all-NULL group: SUM must be NULL, n_rows still counts
+    assert rows["a"]["n_rows"] == 2 and rows["a"]["n_vals"] == 0
+    assert rows["a"]["value_sum_scaled"] is None
+    assert rows["b"]["value_sum_scaled"] == 4
+    # deleting the only non-NULL row flips b's sum to NULL incrementally
+    apply_changes(base.refresh(), _changes(spark, [(5, "D", "d3", None, None)]), epoch=1)
+    refresh_matview(spark, mv)
+    rows = {r["source"]: r for r in read_matview(spark, mv.refresh()).collect()}
+    assert rows["b"]["n_rows"] == 1 and rows["b"]["value_sum_scaled"] is None
+    _assert_mv_equals_recompute(spark, mv, base.refresh())
+
+
+def test_refresh_is_fenced_and_idempotent(spark):
+    base = _mk_table()
+    apply_changes(base, _changes(spark, [(1, "U", "d1", "a", 10)]), epoch=0)
+    mv = _mk_mv(spark, base)
+    apply_changes(base.refresh(), _changes(spark, [(2, "U", "d2", "a", 20)]), epoch=1)
+    st1 = refresh_matview(spark, mv)
+    assert st1.mode == "incremental" and not st1.commit.skipped
+    # crash-retry: same base version — the fence must skip the data apply,
+    # not double-count the delta
+    st2 = refresh_matview(spark, mv)
+    assert st2.skipped
+    # a THIRD path: a fresh handle (new process) re-running the refresh
+    mv2 = IcehouseTable.load(mv.root)
+    st3 = refresh_matview(spark, mv2)
+    assert st3.skipped
+    rows = {r["source"]: r for r in read_matview(spark, mv.refresh()).collect()}
+    assert rows["a"]["n_rows"] == 2 and rows["a"]["value_sum_scaled"] == 30
+
+
+def test_noop_base_version_advances_floor(spark):
+    base = _mk_table()
+    apply_changes(base, _changes(spark, [(1, "U", "d1", "a", 10)]), epoch=0)
+    mv = _mk_mv(spark, base)
+    # pure-metadata base commit: version advances, no data changes
+    base.refresh().create_tag("checkpoint")
+    st = refresh_matview(spark, mv)
+    assert st.mode == "incremental"  # ran, but the delta was empty
+    floor = int(mv.refresh().meta["properties"]["mv.refreshed_floor"])
+    assert floor == base.refresh().version
+    # and the NEXT refresh skips outright (floor advanced past the tag commit)
+    assert refresh_matview(spark, mv).skipped
+    _assert_mv_equals_recompute(spark, mv, base)
+
+
+def test_rollback_detected_forces_full_recompute(spark):
+    base = _mk_table()
+    apply_changes(base, _changes(spark, [(1, "U", "d1", "a", 10)]), epoch=0)
+    v_after_e0 = base.version
+    apply_changes(base, _changes(spark, [(2, "U", "d2", "b", 20)]), epoch=1)
+    mv = _mk_mv(spark, base)
+    base.rollback(v_after_e0)
+    st = refresh_matview(spark, mv)
+    assert st.mode == "full"
+    _assert_mv_equals_recompute(spark, mv, base.refresh())
+    rows = {r["source"]: r for r in read_matview(spark, mv).collect()}
+    assert "b" not in rows and rows["a"]["n_rows"] == 1
+
+
+def test_expired_prior_snapshot_falls_back_to_full(spark):
+    base = _mk_table()
+    apply_changes(base, _changes(spark, [(1, "U", "d1", "a", 10)]), epoch=0)
+    mv = _mk_mv(spark, base)
+    apply_changes(base.refresh(), _changes(spark, [(2, "U", "d2", "b", 20)]), epoch=1)
+    apply_changes(base, _changes(spark, [(3, "U", "d3", "b", 30)]), epoch=2)
+    # expire every snapshot but the head: the retract base is gone
+    base.expire_snapshots(keep_last=1)
+    st = refresh_matview(spark, mv)
+    assert st.mode == "full"
+    _assert_mv_equals_recompute(spark, mv, base.refresh())
+
+
+def test_mor_base_and_multi_epoch_convergence(spark):
+    base = _mk_table()
+    mv = None
+    import random
+
+    rng = random.Random(7)
+    docs = [f"d{i}" for i in range(40)]
+    sources = ["a", "b", "c", None]
+    lsn = 0
+    for epoch in range(6):
+        rows = []
+        for _ in range(25):
+            lsn += 1
+            if rng.random() < 0.15:
+                rows.append((lsn, "D", rng.choice(docs), None, None))
+            else:
+                rows.append(
+                    (
+                        lsn,
+                        "U",
+                        rng.choice(docs),
+                        rng.choice(sources),
+                        rng.choice([None, rng.randrange(100)]),
+                    )
+                )
+        apply_changes_mor(base.refresh(), _changes(spark, rows), epoch=epoch)
+        if epoch == 0:
+            mv = _mk_mv(spark, base.refresh())
+        else:
+            st = refresh_matview(spark, mv)
+            assert st.mode == "incremental"
+        _assert_mv_equals_recompute(spark, mv, base.refresh())
+
+
+def test_forced_full_matches_incremental(spark):
+    base = _mk_table()
+    apply_changes(base, _changes(spark, [(1, "U", "d1", "a", 10), (2, "U", "d2", "b", 7)]), epoch=0)
+    mv_a = _mk_mv(spark, base)
+    mv_b = _mk_mv(spark, base)
+    apply_changes(
+        base.refresh(),
+        _changes(spark, [(3, "U", "d1", "b", 11), (4, "D", "d2", None, None)]),
+        epoch=1,
+    )
+    assert refresh_matview(spark, mv_a).mode == "incremental"
+    assert refresh_matview(spark, mv_b, full=True).mode == "full"
+    a = sorted(read_matview(spark, mv_a.refresh()).collect())
+    b = sorted(read_matview(spark, mv_b.refresh()).collect())
+    assert a == b
+
+
+def test_create_on_empty_base_then_refresh(spark):
+    base = _mk_table()
+    mv = _mk_mv(spark, base)
+    assert read_matview(spark, mv).count() == 0
+    apply_changes(base.refresh(), _changes(spark, [(1, "U", "d1", "a", 10)]), epoch=0)
+    st = refresh_matview(spark, mv)
+    assert st.mode == "incremental"
+    _assert_mv_equals_recompute(spark, mv, base.refresh())
+
+
+def test_group_key_is_injective_for_tricky_values(spark):
+    base = _mk_table()
+    # values that would collide under naive string concat separators
+    apply_changes(
+        base,
+        _changes(
+            spark,
+            [
+                (1, "U", "d1", 'a"b', 1),
+                (2, "U", "d2", "a\x1fb", 2),
+                (3, "U", "d3", "a,b", 3),
+                (4, "U", "d4", None, 4),
+                (5, "U", "d5", "null", 5),
+            ],
+        ),
+        epoch=0,
+    )
+    mv = _mk_mv(spark, base)
+    assert read_matview(spark, mv).count() == 5
+    _assert_mv_equals_recompute(spark, mv, base)
+    keys = [r[GROUP_KEY_COL] for r in mv.read(spark).select(GROUP_KEY_COL).collect()]
+    assert len(set(keys)) == 5
+
+
+def test_bad_spec_raises(spark):
+    base = _mk_table()
+    with pytest.raises(ValueError, match="lacks columns"):
+        create_matview(spark, tempfile.mkdtemp() + "/v", base, ["nope"], "n_tok")
