@@ -1693,7 +1693,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # its last-writer-wins + delete-wins final state, all in ANSI SQL.  The
 # engine's exactly-once commit protocol is the machinery under test; the
 # oracle certifies its OUTCOME byte-for-byte.
-_CDC_REPLAY_ORACLE = """
+_CDC_LOG_LAST_CTE = """
     WITH e AS (
       SELECT id AS lsn,
         CASE WHEN ((42*1000003 + 1*10007 + id*257)*1103515245 + 12345) % 2147483647 % 1000 < 300
@@ -1717,6 +1717,9 @@ _CDC_REPLAY_ORACLE = """
              ROW_NUMBER() OVER (PARTITION BY doc_num ORDER BY lsn DESC) AS rn
       FROM ev
     )
+    """
+
+_CDC_REPLAY_ORACLE = _CDC_LOG_LAST_CTE + """
     SELECT source, COUNT(*)::BIGINT AS n_docs, SUM(n_tok)::BIGINT AS total_tokens,
            ROUND(AVG(n_tok), 4) AS avg_tokens
     FROM last WHERE rn = 1 AND op <> 'D'
@@ -1813,6 +1816,68 @@ def cdc_mor_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@q(
+    "matview_incremental_rollup",
+    _CDC_LOG_LAST_CTE
+    + """
+    SELECT source,
+           COUNT(*)::BIGINT AS n_rows,
+           COUNT(n_tok)::BIGINT AS n_vals,
+           SUM(n_tok)::BIGINT AS value_sum_scaled
+    FROM last WHERE rn = 1 AND op <> 'D'
+    GROUP BY source ORDER BY source
+    """,
+)
+def matview_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized view (table/matview.py): replay
+    the SAME portable change log as ``cdc_replay_icehouse``, but build the
+    per-source rollup as a matview created after epoch 0 and then maintained
+    ONLY from the base table's changed-since feed — epochs 1 and 2 are
+    asserted in-code to take the incremental path (retract prior rows at the
+    time-travelled snapshot, add current winners, fenced MERGE), never a
+    re-aggregate.  The oracle recomputes the final LWW state's GROUP BY from
+    scratch, so a single drifted increment (a missed retraction, a
+    double-applied delta, a lost NULL) breaks the value hash.  The reference
+    recomputes every rollup per run (full-table GROUP BYs in
+    notification_service/bigquery_queries.py and staging_schema.py); this is
+    the O(changed-data) form a 10^10-row table requires."""
+    import tempfile
+
+    from .cdc.apply import apply_changes
+    from .cdc.changelog import generate_change_log_portable
+    from .table.icehouse import IcehouseTable
+    from .table.matview import create_matview, read_matview, refresh_matview
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+            T.StructField("n_tok", T.IntegerType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="icehouse_mv_")
+    base = IcehouseTable.create(f"{root}/t", schema, key_col="doc_id", n_buckets=8)
+    log = generate_change_log_portable(
+        spark, n_events=6000, n_docs=500, events_per_epoch=2000, seed=42
+    ).persist()
+    try:
+        apply_changes(base, log.where(F.col("epoch") == 0).drop("epoch"), epoch=0)
+        mv = create_matview(
+            spark, f"{root}/mv", base.refresh(), ["source"], "n_tok", scale=1
+        )
+        for ep in (1, 2):
+            apply_changes(
+                base.refresh(), log.where(F.col("epoch") == ep).drop("epoch"), epoch=ep
+            )
+            st = refresh_matview(spark, mv)
+            assert st.mode == "incremental", st  # never a base rescan
+    finally:
+        log.unpersist()
+    return read_matview(spark, mv.refresh()).orderBy("source")
 
 
 @q("cdc_rollback_replay", _CDC_REPLAY_ORACLE)
@@ -4012,13 +4077,18 @@ _DRIVER_WINDOW_FIRST = [
     # re-check of an unchanged query.  time_travel_snapshot (NEW round-4
     # engine code: timestamp time travel through the snapshot log) likewise
     # takes the slot of pricing_summary (r03 hash-green, plan untouched,
-    # re-measured by the bench sweep every round).
+    # re-measured by the bench sweep every round).  matview_incremental_rollup
+    # (NEW round-4 engine code: incremental view maintenance over the change
+    # feed, exercising time travel + read_changed_since + read_for_keys
+    # together) takes the slot of lww_latest_per_key (r03 hash-green; its LWW
+    # reduction is already driver-exercised by cdc_final_state and every
+    # replay entry in this window).
     "dataset_split_assign", "mixture_sample_sources",
     "dataset_curation_pipeline", "wap_published_view", "cdc_final_state",
     "debezium_envelope_parse", "debezium_replay_final_state",
     "corpus_pack_sequences", "dedup_keep_best", "bpe_learned_merges",
     "ann_ivf_topk", "time_travel_snapshot", "cdc_emit_mirror_state",
-    "lww_latest_per_key", "token_normalize", "token_pack_windows",
+    "matview_incremental_rollup", "token_normalize", "token_pack_windows",
     "bpe_apply_fixed",
 ]
 assert len(_DRIVER_WINDOW_FIRST) == 50 and len(set(_DRIVER_WINDOW_FIRST)) == 50
