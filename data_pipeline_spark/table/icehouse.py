@@ -205,6 +205,12 @@ class IcehouseTable:
     def __init__(self, root: str, meta: dict[str, Any]):
         self.root = root
         self.meta = meta
+        #: the branch this handle commits to / refreshes against.  Stamped
+        #: from the loaded snapshot (legacy snapshots are all "main");
+        #: :meth:`load` overrides it when a branch was requested explicitly
+        #: (a branch created at a main snapshot initially POINTS at a doc
+        #: whose own ``branch`` field says "main").
+        self.branch = meta.get("branch", "main")
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -232,6 +238,9 @@ class IcehouseTable:
             "n_buckets": n_buckets,
             "partition_spec": f"bucket({key_col}, {n_buckets}) -> {PART_COL}",
             "partitions": {},  # str(part) -> {"path": rel_dir, "rows": int}
+            "branch": "main",
+            "branch_heads": {"main": 0},  # ref name -> head version
+            "branch_forks": {},  # ref name -> {"from_branch", "at_version"}
             "epoch_watermark": -1,
             "committed_epochs": {},  # str(epoch) -> summary
             "lineage": [],  # per-partition commit records
@@ -249,20 +258,30 @@ class IcehouseTable:
         version: int | None = None,
         tag: str | None = None,
         as_of_timestamp: float | None = None,
+        branch: str | None = None,
     ) -> "IcehouseTable":
-        """Open a snapshot: latest by default, or pinned by ``version``,
-        ``tag``, or ``as_of_timestamp`` (Iceberg ``FOR TIMESTAMP AS OF`` —
-        the newest snapshot whose ``committed_at`` is <= the given Unix
-        timestamp).  Timestamp resolution is a driver-side scan of retained
-        metadata versions only; snapshots dropped by ``expire_snapshots``
-        are not time-travelable, same as Iceberg.
+        """Open a snapshot: the **main branch head** by default, or pinned by
+        ``version``, ``tag``, ``as_of_timestamp`` (Iceberg ``FOR TIMESTAMP
+        AS OF`` — the newest main-branch snapshot whose ``committed_at`` is
+        <= the given Unix timestamp), or a named ``branch``'s head
+        (:meth:`create_branch`).  Timestamp resolution is a driver-side scan
+        of retained metadata versions only; snapshots dropped by
+        ``expire_snapshots`` are not time-travelable, same as Iceberg.
+
+        Version numbers are a table-wide namespace shared by every branch
+        (one CAS chain serializes all commits), so "latest version" and
+        "main head" diverge once a branch commits: main readers resolve
+        through ``branch_heads`` and never observe branch snapshots.
 
         Reference analog: the reference pins consumers to a load date via
         ``detail_date`` columns (`product_matching/main.py`); here any
         historical state is directly readable without date columns.
         """
-        if sum(x is not None for x in (version, tag, as_of_timestamp)) > 1:
-            raise ValueError("pass at most one of version / tag / as_of_timestamp")
+        pins = sum(x is not None for x in (version, tag, as_of_timestamp))
+        if pins > 1 or (pins and branch is not None):
+            raise ValueError(
+                "pass at most one of version / tag / as_of_timestamp / branch"
+            )
         if tag is not None:
             latest = cls.load(root)
             if tag not in latest.meta.get("tags", {}):
@@ -270,11 +289,26 @@ class IcehouseTable:
             version = latest.meta["tags"][tag]
         if as_of_timestamp is not None:
             version = cls._version_as_of(root, as_of_timestamp)
-        v = version if version is not None else cls._latest_version(root)
-        if v is None:
-            raise FileNotFoundError(f"no icehouse metadata under {root}")
-        with open(os.path.join(root, "metadata", f"v{v:08d}.metadata.json")) as fh:
-            return cls(root, cls._inline_manifests(root, json.load(fh)))
+        if version is None:
+            v = cls._latest_version(root)
+            if v is None:
+                raise FileNotFoundError(f"no icehouse metadata under {root}")
+            with open(os.path.join(root, "metadata", f"v{v:08d}.metadata.json")) as fh:
+                newest = json.load(fh)
+            want = branch or "main"
+            heads = newest.get("branch_heads") or {"main": v}
+            if want not in heads:
+                raise KeyError(f"no branch {want!r} on table {root}")
+            version = heads[want]
+            if version == v:
+                t = cls(root, cls._inline_manifests(root, newest))
+                t.branch = want
+                return t
+        with open(os.path.join(root, "metadata", f"v{version:08d}.metadata.json")) as fh:
+            t = cls(root, cls._inline_manifests(root, json.load(fh)))
+        if branch is not None:
+            t.branch = branch
+        return t
 
     @classmethod
     def _version_as_of(cls, root: str, ts: float) -> int:
@@ -292,7 +326,10 @@ class IcehouseTable:
                 continue
             v = int(name[1:9])
             with open(os.path.join(mdir, name)) as fh:
-                committed = json.load(fh).get("committed_at")
+                doc = json.load(fh)
+            if doc.get("branch", "main") != "main":
+                continue  # branch snapshots are not on main's timeline
+            committed = doc.get("committed_at")
             if committed is None or committed <= ts:
                 best = v if best is None else max(best, v)
         if best is None:
@@ -313,8 +350,23 @@ class IcehouseTable:
         ]
         return max(versions) if versions else None
 
+    @classmethod
+    def _global_refs(cls, root: str) -> tuple[int, dict[str, int], dict[str, Any]]:
+        """(latest version, branch heads, branch forks) from the NEWEST
+        metadata doc regardless of branch.  Every commit — on any branch —
+        stamps the full ref map into its doc, so the newest doc is always
+        the authoritative ref store (the CAS that orders commits also orders
+        ref updates).  Legacy tables without the field are all-main."""
+        v = cls._latest_version(root)
+        if v is None:
+            raise FileNotFoundError(f"no icehouse metadata under {root}")
+        with open(os.path.join(root, "metadata", f"v{v:08d}.metadata.json")) as fh:
+            doc = json.load(fh)
+        heads = dict(doc.get("branch_heads") or {"main": v})
+        return v, heads, dict(doc.get("branch_forks") or {})
+
     def refresh(self) -> "IcehouseTable":
-        self.meta = IcehouseTable.load(self.root).meta
+        self.meta = IcehouseTable.load(self.root, branch=self.branch).meta
         return self
 
     # -- properties ----------------------------------------------------------
@@ -502,10 +554,38 @@ class IcehouseTable:
                     self.version, self.meta["snapshot_id"], None, skipped=True,
                     cas_retries=_attempt,
                 )
-            meta["version"] = self.version + 1
+            global_latest, global_heads, global_forks = self._global_refs(self.root)
+            meta["version"] = global_latest + 1
             meta["parent_version"] = self.version
             meta["snapshot_id"] = f"s{meta['version']:08d}-{suffix}"
             meta["committed_at"] = time.time()
+            meta["branch"] = self.branch
+            # ref edits staged by mutate (create/delete branch, fast-forward)
+            # are applied ON TOP of the authoritative global refs — the meta
+            # copy's own ref map may be stale for OTHER branches (it is the
+            # branch head's doc, not necessarily the newest)
+            heads, forks = dict(global_heads), dict(global_forks)
+            for name, pin in meta.pop("_branch_ref_edits", {}).items():
+                if pin is None:
+                    heads.pop(name, None)
+                    forks.pop(name, None)
+                else:
+                    # None = "the version this very commit creates" (default
+                    # branch create points at the create commit; fast-forward
+                    # re-forks the branch at the publish commit)
+                    heads[name] = (
+                        meta["version"] if pin["version"] is None else pin["version"]
+                    )
+                    forks[name] = {
+                        "from_branch": pin["from_branch"],
+                        "at_version": (
+                            meta["version"]
+                            if pin["at_version"] is None
+                            else pin["at_version"]
+                        ),
+                    }
+            meta["branch_heads"] = {**heads, self.branch: meta["version"]}
+            meta["branch_forks"] = forks
             try:
                 self._write_metadata(meta, touched=touched)
             except FileExistsError:
@@ -911,7 +991,8 @@ class IcehouseTable:
                     f"partition spec evolved ({plan_buckets} -> {self.n_buckets} buckets) "
                     "while this delta batch was in flight; re-bucket the batch and retry"
                 )
-            new_version = self.version + 1
+            global_latest, global_heads, global_forks = self._global_refs(self.root)
+            new_version = global_latest + 1
             if sdir is None:
                 # delta content depends only on the batch (never table state):
                 # write once, reuse the files across metadata CAS retries
@@ -927,6 +1008,9 @@ class IcehouseTable:
             meta["version"] = new_version
             meta["parent_version"] = self.version
             meta["snapshot_id"] = snapshot_id
+            meta["branch"] = self.branch
+            meta["branch_heads"] = {**global_heads, self.branch: new_version}
+            meta["branch_forks"] = global_forks
             # re-merge against the REFRESHED schema: losing a CAS race to a
             # concurrent schema evolution must not clobber its new columns
             # (additive ∪ additive is safe; data files conformed to the
@@ -1050,7 +1134,15 @@ class IcehouseTable:
                     self.version, self.meta["snapshot_id"], epoch, skipped=True,
                     cas_retries=_attempt,
                 )
-            new_version = self.version + 1
+            # Version numbers are table-wide (shared by every branch): the
+            # next number comes from the GLOBAL newest doc, while the state
+            # basis (self.meta via refresh above) is this handle's BRANCH
+            # head.  A lost race on the number is retried with the branch
+            # basis unchanged — commits on other branches never invalidate
+            # ours (disjoint lineages); same-branch races re-validate via
+            # the epoch fence and read_version check as before.
+            global_latest, global_heads, global_forks = self._global_refs(self.root)
+            new_version = global_latest + 1
             # data dir is unique per commit ATTEMPT (not per version): two racing
             # writers must never share a directory — the metadata CAS below, not
             # the filesystem write, decides who wins the version.
@@ -1113,6 +1205,9 @@ class IcehouseTable:
             meta["version"] = new_version
             meta["parent_version"] = self.version
             meta["snapshot_id"] = snapshot_id
+            meta["branch"] = self.branch
+            meta["branch_heads"] = {**global_heads, self.branch: new_version}
+            meta["branch_forks"] = global_forks
             # re-merge against the REFRESHED schema (see append_deltas): a
             # CAS retry must not clobber a concurrently-evolved column set
             final_schema, _ = evolve_schema(self.schema, new_schema)
@@ -1455,8 +1550,23 @@ class IcehouseTable:
             versions = sorted(
                 int(n[1:9]) for n in os.listdir(mdir) if n.endswith(".metadata.json")
             )
+            # every branch head is pinned like a tag (its ref must stay
+            # loadable); ancestors beyond keep_last age out normally, so a
+            # parked branch keeps exactly one live snapshot.  Tag maps live
+            # per-branch lineage, so the exempt set unions the tags of EVERY
+            # branch head — expire run from one branch must not reclaim a
+            # snapshot another branch's tag still pins.
+            _, heads, _ = self._global_refs(self.root)
             tagged = set(self.meta.get("tags", {}).values())
-            keep = set(versions[-keep_last:]) | (tagged & set(versions))
+            for hv in set(heads.values()):
+                if hv in set(versions):
+                    head_meta = IcehouseTable.load(self.root, version=hv).meta
+                    tagged |= set(head_meta.get("tags", {}).values())
+            keep = (
+                set(versions[-keep_last:])
+                | (tagged & set(versions))
+                | (set(heads.values()) & set(versions))
+            )
             if older_than_seconds is not None:
                 cutoff = time.time() - older_than_seconds
                 for v in versions:
@@ -1674,9 +1784,13 @@ class IcehouseTable:
             if epoch is not None and self.epoch_committed(epoch, epoch_source):
                 return CommitResult(self.version, self.meta["snapshot_id"], epoch, skipped=True)
             meta = json.loads(json.dumps(self.meta))
-            meta["version"] = self.version + 1
+            global_latest, global_heads, global_forks = self._global_refs(self.root)
+            meta["version"] = global_latest + 1
             meta["parent_version"] = self.version
             meta["snapshot_id"] = f"s{meta['version']:08d}-truncate"
+            meta["branch"] = self.branch
+            meta["branch_heads"] = {**global_heads, self.branch: meta["version"]}
+            meta["branch_forks"] = global_forks
             meta["partitions"] = {}
             meta["deltas"] = {}
             if epoch is not None:
@@ -1993,6 +2107,156 @@ class IcehouseTable:
 
         return self._pure_metadata_commit(mutate, "props", max_retries, touched=set())
 
+    #: every field that together defines a snapshot's logical STATE (vs the
+    #: refs/audit fields the commit loop manages).  Rollback and fast-forward
+    #: both adopt exactly this set; defaults cover snapshots that predate a
+    #: field's introduction (e.g. "deltas" appears at the first MOR append —
+    #: crossing that boundary must DROP pending deltas, not keep them).
+    _STATE_FIELDS: tuple = (
+        ("partitions", {}), ("deltas", {}), ("schema", None),
+        ("epoch_watermark", -1), ("committed_epochs", {}),
+        ("committed_epoch_ranges", {}),
+        ("n_buckets", None), ("partition_spec", None),
+    )
+
+    @classmethod
+    def _adopt_state_fields(cls, meta: dict[str, Any], source: dict[str, Any]) -> None:
+        for field_name, default in cls._STATE_FIELDS:
+            if field_name in source:
+                meta[field_name] = json.loads(json.dumps(source[field_name]))
+            elif default is not None:
+                meta[field_name] = json.loads(json.dumps(default))
+
+    # -- branches -------------------------------------------------------------
+
+    def list_branches(self) -> dict[str, int]:
+        """Current ref map: branch name -> head version (always includes
+        ``main``).  Read from the authoritative newest doc, not this
+        handle's possibly-stale snapshot."""
+        _, heads, _ = self._global_refs(self.root)
+        return heads
+
+    def create_branch(
+        self, name: str, version: int | None = None, max_retries: int = 5
+    ) -> CommitResult:
+        """Create branch ``name`` pointing at ``version`` (default: this
+        handle's current branch head) — Iceberg ``createBranch``.  Pure
+        metadata: the branch initially SHARES every data file and manifest
+        ref with the fork point; commits made through a
+        ``load(root, branch=name)`` handle diverge from there without ever
+        being visible to readers of this branch (isolated lineage, same
+        table-wide version namespace and CAS).  The fork point is recorded
+        so :meth:`fast_forward` can validate publishes in O(1), independent
+        of snapshot expiry.
+
+        Scale shape: create/delete/fast-forward are O(refs) metadata-only
+        commits; branch commits cost exactly what main commits cost (same
+        write paths, same manifest-ref reuse)."""
+        if not name or name == "main":
+            raise ValueError("branch name must be non-empty and not 'main'")
+
+        def mutate(meta: dict[str, Any]):
+            _, heads, _ = self._global_refs(self.root)
+            if name in heads:
+                raise ValueError(f"branch {name!r} already exists on {self.root}")
+            if version is None:
+                # default fork: the branch points at the create commit
+                # itself (state-identical to the current head, and the
+                # version the fast-forward check must anchor on — the
+                # create commit advances this branch's head)
+                pin = at = None
+            else:
+                pin = at = int(version)
+                if not os.path.exists(
+                    os.path.join(self.root, "metadata", f"v{pin:08d}.metadata.json")
+                ):
+                    raise ValueError(f"cannot fork branch at missing version {pin}")
+            meta["_branch_ref_edits"] = {
+                name: {
+                    "version": pin,
+                    "from_branch": self.branch,
+                    "at_version": at,
+                }
+            }
+
+        return self._pure_metadata_commit(
+            mutate, f"branch-{name}", max_retries, touched=set()
+        )
+
+    def delete_branch(self, name: str, max_retries: int = 5) -> CommitResult:
+        """Drop branch ``name``'s ref (Iceberg ``removeBranch``).  The
+        branch's snapshots stay time-travelable by version until
+        ``expire_snapshots`` reclaims them (they lose their head exemption
+        with the ref)."""
+        if name == "main":
+            raise ValueError("cannot delete the main branch")
+        if name == self.branch:
+            raise ValueError("cannot delete the branch this handle is on")
+
+        def mutate(meta: dict[str, Any]):
+            _, heads, _ = self._global_refs(self.root)
+            if name not in heads:
+                return False
+            meta["_branch_ref_edits"] = {name: None}
+
+        return self._pure_metadata_commit(
+            mutate, f"branchdel-{name}", max_retries, touched=set()
+        )
+
+    def fast_forward(self, branch: str, max_retries: int = 5) -> CommitResult:
+        """Publish branch ``branch``'s head onto THIS handle's branch
+        (Iceberg ``fast_forward("main", "audit")`` — the write-audit-publish
+        branch pattern): adopts the branch head's entire logical state
+        (partitions, deltas, schema, exactly-once registry, addressing) as
+        one pure-metadata commit, keeping this branch's tags.
+
+        Allowed only when this branch has NOT advanced since the fork point
+        (``branch_forks``-recorded; O(1) check, robust to snapshot expiry) —
+        otherwise the publish would silently discard commits, and the caller
+        must instead re-create the branch from the current head and re-stage
+        (the same contract as Iceberg's fast-forward).  On success the fork
+        point advances to the published version, so a long-lived staging
+        branch can keep committing and fast-forwarding repeatedly."""
+
+        def mutate(meta: dict[str, Any]):
+            _, heads, forks = self._global_refs(self.root)
+            if branch not in heads:
+                raise KeyError(f"no branch {branch!r} on table {self.root}")
+            fork = forks.get(branch)
+            if fork is None or fork.get("from_branch") != self.branch:
+                raise ValueError(
+                    f"branch {branch!r} was not forked from {self.branch!r}"
+                )
+            if self.version != fork["at_version"]:
+                raise CommitConflictError(
+                    f"{self.branch!r} advanced from v{fork['at_version']} to "
+                    f"v{self.version} since {branch!r} forked — not a "
+                    "fast-forward; re-create the branch from the current head"
+                )
+            if heads[branch] <= fork["at_version"]:
+                # no branch commits since the fork (or since the last
+                # publish re-forked it) — nothing to publish
+                return False
+            head_doc = IcehouseTable.load(self.root, version=heads[branch]).meta
+            self._adopt_state_fields(meta, head_doc)
+            if "properties" in head_doc:
+                meta["properties"] = json.loads(json.dumps(head_doc["properties"]))
+            # re-fork the branch at the version this publish is about to
+            # create, so the staging loop (commit -> audit -> fast-forward)
+            # can continue on the same branch
+            meta["_branch_ref_edits"] = {
+                branch: {
+                    "version": heads[branch],
+                    "from_branch": self.branch,
+                    "at_version": None,  # resolved to the publish commit
+                }
+            }
+
+        res = self._pure_metadata_commit(
+            mutate, f"ff-{branch}", max_retries, touched=None
+        )
+        return res
+
     def create_tag(self, name: str, version: int | None = None, max_retries: int = 5) -> CommitResult:
         """Pin a snapshot under a named tag (Iceberg tag analog): a new
         pure-metadata commit recording ``tags[name] = version`` (default:
@@ -2050,16 +2314,7 @@ class IcehouseTable:
             # default when the target snapshot predates the field ("deltas"
             # only appears after the first MOR append: rolling back across a
             # COW->MOR boundary must DROP the pending deltas, not keep them).
-            for field_name, default in (
-                ("partitions", {}), ("deltas", {}), ("schema", None),
-                ("epoch_watermark", -1), ("committed_epochs", {}),
-                ("committed_epoch_ranges", {}),
-                ("n_buckets", None), ("partition_spec", None),
-            ):
-                if field_name in target.meta:
-                    meta[field_name] = json.loads(json.dumps(target.meta[field_name]))
-                elif default is not None:
-                    meta[field_name] = json.loads(json.dumps(default))
+            self._adopt_state_fields(meta, target.meta)
             meta.setdefault("rollback_log", []).append(
                 {"version": self.version + 1, "restored_version": to_version}
             )
@@ -2083,6 +2338,7 @@ class IcehouseTable:
                 (
                     m["version"],
                     m["snapshot_id"],
+                    m.get("branch", "main"),
                     m.get("parent_version"),
                     sum(p["rows"] for p in m["partitions"].values())
                     + sum(d["rows"] for ds in m.get("deltas", {}).values() for d in ds),
@@ -2103,6 +2359,7 @@ class IcehouseTable:
             [
                 T.StructField("version", T.IntegerType()),
                 T.StructField("snapshot_id", T.StringType()),
+                T.StructField("branch", T.StringType()),
                 T.StructField("parent_version", T.IntegerType()),
                 T.StructField("physical_rows", T.LongType()),
                 T.StructField("populated_partitions", T.IntegerType()),

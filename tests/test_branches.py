@@ -1,0 +1,287 @@
+"""Writable branch refs (Iceberg branch / fast-forward analog): isolated
+per-branch lineages in one table root, a shared table-wide version CAS,
+O(1)-validated fast-forward publish, expiry exemptions for branch heads,
+and full interop with the CDC apply paths (COW + MOR + registry fencing).
+"""
+
+import json
+import os
+import tempfile
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_pipeline_spark.cdc.apply import apply_changes, apply_changes_mor
+from data_pipeline_spark.table.icehouse import (
+    CommitConflictError,
+    IcehouseTable,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+
+def _mk(n_buckets=4):
+    root = tempfile.mkdtemp(prefix="branch_tbl_")
+    return IcehouseTable.create(f"{root}/t", SCHEMA, key_col="doc_id", n_buckets=n_buckets)
+
+
+def _changes(spark, rows):
+    """rows: (lsn, op, doc_id, n_tok, source)"""
+    return spark.createDataFrame(
+        rows, "lsn long, op string, doc_id string, n_tok int, source string"
+    )
+
+
+def _state(spark, t):
+    return {
+        (r["doc_id"], r["n_tok"], r["source"])
+        for r in t.read(spark).select("doc_id", "n_tok", "source").collect()
+    }
+
+
+def test_branch_commits_are_invisible_to_main_and_vice_versa(spark):
+    t = _mk()
+    apply_changes(t, _changes(spark, [(1, "U", "d1", 10, "a")]), epoch=0)
+    t.refresh().create_branch("audit")
+
+    b = IcehouseTable.load(t.root, branch="audit")
+    assert b.branch == "audit"
+    # the branch starts as an exact alias of the fork point (shared files)
+    assert _state(spark, b) == {("d1", 10, "a")}
+
+    apply_changes(b, _changes(spark, [(2, "U", "d2", 20, "b")]), epoch=1)
+    apply_changes(b.refresh(), _changes(spark, [(3, "D", "d1", None, None)]), epoch=2)
+    # branch sees its own lineage
+    assert _state(spark, b.refresh()) == {("d2", 20, "b")}
+    # main does not
+    m = IcehouseTable.load(t.root)
+    assert m.branch == "main" and _state(spark, m) == {("d1", 10, "a")}
+
+    # main advances independently; branch unaffected
+    apply_changes(m, _changes(spark, [(4, "U", "d9", 99, "z")]), epoch=1)
+    assert _state(spark, IcehouseTable.load(t.root)) == {("d1", 10, "a"), ("d9", 99, "z")}
+    assert _state(spark, IcehouseTable.load(t.root, branch="audit")) == {("d2", 20, "b")}
+
+
+def test_fast_forward_publishes_state_and_registry(spark):
+    t = _mk()
+    apply_changes(t, _changes(spark, [(1, "U", "d1", 10, "a")]), epoch=0)
+    t.refresh().create_branch("stage")
+    b = IcehouseTable.load(t.root, branch="stage")
+    apply_changes(b, _changes(spark, [(2, "U", "d2", 20, "b")]), epoch=1)
+    apply_changes(b.refresh(), _changes(spark, [(3, "U", "d3", 30, "c")]), epoch=2)
+
+    m = IcehouseTable.load(t.root)
+    res = m.fast_forward("stage")
+    assert not res.skipped
+    m.refresh()
+    assert _state(spark, m) == {("d1", 10, "a"), ("d2", 20, "b"), ("d3", 30, "c")}
+    # the branch's exactly-once registry came along: published epochs are
+    # fenced on main (a replayer re-running the staged epochs must no-op)
+    assert m.epoch_committed(1) and m.epoch_committed(2)
+    assert apply_changes(m, _changes(spark, [(2, "U", "d2", 20, "b")]), epoch=1).result.skipped
+
+
+def test_fast_forward_conflicts_when_target_advanced(spark):
+    t = _mk()
+    apply_changes(t, _changes(spark, [(1, "U", "d1", 10, "a")]), epoch=0)
+    t.refresh().create_branch("stage")
+    b = IcehouseTable.load(t.root, branch="stage")
+    apply_changes(b, _changes(spark, [(2, "U", "d2", 20, "b")]), epoch=1)
+    # main moves past the fork point
+    m = IcehouseTable.load(t.root)
+    apply_changes(m, _changes(spark, [(3, "U", "d9", 99, "z")]), epoch=1)
+    with pytest.raises(CommitConflictError, match="not a fast-forward"):
+        m.refresh().fast_forward("stage")
+    # main state untouched by the failed publish
+    assert _state(spark, IcehouseTable.load(t.root)) == {("d1", 10, "a"), ("d9", 99, "z")}
+
+
+def test_long_lived_branch_repeated_publish_loop(spark):
+    t = _mk()
+    apply_changes(t, _changes(spark, [(1, "U", "d1", 10, "a")]), epoch=0)
+    t.refresh().create_branch("stage")
+    b = IcehouseTable.load(t.root, branch="stage")
+    m = IcehouseTable.load(t.root)
+    for i in range(3):
+        apply_changes(
+            b.refresh(), _changes(spark, [(10 + i, "U", f"s{i}", i, "stg")]), epoch=10 + i
+        )
+        assert not m.refresh().fast_forward("stage").skipped
+    assert _state(spark, m.refresh()) == {
+        ("d1", 10, "a"), ("s0", 0, "stg"), ("s1", 1, "stg"), ("s2", 2, "stg")
+    }
+    # publish with no new branch commits is a skip, not an error
+    assert m.refresh().fast_forward("stage").skipped
+
+
+def test_mor_deltas_on_branch_then_publish(spark):
+    t = _mk()
+    apply_changes(t, _changes(spark, [(1, "U", "d1", 10, "a")]), epoch=0)
+    t.refresh().create_branch("stage")
+    b = IcehouseTable.load(t.root, branch="stage")
+    apply_changes_mor(b, _changes(spark, [(2, "U", "d2", 20, "b"), (3, "D", "d1", None, None)]), epoch=1)
+    assert b.refresh().meta.get("deltas"), "branch holds pending deltas"
+    m = IcehouseTable.load(t.root)
+    m.fast_forward("stage")
+    # pending deltas publish as-is and resolve at read time on main
+    assert _state(spark, m.refresh()) == {("d2", 20, "b")}
+
+
+def test_create_branch_validation_and_pinned_fork(spark):
+    t = _mk()
+    apply_changes(t, _changes(spark, [(1, "U", "d1", 10, "a")]), epoch=0)
+    v1 = t.refresh().version
+    apply_changes(t, _changes(spark, [(2, "U", "d2", 20, "b")]), epoch=1)
+    t.refresh().create_branch("old", version=v1)
+    assert _state(spark, IcehouseTable.load(t.root, branch="old")) == {("d1", 10, "a")}
+    with pytest.raises(ValueError, match="already exists"):
+        t.refresh().create_branch("old")
+    with pytest.raises(ValueError, match="not 'main'"):
+        t.create_branch("main")
+    with pytest.raises(ValueError, match="missing version"):
+        t.refresh().create_branch("ghost", version=9999)
+    # a branch forked BEHIND main's head can never fast-forward (main has
+    # state the branch lacks)
+    bb = IcehouseTable.load(t.root, branch="old")
+    apply_changes(bb, _changes(spark, [(5, "U", "d5", 5, "e")]), epoch=5)
+    with pytest.raises(CommitConflictError):
+        IcehouseTable.load(t.root).fast_forward("old")
+
+
+def test_delete_branch(spark):
+    t = _mk()
+    apply_changes(t, _changes(spark, [(1, "U", "d1", 10, "a")]), epoch=0)
+    t.refresh().create_branch("tmp")
+    assert "tmp" in t.list_branches()
+    t.refresh().delete_branch("tmp")
+    assert "tmp" not in t.list_branches()
+    with pytest.raises(KeyError, match="no branch"):
+        IcehouseTable.load(t.root, branch="tmp")
+    # idempotent: deleting a missing branch skips
+    assert t.refresh().delete_branch("tmp").skipped
+    with pytest.raises(ValueError, match="main"):
+        t.delete_branch("main")
+
+
+def test_expire_keeps_branch_heads_and_cross_branch_tags(spark):
+    t = _mk()
+    apply_changes(t, _changes(spark, [(1, "U", "d1", 10, "a")]), epoch=0)
+    t.refresh().create_branch("parked")
+    b = IcehouseTable.load(t.root, branch="parked")
+    apply_changes(b, _changes(spark, [(2, "U", "d2", 20, "b")]), epoch=1)
+    bhead = b.refresh().version
+    b.create_tag("branch-pin")  # tag lives on the BRANCH lineage
+    pinned = b.refresh().meta["tags"]["branch-pin"]
+    # churn main far past keep_last
+    m = IcehouseTable.load(t.root)
+    for i in range(6):
+        apply_changes(m.refresh(), _changes(spark, [(10 + i, "U", f"m{i}", i, "z")]), epoch=10 + i)
+    m.refresh().expire_snapshots(keep_last=2)
+    # branch head survives and still reads; so does the branch-tagged version
+    assert _state(spark, IcehouseTable.load(t.root, branch="parked")) == {
+        ("d1", 10, "a"), ("d2", 20, "b")
+    }
+    assert os.path.exists(
+        os.path.join(t.root, "metadata", f"v{pinned:08d}.metadata.json")
+    )
+    # the tag commit itself advanced the branch head past bhead
+    assert IcehouseTable.load(t.root, branch="parked").version > bhead
+    # the branch-tagged snapshot stays loadable by version
+    assert _state(spark, IcehouseTable.load(t.root, version=pinned)) == {
+        ("d1", 10, "a"), ("d2", 20, "b")
+    }
+
+
+def test_concurrent_commits_on_two_branches_both_land(spark):
+    t = _mk()
+    apply_changes(t, _changes(spark, [(1, "U", "d1", 10, "a")]), epoch=0)
+    t.refresh().create_branch("b1")
+    t.refresh().create_branch("b2")
+    errs = []
+
+    def work(branch, lsn, doc):
+        try:
+            h = IcehouseTable.load(t.root, branch=branch)
+            apply_changes(h, _changes(spark, [(lsn, "U", doc, lsn, branch)]), epoch=lsn)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    th = [
+        threading.Thread(target=work, args=("b1", 100, "x1")),
+        threading.Thread(target=work, args=("b2", 200, "x2")),
+    ]
+    [x.start() for x in th]
+    [x.join() for x in th]
+    assert not errs
+    assert _state(spark, IcehouseTable.load(t.root, branch="b1")) == {
+        ("d1", 10, "a"), ("x1", 100, "b1")
+    }
+    assert _state(spark, IcehouseTable.load(t.root, branch="b2")) == {
+        ("d1", 10, "a"), ("x2", 200, "b2")
+    }
+    assert _state(spark, IcehouseTable.load(t.root)) == {("d1", 10, "a")}
+
+
+def test_history_branch_column_and_timetravel_ignores_branches(spark):
+    import time as _time
+
+    t = _mk()
+    apply_changes(t, _changes(spark, [(1, "U", "d1", 10, "a")]), epoch=0)
+    t.refresh().create_branch("side")
+    b = IcehouseTable.load(t.root, branch="side")
+    apply_changes(b, _changes(spark, [(2, "U", "d2", 20, "b")]), epoch=1)
+    hist = {r["version"]: r["branch"] for r in t.history(spark).collect()}
+    assert "side" in hist.values() and "main" in hist.values()
+    # a timestamp after the branch commit still resolves to MAIN's newest
+    ts = _time.time() + 1
+    tt = IcehouseTable.load(t.root, as_of_timestamp=ts)
+    assert _state(spark, tt) == {("d1", 10, "a")}
+
+
+def test_rollback_on_a_branch_stays_on_branch(spark):
+    t = _mk()
+    apply_changes(t, _changes(spark, [(1, "U", "d1", 10, "a")]), epoch=0)
+    t.refresh().create_branch("wip")
+    b = IcehouseTable.load(t.root, branch="wip")
+    apply_changes(b, _changes(spark, [(2, "U", "d2", 20, "b")]), epoch=1)
+    v_good = b.refresh().version
+    apply_changes(b, _changes(spark, [(3, "U", "dBAD", 0, "bad")]), epoch=2)
+    b.refresh().rollback(v_good)
+    assert _state(spark, IcehouseTable.load(t.root, branch="wip")) == {
+        ("d1", 10, "a"), ("d2", 20, "b")
+    }
+    assert _state(spark, IcehouseTable.load(t.root)) == {("d1", 10, "a")}
+
+
+def test_legacy_metadata_without_branch_fields_loads_as_main(spark):
+    t = _mk()
+    apply_changes(t, _changes(spark, [(1, "U", "d1", 10, "a")]), epoch=0)
+    # simulate a pre-branch metadata doc: strip the ref fields in place
+    v = t.refresh().version
+    path = os.path.join(t.root, "metadata", f"v{v:08d}.metadata.json")
+    with open(path) as fh:
+        doc = json.load(fh)
+    for k in ("branch", "branch_heads", "branch_forks"):
+        doc.pop(k, None)
+    os.unlink(path)
+    with open(path, "w") as fh:
+        json.dump(doc, fh)
+    legacy = IcehouseTable.load(t.root)
+    assert legacy.branch == "main"
+    assert _state(spark, legacy) == {("d1", 10, "a")}
+    # the first commit on the legacy table re-stamps the ref map
+    apply_changes(legacy, _changes(spark, [(2, "U", "d2", 20, "b")]), epoch=1)
+    assert legacy.refresh().meta["branch_heads"]["main"] == legacy.version
+    legacy.create_branch("post-upgrade")
+    assert _state(spark, IcehouseTable.load(t.root, branch="post-upgrade")) == {
+        ("d1", 10, "a"), ("d2", 20, "b")
+    }
