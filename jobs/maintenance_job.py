@@ -33,6 +33,16 @@ partition-spec evolution, run as scheduled maintenance jobs):
                                    # write.fanout=8 (bucket-write fan-out) or
                                    # write.max-file-rows=5000000; V empty
                                    # deletes the key
+      [--branch NAME]              # run every action against branch NAME's
+                                   # head instead of main (compact a staging
+                                   # branch, tag it, roll it back, ...)
+      [--create-branch NAME[@V]]   # fork a branch at the current head (or
+                                   # at pinned version V) — pure metadata
+      [--delete-branch NAME]
+      [--fast-forward NAME]        # publish branch NAME's head onto this
+                                   # handle's branch (refused unless a true
+                                   # fast-forward; see IcehouseTable.fast_forward)
+      [--list-branches]            # print the ref map (always safe)
       [--stats]                    # print table health (always safe)
 
 Every action is one atomic, lineage-recorded commit through the same
@@ -122,6 +132,13 @@ def main() -> None:
     ap.add_argument("--set-property", action="append", default=None,
                     metavar="K=V", help="update a table property (repeatable; "
                     "empty value deletes the key); ints auto-coerced")
+    ap.add_argument("--branch", default=None,
+                    help="operate on this branch's head instead of main")
+    ap.add_argument("--create-branch", default=None, metavar="NAME[@VERSION]")
+    ap.add_argument("--delete-branch", default=None)
+    ap.add_argument("--fast-forward", default=None, metavar="NAME",
+                    help="publish branch NAME onto this handle's branch")
+    ap.add_argument("--list-branches", action="store_true")
     ap.add_argument("--drain-dlq", default=None, metavar="DLQ_ROOT",
                     help="re-validate quarantined epochs against the CURRENT "
                          "table schema and apply the ones that now fully "
@@ -132,8 +149,33 @@ def main() -> None:
     from data_pipeline_spark.table.icehouse import IcehouseTable
 
     spark = SparkSession.builder.appName("icehouse_maintenance").getOrCreate()
-    table = IcehouseTable.load(args.table)
-    out: dict = {"table": args.table, "before": table_stats(table), "actions": []}
+    table = IcehouseTable.load(args.table, branch=args.branch)
+    out: dict = {"table": args.table, "branch": table.branch,
+                 "before": table_stats(table), "actions": []}
+
+    if args.create_branch is not None:
+        name, at, ver = args.create_branch.partition("@")
+        res = table.create_branch(name, version=int(ver) if at else None)
+        out["actions"].append(
+            {"action": "create_branch", "name": name,
+             "fork_version": table.list_branches()[name], "version": res.version}
+        )
+    if args.fast_forward is not None:
+        res = table.fast_forward(args.fast_forward)
+        out["actions"].append(
+            {"action": "fast_forward", "from_branch": args.fast_forward,
+             "onto": table.branch, "version": res.version, "skipped": res.skipped}
+        )
+    if args.delete_branch is not None:
+        res = table.delete_branch(args.delete_branch)
+        out["actions"].append(
+            {"action": "delete_branch", "name": args.delete_branch,
+             "skipped": res.skipped}
+        )
+    if args.list_branches:
+        out["actions"].append(
+            {"action": "list_branches", "branches": table.list_branches()}
+        )
 
     if args.compact or args.compact_deltas:
         res = table.compact_partitions(
