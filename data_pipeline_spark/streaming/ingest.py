@@ -101,6 +101,18 @@ class StreamingIngest:
     #: emit nothing.
     emit_feed_dir: "str | None" = None
     emit_results: list = field(default_factory=list)
+    #: CDC-maintained rollups: roots of materialized views over this table
+    #: (``table.matview.create_matview``).  Every ``matview_every`` applied
+    #: micro-batches each view is brought up to the table's current snapshot
+    #: INCREMENTALLY (O(changed keys + affected groups) — never a base
+    #: rescan; see table/matview.py), so grouped aggregates trail the stream
+    #: without the reference's scheduled full-table GROUP BYs
+    #: (notification_service/bigquery_queries.py).  Refreshes are fenced on
+    #: the base snapshot version, so stream restarts / redeliveries re-run
+    #: them as no-ops.
+    matviews: "list[str] | None" = None
+    matview_every: int = 1
+    matview_results: list = field(default_factory=list)
 
     def __post_init__(self) -> None:
         if self.mode not in ("cow", "mor"):
@@ -234,6 +246,31 @@ class StreamingIngest:
             del self.applied[: len(self.applied) - self.applied_cap]
         self.batches_applied += 1
         self.events_applied += stats.events_in
+        if self.matviews and self.batches_applied % max(self.matview_every, 1) == 0:
+            from ..table.icehouse import IcehouseTable
+            from ..table.matview import refresh_matview
+
+            # with per-batch refreshes the batch IS the change set — pass its
+            # keys so the refresh is two point reads and never depends on the
+            # changed-since feed's ascending-LSN assumption (micro-batch
+            # boundaries may split epochs out of LSN order).  With
+            # matview_every > 1 the skipped batches' keys aren't retained,
+            # so the refresh falls back to the feed: only use that cadence
+            # when the source delivers in ascending LSN order.
+            batch_keys = (
+                batch.select(self.table.key_col).distinct()
+                if self.matview_every <= 1
+                else None
+            )
+            for mv_root in self.matviews:
+                st = refresh_matview(
+                    batch_df.sparkSession,
+                    IcehouseTable.load(mv_root),
+                    changed_keys=batch_keys,
+                )
+                self.matview_results.append((mv_root, st))
+            if len(self.matview_results) > self.applied_cap:
+                del self.matview_results[: len(self.matview_results) - self.applied_cap]
         if (
             self.publish_every
             and self.publish_expectations

@@ -778,16 +778,36 @@ class IcehouseTable:
         if not paths:
             return spark.createDataFrame([], read_schema).drop(PART_COL)
         df = spark.read.schema(read_schema).parquet(*paths)
-        key = self.key_col
-        payload = [f.name for f in read_schema.fields if f.name != key]
-        winners = (
-            df.groupBy(key)
-            .agg(
-                F.max_by(F.struct(*payload), F.coalesce(F.col(LSN_COL), F.lit(-1))).alias("_w")
+        # The LWW resolve shuffle is needed ONLY where several versions of a
+        # key can coexist in the scanned set — the delta-bearing buckets.  A
+        # COW snapshot holds exactly one version per key (each bucket rewrite
+        # materializes the winners), so a pure-COW feed is scan + filter with
+        # ZERO shuffle; mixed tables resolve only their dirty buckets (the
+        # same scoping as :meth:`read`).  Winners among survivors suffice: a
+        # pruned file's rows are all <= the watermark, so any key whose true
+        # winner was pruned is filtered by the final gate, never mis-emitted.
+        dirty_keys = [
+            int(k)
+            for k, ds in self.meta.get("deltas", {}).items()
+            if any(live(d) for d in ds)
+        ]
+        if dirty_keys:
+            key = self.key_col
+            payload = [f.name for f in read_schema.fields if f.name != key]
+            dirty = F.col(PART_COL).isin(dirty_keys)
+            resolved = (
+                df.where(dirty)
+                .groupBy(key)
+                .agg(
+                    F.max_by(
+                        F.struct(*payload), F.coalesce(F.col(LSN_COL), F.lit(-1))
+                    ).alias("_w")
+                )
+                .select(key, *[F.col(f"_w.{c}").alias(c) for c in payload])
+                .select(*[f.name for f in read_schema.fields])
             )
-            .select(key, *[F.col(f"_w.{c}").alias(c) for c in payload])
-        )
-        return winners.where(F.col(LSN_COL) > lsn_watermark).drop(PART_COL)
+            df = df.where(~dirty).unionByName(resolved)
+        return df.where(F.col(LSN_COL) > lsn_watermark).drop(PART_COL)
 
     def read_for_keys(self, spark: SparkSession, keys: DataFrame | list) -> DataFrame:
         """Bucket-pruned point lookup: read ONLY the bucket partitions the

@@ -276,6 +276,7 @@ def refresh_matview(
     spark: SparkSession,
     mv: IcehouseTable,
     full: bool = False,
+    changed_keys: DataFrame | None = None,
 ) -> RefreshStats:
     """Bring the view up to the base table's CURRENT snapshot.
 
@@ -286,6 +287,18 @@ def refresh_matview(
     fenced on ``epoch = base version``, so concurrent or crash-retried
     refreshes of the same version are no-ops and the watermark can never
     run ahead of the applied data.
+
+    ``changed_keys``: a one-column DataFrame of base keys KNOWN to cover
+    every key changed between the view's refreshed version and the current
+    snapshot (a superset is fine — unchanged keys retract and re-add the
+    same contribution, a no-op).  A caller applying the very change batch
+    (the streaming per-micro-batch hook) passes the batch's keys; both
+    sides then become bucket-pruned point reads and the refresh never
+    consults the changed-since feed.  Without it, the changed set is
+    derived from LSN file stats, which assumes changes are applied in
+    ascending-LSN order across refreshes (true for the epoch replayer;
+    NOT guaranteed for arbitrary out-of-order appliers — pass the keys
+    explicitly there).
     """
     mv.refresh()
     base_root, group_cols, value_col, scale = _view_spec(mv)
@@ -336,20 +349,40 @@ def refresh_matview(
         stats = _apply_view_delta(mv, delta, group_cols, v1)
         return RefreshStats("full", v0, v1, stats.result)
 
-    # None w0 (no stats / empty prior) degrades to watermark -1: changed-
-    # since then returns every live key, and the retract side reads every
-    # prior row of those keys — O(table) instead of O(changed), but still
-    # the exact delta.  Real apply paths always record LSN stats.
-    w0 = _lsn_high(prior)
-    w0 = -1 if w0 is None else w0
-    changed = base.read_changed_since(spark, w0).persist()
+    key = base.key_col
+    if changed_keys is not None:
+        # caller-supplied change set: both legs are point reads, no feed
+        changed = changed_keys.select(
+            F.col(changed_keys.columns[0]).alias(key)
+        ).distinct().persist()
+    else:
+        # None w0 (no stats / empty prior) degrades to watermark -1: changed-
+        # since then returns every live key, and the retract side reads every
+        # prior row of those keys — O(table) instead of O(changed), but still
+        # the exact delta.  Real apply paths always record LSN stats.
+        w0 = _lsn_high(prior)
+        w0 = -1 if w0 is None else w0
+        changed = base.read_changed_since(spark, w0).persist()
     try:
-        key = base.key_col
-        changed_keys = changed.select(key).distinct()
-        live_changed = changed.where(
-            ~F.coalesce(F.col("_deleted"), F.lit(False))
-        ).select(*base.schema.fieldNames())
-        prior_rows = prior.read_for_keys(spark, changed_keys)
+        keys_df = changed if changed_keys is not None else changed.select(key).distinct()
+        # Point lookups of the changed keys (prior rows to retract; with a
+        # caller-supplied key set, also their current winners to add).  For
+        # the streaming-refresh case (small per-epoch key sets) collect the
+        # keys and take read_for_keys' literal-IN path: the predicate pushes
+        # into the parquet scan where per-file min/max on the sorted key and
+        # (with write.bloom.columns) row-group blooms prune BEFORE any row
+        # materializes — a semi join prunes nothing below the scan.  Large
+        # key sets keep the broadcast-semi-join plan (a driver-side collect
+        # would be the real scale hazard there).
+        lit_keys = [r[0] for r in keys_df.limit(1001).collect()]
+        point_keys = lit_keys if len(lit_keys) <= 1000 else keys_df
+        if changed_keys is not None:
+            live_changed = base.read_for_keys(spark, point_keys)
+        else:
+            live_changed = changed.where(
+                ~F.coalesce(F.col("_deleted"), F.lit(False))
+            ).select(*base.schema.fieldNames())
+        prior_rows = prior.read_for_keys(spark, point_keys)
         retract = _contributions(prior_rows, group_cols, value_col, scale, sign=-1)
         add = _contributions(live_changed, group_cols, value_col, scale, sign=1)
         delta = (

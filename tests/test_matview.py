@@ -304,3 +304,32 @@ def test_bad_spec_raises(spark):
     base = _mk_table()
     with pytest.raises(ValueError, match="lacks columns"):
         create_matview(spark, tempfile.mkdtemp() + "/v", base, ["nope"], "n_tok")
+
+
+def test_explicit_changed_keys_survive_out_of_order_apply(spark):
+    """Micro-batch boundaries can apply LOWER LSNs after higher ones (file
+    sources split epochs arbitrarily).  The feed-based refresh assumes
+    ascending-LSN application; passing the batch's keys explicitly removes
+    that assumption — both legs become point reads and the view stays
+    exact."""
+    base = _mk_table()
+    # batch 1: high-LSN changes
+    apply_changes(
+        base, _changes(spark, [(100, "U", "hi1", "a", 10), (101, "U", "hi2", "b", 20)]),
+        epoch=0,
+    )
+    mv = _mk_mv(spark, base)
+    # batch 2: LOWER LSNs for different keys (out-of-order delivery)
+    b2 = [(5, "U", "lo1", "a", 7), (6, "U", "lo2", "c", 9)]
+    apply_changes(base.refresh(), _changes(spark, b2), epoch=1)
+    keys = spark.createDataFrame([(r[2],) for r in b2], "doc_id string")
+    st = refresh_matview(spark, mv, changed_keys=keys)
+    assert st.mode == "incremental"
+    _assert_mv_equals_recompute(spark, mv, base.refresh())
+    # a SUPERSET of keys (including unchanged ones) is also exact
+    apply_changes(base.refresh(), _changes(spark, [(7, "U", "lo1", "b", 8)]), epoch=2)
+    all_keys = spark.createDataFrame(
+        [("lo1",), ("lo2",), ("hi1",), ("hi2",), ("never-existed",)], "doc_id string"
+    )
+    refresh_matview(spark, mv, changed_keys=all_keys)
+    _assert_mv_equals_recompute(spark, mv, base.refresh())

@@ -348,3 +348,50 @@ def test_applied_cap_zero_disables_stat_retention(spark, tmp_path):
     assert ingest.applied == []
     assert ingest.batches_applied > 1
     assert ingest.events_applied == n_physical
+
+
+def test_stream_maintains_matview_incrementally(spark, log_path, tmp_path):
+    """CDC-maintained rollup trails the stream: every applied micro-batch
+    refreshes the registered matview INCREMENTALLY (fenced on the base
+    snapshot, never a base rescan), and the drained view equals a
+    from-scratch GROUP BY of the final table state."""
+    from data_pipeline_spark.table.matview import create_matview, read_matview
+
+    table = IcehouseTable.create(str(tmp_path / "mv_t"), TABLE_SCHEMA, n_buckets=8)
+    mv = create_matview(
+        spark, str(tmp_path / "mv_v"), table, ["source"], "n_tok", scale=1
+    )
+    ingest = StreamingIngest(
+        table,
+        str(tmp_path / "mv_ckpt"),
+        max_files_per_trigger=4,
+        matviews=[mv.root],
+    )
+    q = ingest.start(spark, log_path, trigger_once=True)
+    q.awaitTermination(300)
+    assert ingest.matview_results, "views must have been refreshed"
+    # every non-skipped refresh took the incremental path
+    modes = {st.mode for _, st in ingest.matview_results}
+    assert "full" not in modes and "incremental" in modes
+
+    def key(r):
+        return tuple((v is None, v) for v in r)
+
+    got = sorted(read_matview(spark, mv.refresh()).collect(), key=key)
+    want = sorted(
+        table.refresh()
+        .read(spark)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("n_tok").alias("n_vals"),
+            F.sum(F.col("n_tok").cast("long")).alias("s"),
+        )
+        .select(
+            "source", "n_rows", "n_vals",
+            F.when(F.col("n_vals") > 0, F.col("s")).alias("value_sum_scaled"),
+        )
+        .collect(),
+        key=key,
+    )
+    assert got == want and got

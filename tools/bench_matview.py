@@ -71,7 +71,13 @@ def change_epoch(spark, base_rows: int, epoch_rows: int, lsn0: int):
 
 def run_tier(spark, base_rows: int, epoch_rows: int) -> dict:
     root = tempfile.mkdtemp(prefix=f"mvbench_{base_rows}_")
-    base = IcehouseTable.create(f"{root}/t", SCHEMA, key_col="doc_id", n_buckets=16)
+    base = IcehouseTable.create(
+        f"{root}/t", SCHEMA, key_col="doc_id", n_buckets=32,
+        # the retract point-read's pruning levers: row-group blooms on the
+        # key + key-sorted files (min/max skipping) through the literal-IN
+        # pushdown path taken for small change sets
+        properties={"write.bloom.columns": "doc_id"},
+    )
     apply_changes(base, seed_changes(spark, base_rows), epoch=0)
     base.refresh()
     mv_inc = create_matview(spark, f"{root}/mv_i", base, ["source"], "n_tok", scale=1)
@@ -116,7 +122,7 @@ def run_tier(spark, base_rows: int, epoch_rows: int) -> dict:
 
 
 def main() -> None:
-    epoch_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    epoch_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     tiers = [int(x) for x in sys.argv[2:]] or [100_000, 1_000_000, 4_000_000]
     spark = get_spark(
         "bench-matview",
