@@ -97,6 +97,10 @@ def main() -> None:
     ap.add_argument("--compact-every", type=int, default=None,
                     help="in mor mode, fold deltas into the base every K "
                          "epochs (atomic maintenance commit)")
+    ap.add_argument("--branch", default=None,
+                    help="replay onto this branch's head instead of main "
+                         "(create it first: maintenance_job --create-branch; "
+                         "publish with --fast-forward)")
     ap.add_argument("--compact-ratio", type=float, default=None,
                     help="in mor mode, after each epoch fold only buckets "
                          "whose pending delta rows exceed RATIO x base rows "
@@ -112,8 +116,11 @@ def main() -> None:
     spark = SparkSession.builder.appName("cdc_replay").getOrCreate()
 
     if os.path.isdir(os.path.join(args.table, "metadata")):
-        table = IcehouseTable.load(args.table)
+        table = IcehouseTable.load(args.table, branch=args.branch)
     else:
+        if args.branch:
+            raise SystemExit("--branch requires an existing table "
+                             "(create + maintenance_job --create-branch first)")
         table = IcehouseTable.create(
             args.table, TABLE_SCHEMA, key_col="doc_id", n_buckets=args.n_buckets
         )
