@@ -95,6 +95,13 @@ def get_spark(
         # engine: snapshot visibility is decided by the icehouse metadata CAS,
         # never by the presence of files in a data dir.
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # Point-lookup pushdown: read_for_keys' literal-IN path relies on the
+        # predicate reaching the parquet reader as exact membership.  Above
+        # this threshold Spark degrades IN to a [min,max] range check, which
+        # prunes nothing for hash-scattered keys — raise it to the literal
+        # cap used by read_for_keys/matview (1000) so row-group dictionary /
+        # bloom evaluation stays exact for every key set we ever inline.
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
     )
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir:
