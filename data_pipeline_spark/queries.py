@@ -1818,6 +1818,65 @@ def cdc_mor_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("cdc_branch_replay", _CDC_REPLAY_ORACLE)
+def cdc_branch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish on a BRANCH, proven against the replay oracle:
+    every epoch of the portable change log is applied to an isolated staging
+    branch (``create_branch`` — commits invisible to main readers), audited
+    there (non-empty row count), and published onto main with an O(refs)
+    ``fast_forward`` — so MAIN's final state must equal the straight-through
+    LWW replay the DuckDB oracle recomputes from scratch.  In-code asserts
+    pin the isolation contract mid-flight: before the first publish, main is
+    still empty while the branch holds epoch 0.  (Branch isolation, conflict
+    refusal, MOR-across-publish, expiry exemptions: tests/test_branches.py.)
+    The reference stages into separate datasets and copies over; a branch
+    shares every file with its fork point and publishes as pure metadata."""
+    import tempfile
+
+    from .cdc.apply import apply_changes
+    from .cdc.changelog import generate_change_log_portable
+    from .table.icehouse import IcehouseTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+            T.StructField("n_tok", T.IntegerType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="icehouse_branch_")
+    main = IcehouseTable.create(f"{root}/t", schema, key_col="doc_id", n_buckets=8)
+    main.create_branch("stage")
+    stage = IcehouseTable.load(main.root, branch="stage")
+    log = generate_change_log_portable(
+        spark, n_events=6000, n_docs=500, events_per_epoch=2000, seed=42
+    ).persist()
+    try:
+        for ep in (0, 1, 2):
+            apply_changes(
+                stage.refresh(), log.where(F.col("epoch") == ep).drop("epoch"), epoch=ep
+            )
+            assert stage.refresh().row_count() > 0  # the audit
+            if ep == 0:  # isolation: staged epoch not visible on main yet
+                assert IcehouseTable.load(main.root).row_count() == 0
+            assert not main.refresh().fast_forward("stage").skipped
+    finally:
+        log.unpersist()
+    return (
+        IcehouseTable.load(main.root)
+        .read(spark)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 @q(
     "matview_incremental_rollup",
     _CDC_LOG_LAST_CTE
@@ -4088,7 +4147,11 @@ _DRIVER_WINDOW_FIRST = [
     "debezium_envelope_parse", "debezium_replay_final_state",
     "corpus_pack_sequences", "dedup_keep_best", "bpe_learned_merges",
     "ann_ivf_topk", "time_travel_snapshot", "cdc_emit_mirror_state",
-    "matview_incremental_rollup", "token_normalize", "token_pack_windows",
+    # cdc_branch_replay (NEW round-4 engine code: isolated staging branches
+    # + fast-forward publish, replay-oracle-proven) takes the slot of
+    # token_normalize (r03 hash-green; its Arrow kernel is untouched this
+    # round and bit-identity-tested in-repo).
+    "matview_incremental_rollup", "cdc_branch_replay", "token_pack_windows",
     "bpe_apply_fixed",
 ]
 assert len(_DRIVER_WINDOW_FIRST) == 50 and len(set(_DRIVER_WINDOW_FIRST)) == 50
