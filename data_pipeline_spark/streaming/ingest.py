@@ -102,7 +102,7 @@ class StreamingIngest:
     emit_feed_dir: "str | None" = None
     emit_results: list = field(default_factory=list)
     #: CDC-maintained rollups: roots of materialized views over this table
-    #: (``table.matview.create_matview``).  Every ``matview_every`` applied
+    #: (``create_matview`` in table/matview.py).  Every ``matview_every`` applied
     #: micro-batches each view is brought up to the table's current snapshot
     #: INCREMENTALLY (O(changed keys + affected groups) — never a base
     #: rescan; see table/matview.py), so grouped aggregates trail the stream
