@@ -1,0 +1,115 @@
+"""Cherry-pick: publish a branch's NET delta onto a diverged target branch.
+
+:meth:`~..table.icehouse.IcehouseTable.fast_forward` refuses when the
+target advanced past the fork point — correctly, because adopting the
+branch head wholesale would silently discard the target's own commits.
+Cherry-pick is the sanctioned escape hatch for that case (the Iceberg
+workflow is "re-create the branch and re-stage"; a CDC engine can do
+better): compute the branch's net row-level delta since its fork
+(:func:`~.cdf.snapshot_diff` — one key-wise co-partitioned join of two
+snapshots) and MERGE it onto the target as one ordinary exactly-once
+``apply_changes`` batch.
+
+Semantics — explicitly LAST-WRITER-WINS WITH THE PICKER LAST: every picked
+row is stamped with a fresh LSN above the target's high-water mark, so on
+keys modified on BOTH sides since the fork, the branch's version wins.
+That is the right default for the backfill workflow (the branch exists to
+fix those rows); a caller who wants target-wins for overlapping keys
+anti-joins the delta against its own changed-key set first.  Unlike
+fast-forward this is a DATA commit (the delta rewrites the touched
+buckets), not a metadata re-point — the price of divergence.
+
+Exactly-once: the commit is fenced on ``epoch = branch head version`` in
+namespace ``cherry:<branch>``, so a crash-retried or double-submitted pick
+is a no-op; picking again after NEW branch commits uses the new head
+version = a fresh epoch, which applies only the incremental rows (the
+diff is cumulative from the fork, and re-applied rows merge idempotently —
+same values, higher LSN).
+
+Scale shape: two bucket-co-partitioned snapshot scans for the diff (cost
+of not materializing per-commit change files), then the standard O(touched
+buckets) merge.  No driver-side rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..table.icehouse import IcehouseTable
+from .apply import ApplyStats, apply_changes
+from .cdf import snapshot_diff
+
+
+def _lsn_high(table: IcehouseTable) -> int:
+    highs = [
+        e.get("lsn_max") for e in table.meta["partitions"].values()
+    ] + [
+        d.get("lsn_max")
+        for ds in table.meta.get("deltas", {}).values()
+        for d in ds
+    ]
+    known = [h for h in highs if h is not None]
+    return max(known) if known else 0
+
+
+@dataclass(frozen=True)
+class CherryPickStats:
+    branch: str
+    from_version: int  # fork anchor the delta starts at
+    to_version: int  # branch head the delta ends at
+    stats: ApplyStats
+
+    @property
+    def skipped(self) -> bool:
+        return self.stats.result.skipped
+
+
+def cherry_pick(
+    spark: SparkSession,
+    target: IcehouseTable,
+    branch: str,
+) -> CherryPickStats:
+    """Apply branch ``branch``'s net changes since its fork onto ``target``
+    (usually the main handle).  See the module docstring for semantics.
+
+    The fork anchor comes from the recorded ``branch_forks`` entry — the
+    same O(1) bookkeeping fast-forward validates against — so the delta is
+    exactly "what the branch did", even after the target diverged.
+    """
+    target.refresh()
+    _, heads, forks = target._global_refs(target.root)
+    if branch not in heads:
+        raise KeyError(f"no branch {branch!r} on table {target.root}")
+    fork = forks.get(branch)
+    if fork is None or fork.get("from_branch") != target.branch:
+        raise ValueError(f"branch {branch!r} was not forked from {target.branch!r}")
+    v_from, v_to = int(fork["at_version"]), int(heads[branch])
+    if v_to <= v_from:
+        # no branch commits since the fork (or since the last publish)
+        return CherryPickStats(branch, v_from, v_to, _noop_stats(target))
+    delta = snapshot_diff(spark, target.root, v_from, v_to)
+    lsn0 = _lsn_high(target) + 1
+    key = target.key_col
+    changes = delta.select(
+        F.lit(lsn0).cast("long").alias("lsn"),
+        F.when(F.col("op") == "D", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        *[c for c in delta.columns if c != "op"],
+    )
+    stats = apply_changes(
+        target, changes, epoch=v_to, epoch_source=f"cherry:{branch}"
+    )
+    return CherryPickStats(branch, v_from, v_to, stats)
+
+
+def _noop_stats(table: IcehouseTable) -> ApplyStats:
+    from ..table.icehouse import CommitResult
+
+    return ApplyStats(
+        result=CommitResult(table.version, table.meta["snapshot_id"], None, skipped=True),
+        events_in=0,
+        events_applied=0,
+        deletes=0,
+    )

@@ -138,6 +138,10 @@ def main() -> None:
     ap.add_argument("--delete-branch", default=None)
     ap.add_argument("--fast-forward", default=None, metavar="NAME",
                     help="publish branch NAME onto this handle's branch")
+    ap.add_argument("--cherry-pick", default=None, metavar="NAME",
+                    help="merge branch NAME's net delta onto this handle's "
+                         "branch (the diverged-target escape hatch; branch "
+                         "wins overlapping keys, fenced on the branch head)")
     ap.add_argument("--list-branches", action="store_true")
     ap.add_argument("--drain-dlq", default=None, metavar="DLQ_ROOT",
                     help="re-validate quarantined epochs against the CURRENT "
@@ -165,6 +169,15 @@ def main() -> None:
         out["actions"].append(
             {"action": "fast_forward", "from_branch": args.fast_forward,
              "onto": table.branch, "version": res.version, "skipped": res.skipped}
+        )
+    if args.cherry_pick is not None:
+        from data_pipeline_spark.cdc.cherry import cherry_pick
+
+        res = cherry_pick(spark, table, args.cherry_pick)
+        out["actions"].append(
+            {"action": "cherry_pick", "from_branch": args.cherry_pick,
+             "onto": table.branch, "delta_versions": [res.from_version, res.to_version],
+             "rows_applied": res.stats.events_applied, "skipped": res.skipped}
         )
     if args.delete_branch is not None:
         res = table.delete_branch(args.delete_branch)

@@ -285,3 +285,84 @@ def test_legacy_metadata_without_branch_fields_loads_as_main(spark):
     assert _state(spark, IcehouseTable.load(t.root, branch="post-upgrade")) == {
         ("d1", 10, "a"), ("d2", 20, "b")
     }
+
+
+def test_cherry_pick_after_diverged_main(spark):
+    """The conflicted-fast-forward escape hatch: main advanced since the
+    fork, so ff refuses — cherry_pick merges the branch's NET delta onto
+    main as one fenced apply, branch winning on keys both sides touched."""
+    from data_pipeline_spark.cdc.cherry import cherry_pick
+
+    t = _mk()
+    apply_changes(
+        t,
+        _changes(spark, [(1, "U", "keep", 1, "m"), (2, "U", "both", 2, "m")]),
+        epoch=0,
+    )
+    t.refresh().create_branch("fix")
+    b = IcehouseTable.load(t.root, branch="fix")
+    # branch: update an overlapping key, add one, delete one
+    apply_changes(
+        b,
+        _changes(spark, [(10, "U", "both", 99, "b"), (11, "U", "bnew", 5, "b")]),
+        epoch=1,
+    )
+    apply_changes(b.refresh(), _changes(spark, [(12, "D", "keep", None, None)]), epoch=2)
+    # main diverges: its own new key, and its own write to the overlap key
+    m = IcehouseTable.load(t.root)
+    apply_changes(
+        m, _changes(spark, [(20, "U", "mnew", 7, "m"), (21, "U", "both", 3, "m")]),
+        epoch=3,
+    )
+    with pytest.raises(CommitConflictError):
+        m.refresh().fast_forward("fix")
+
+    res = cherry_pick(spark, m.refresh(), "fix")
+    assert not res.skipped
+    # main's own non-overlapping commit survives; branch wins the overlap;
+    # branch's insert and delete both land
+    assert _state(spark, m.refresh()) == {
+        ("both", 99, "b"), ("bnew", 5, "b"), ("mnew", 7, "m")
+    }
+    # exactly-once: re-picking the same branch head is a fenced no-op
+    assert cherry_pick(spark, m.refresh(), "fix").skipped
+    # the branch itself is untouched by the pick
+    assert _state(spark, IcehouseTable.load(t.root, branch="fix")) == {
+        ("both", 99, "b"), ("bnew", 5, "b")
+    }
+
+
+def test_cherry_pick_incremental_after_more_branch_commits(spark):
+    from data_pipeline_spark.cdc.cherry import cherry_pick
+
+    t = _mk()
+    apply_changes(t, _changes(spark, [(1, "U", "d1", 1, "m")]), epoch=0)
+    t.refresh().create_branch("fix")
+    b = IcehouseTable.load(t.root, branch="fix")
+    apply_changes(b, _changes(spark, [(10, "U", "a", 1, "b")]), epoch=1)
+    m = IcehouseTable.load(t.root)
+    apply_changes(m, _changes(spark, [(20, "U", "z", 9, "m")]), epoch=2)  # diverge
+    assert not cherry_pick(spark, m.refresh(), "fix").skipped
+    # more branch work -> a SECOND pick at the new head applies the rest
+    apply_changes(b.refresh(), _changes(spark, [(11, "U", "a2", 2, "b")]), epoch=3)
+    res2 = cherry_pick(spark, m.refresh(), "fix")
+    assert not res2.skipped
+    assert _state(spark, m.refresh()) == {
+        ("d1", 1, "m"), ("z", 9, "m"), ("a", 1, "b"), ("a2", 2, "b")
+    }
+    # picking with no new branch commits: no-op
+    assert cherry_pick(spark, m.refresh(), "fix").skipped
+
+
+def test_cherry_pick_validations(spark):
+    from data_pipeline_spark.cdc.cherry import cherry_pick
+
+    t = _mk()
+    apply_changes(t, _changes(spark, [(1, "U", "d1", 1, "m")]), epoch=0)
+    with pytest.raises(KeyError, match="no branch"):
+        cherry_pick(spark, t.refresh(), "ghost")
+    t.refresh().create_branch("b1")
+    b1 = IcehouseTable.load(t.root, branch="b1")
+    b1.create_branch("b2")  # forked from b1, not main
+    with pytest.raises(ValueError, match="not forked from"):
+        cherry_pick(spark, IcehouseTable.load(t.root), "b2")
