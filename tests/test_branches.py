@@ -366,3 +366,32 @@ def test_cherry_pick_validations(spark):
     b1.create_branch("b2")  # forked from b1, not main
     with pytest.raises(ValueError, match="not forked from"):
         cherry_pick(spark, IcehouseTable.load(t.root), "b2")
+
+
+def test_streaming_ingest_onto_branch(spark, tmp_path):
+    """A StreamingIngest pointed at a branch handle commits exclusively to
+    that branch; main stays untouched until the stream's work is published."""
+    from data_pipeline_spark.cdc.changelog import materialize_change_log
+    from data_pipeline_spark.streaming import StreamingIngest
+
+    wide = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+            T.StructField("n_tok", T.IntegerType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    log = str(tmp_path / "blog")
+    materialize_change_log(spark, log, n_events=1500, n_docs=120, events_per_epoch=500, seed=11)
+    t = IcehouseTable.create(str(tmp_path / "bt"), wide, key_col="doc_id", n_buckets=4)
+    t.create_branch("stream-stage")
+    stage = IcehouseTable.load(t.root, branch="stream-stage")
+    ing = StreamingIngest(stage, str(tmp_path / "bck"), max_files_per_trigger=2)
+    q = ing.start(spark, log, trigger_once=True)
+    q.awaitTermination(300)
+    assert ing.batches_applied > 0
+    assert IcehouseTable.load(t.root).row_count() == 0  # main untouched
+    assert IcehouseTable.load(t.root, branch="stream-stage").row_count() > 0
+    IcehouseTable.load(t.root).fast_forward("stream-stage")
+    assert IcehouseTable.load(t.root).row_count() > 0
