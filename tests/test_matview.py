@@ -333,3 +333,32 @@ def test_explicit_changed_keys_survive_out_of_order_apply(spark):
     )
     refresh_matview(spark, mv, changed_keys=all_keys)
     _assert_mv_equals_recompute(spark, mv, base.refresh())
+
+
+def test_matview_refresh_across_branch_publish(spark):
+    """A view over MAIN stays exact when main advances via a branch
+    fast-forward (the staged-backfill publish): the adopted files carry
+    their LSN stats, so the changed-since delta covers the published
+    rows."""
+    base = _mk_table()
+    apply_changes(base, _changes(spark, [(1, "U", "d1", "a", 10)]), epoch=0)
+    mv = _mk_mv(spark, base)
+    base.refresh().create_branch("stage")
+    b = IcehouseTable.load(base.root, branch="stage")
+    apply_changes(b, _changes(spark, [(2, "U", "d2", "b", 20), (3, "D", "d1", None, None)]), epoch=1)
+    base.refresh().fast_forward("stage")
+    st = refresh_matview(spark, mv)
+    assert st.mode == "incremental"
+    _assert_mv_equals_recompute(spark, mv, base.refresh())
+    # and across a cherry-pick publish after divergence
+    base.refresh().create_branch("fix")
+    bf = IcehouseTable.load(base.root, branch="fix")
+    apply_changes(bf, _changes(spark, [(10, "U", "d3", "c", 5)]), epoch=2)
+    apply_changes(base.refresh(), _changes(spark, [(11, "U", "d4", "a", 7)]), epoch=3)
+    from data_pipeline_spark.cdc.cherry import cherry_pick
+
+    refresh_matview(spark, mv)  # bring the view up to the diverged main
+    assert not cherry_pick(spark, base.refresh(), "fix").skipped
+    st2 = refresh_matview(spark, mv)
+    assert st2.mode == "incremental"
+    _assert_mv_equals_recompute(spark, mv, base.refresh())
