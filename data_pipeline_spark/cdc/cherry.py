@@ -71,6 +71,7 @@ def cherry_pick(
     spark: SparkSession,
     target: IcehouseTable,
     branch: str,
+    lsn: str = "picker",
 ) -> CherryPickStats:
     """Apply branch ``branch``'s net changes since its fork onto ``target``
     (usually the main handle).  See the module docstring for semantics.
@@ -78,7 +79,24 @@ def cherry_pick(
     The fork anchor comes from the recorded ``branch_forks`` entry — the
     same O(1) bookkeeping fast-forward validates against — so the delta is
     exactly "what the branch did", even after the target diverged.
+
+    ``lsn``:
+
+    - ``"picker"`` (default): stamp every picked row with one fresh LSN
+      above the target's high-water mark — the pick wins every overlap,
+      INCLUDING against future upstream events whose natural LSNs are
+      below the stamp.  Right when the branch is the authority (a repair
+      of rows the upstream will not re-send) — wrong under live ingest
+      that will keep writing these keys.
+    - ``"preserve"``: carry each row's TRUE LSN from the branch snapshot
+      (tombstones included), so the picked rows take their natural place
+      in the LWW order: a target row already newer than the branch's
+      change keeps winning, and future upstream events with higher LSNs
+      win normally.  Right when the branch replayed real upstream epochs
+      that main simply hasn't seen.
     """
+    if lsn not in ("picker", "preserve"):
+        raise ValueError(f"unknown lsn mode {lsn!r} (picker | preserve)")
     target.refresh()
     _, heads, forks = target._global_refs(target.root)
     if branch not in heads:
@@ -93,10 +111,22 @@ def cherry_pick(
     delta = snapshot_diff(spark, target.root, v_from, v_to)
     lsn0 = _lsn_high(target) + 1
     key = target.key_col
+    if lsn == "preserve":
+        # per-key true LSNs from the branch head snapshot (with_meta keeps
+        # tombstone rows, so deletes carry their delete LSN); a vacuumed
+        # tombstone falls back to the fresh stamp
+        head = IcehouseTable.load(target.root, version=v_to)
+        src = head.read(spark, with_meta=True).select(
+            key, F.col("_lsn").alias("_src_lsn")
+        )
+        lsn_col = F.coalesce(F.col("_src_lsn"), F.lit(lsn0))
+        delta = delta.join(src, key, "left")
+    else:
+        lsn_col = F.lit(lsn0)
     changes = delta.select(
-        F.lit(lsn0).cast("long").alias("lsn"),
+        lsn_col.cast("long").alias("lsn"),
         F.when(F.col("op") == "D", F.lit("D")).otherwise(F.lit("U")).alias("op"),
-        *[c for c in delta.columns if c != "op"],
+        *[c for c in delta.columns if c not in ("op", "_src_lsn")],
     )
     stats = apply_changes(
         target, changes, epoch=v_to, epoch_source=f"cherry:{branch}"

@@ -395,3 +395,29 @@ def test_streaming_ingest_onto_branch(spark, tmp_path):
     assert IcehouseTable.load(t.root, branch="stream-stage").row_count() > 0
     IcehouseTable.load(t.root).fast_forward("stream-stage")
     assert IcehouseTable.load(t.root).row_count() > 0
+
+
+def test_cherry_pick_preserve_lsn_keeps_natural_order(spark):
+    """lsn='preserve': picked rows take their TRUE LSN, so a target row
+    already newer keeps winning and future upstream events win normally
+    (the live-ingest-safe mode)."""
+    from data_pipeline_spark.cdc.cherry import cherry_pick
+
+    t = _mk()
+    apply_changes(t, _changes(spark, [(1, "U", "k", 1, "m")]), epoch=0)
+    t.refresh().create_branch("replayed")
+    b = IcehouseTable.load(t.root, branch="replayed")
+    # the branch replays real upstream epochs: lsn 50 update + lsn 60 insert
+    apply_changes(b, _changes(spark, [(50, "U", "k", 5, "b"), (60, "U", "n", 6, "b")]), epoch=1)
+    # main meanwhile got a NEWER upstream event for the same key (lsn 70)
+    m = IcehouseTable.load(t.root)
+    apply_changes(m, _changes(spark, [(70, "U", "k", 7, "m2")]), epoch=2)
+    res = cherry_pick(spark, m.refresh(), "replayed", lsn="preserve")
+    assert not res.skipped
+    # main's lsn-70 row beats the branch's lsn-50 change; the insert lands
+    assert _state(spark, m.refresh()) == {("k", 7, "m2"), ("n", 6, "b")}
+    # a FUTURE upstream event (lsn 80) still wins over everything picked
+    apply_changes(m.refresh(), _changes(spark, [(80, "U", "n", 8, "up")]), epoch=3)
+    assert _state(spark, m.refresh()) == {("k", 7, "m2"), ("n", 8, "up")}
+    with pytest.raises(ValueError, match="unknown lsn mode"):
+        cherry_pick(spark, m.refresh(), "replayed", lsn="bogus")
