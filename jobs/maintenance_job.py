@@ -142,6 +142,11 @@ def main() -> None:
                     help="merge branch NAME's net delta onto this handle's "
                          "branch (the diverged-target escape hatch; branch "
                          "wins overlapping keys, fenced on the branch head)")
+    ap.add_argument("--cherry-pick-lsn", default="picker",
+                    choices=["picker", "preserve"],
+                    help="picker: fresh LSN, pick wins everything incl. "
+                         "future events; preserve: carry true branch LSNs "
+                         "(live-ingest-safe)")
     ap.add_argument("--list-branches", action="store_true")
     ap.add_argument("--drain-dlq", default=None, metavar="DLQ_ROOT",
                     help="re-validate quarantined epochs against the CURRENT "
@@ -173,7 +178,7 @@ def main() -> None:
     if args.cherry_pick is not None:
         from data_pipeline_spark.cdc.cherry import cherry_pick
 
-        res = cherry_pick(spark, table, args.cherry_pick)
+        res = cherry_pick(spark, table, args.cherry_pick, lsn=args.cherry_pick_lsn)
         out["actions"].append(
             {"action": "cherry_pick", "from_branch": args.cherry_pick,
              "onto": table.branch, "delta_versions": [res.from_version, res.to_version],
