@@ -10,14 +10,14 @@ better): compute the branch's net row-level delta since its fork
 snapshots) and MERGE it onto the target as one ordinary exactly-once
 ``apply_changes`` batch.
 
-Semantics — explicitly LAST-WRITER-WINS WITH THE PICKER LAST: every picked
-row is stamped with a fresh LSN above the target's high-water mark, so on
-keys modified on BOTH sides since the fork, the branch's version wins.
-That is the right default for the backfill workflow (the branch exists to
-fix those rows); a caller who wants target-wins for overlapping keys
-anti-joins the delta against its own changed-key set first.  Unlike
-fast-forward this is a DATA commit (the delta rewrites the touched
-buckets), not a metadata re-point — the price of divergence.
+Overlap semantics are explicit via ``lsn=``: the default ``"picker"``
+stamps every picked row with a fresh LSN above the target's high-water
+mark (the branch wins every overlap — the authoritative-repair contract),
+while ``"preserve"`` carries each row's true branch LSN so picked rows
+take their natural place in the LWW order (the live-ingest-safe contract;
+see :func:`cherry_pick`).  Unlike fast-forward this is a DATA commit (the
+delta rewrites the touched buckets), not a metadata re-point — the price
+of divergence.
 
 Exactly-once: the commit is fenced on ``epoch = branch head version`` in
 namespace ``cherry:<branch>``, so a crash-retried or double-submitted pick
