@@ -1571,12 +1571,17 @@ class IcehouseTable:
                 int(n[1:9]) for n in os.listdir(mdir) if n.endswith(".metadata.json")
             )
             # every branch head is pinned like a tag (its ref must stay
-            # loadable); ancestors beyond keep_last age out normally, so a
-            # parked branch keeps exactly one live snapshot.  Tag maps live
-            # per-branch lineage, so the exempt set unions the tags of EVERY
-            # branch head — expire run from one branch must not reclaim a
-            # snapshot another branch's tag still pins.
-            _, heads, _ = self._global_refs(self.root)
+            # loadable), and so is every branch's FORK ANCHOR — cherry_pick
+            # diffs the branch head against that snapshot, so reclaiming it
+            # would strand the diverged-publish workflow.  Ancestors beyond
+            # keep_last age out normally, so a parked branch keeps its head
+            # + fork.  Tag maps live per-branch lineage, so the exempt set
+            # unions the tags of EVERY branch head — expire run from one
+            # branch must not reclaim a snapshot another branch's tag pins.
+            _, heads, forks = self._global_refs(self.root)
+            ref_pins = set(heads.values()) | {
+                int(f["at_version"]) for f in forks.values()
+            }
             tagged = set(self.meta.get("tags", {}).values())
             for hv in set(heads.values()):
                 if hv in set(versions):
@@ -1585,7 +1590,7 @@ class IcehouseTable:
             keep = (
                 set(versions[-keep_last:])
                 | (tagged & set(versions))
-                | (set(heads.values()) & set(versions))
+                | (ref_pins & set(versions))
             )
             if older_than_seconds is not None:
                 cutoff = time.time() - older_than_seconds

@@ -421,3 +421,23 @@ def test_cherry_pick_preserve_lsn_keeps_natural_order(spark):
     assert _state(spark, m.refresh()) == {("k", 7, "m2"), ("n", 8, "up")}
     with pytest.raises(ValueError, match="unknown lsn mode"):
         cherry_pick(spark, m.refresh(), "replayed", lsn="bogus")
+
+
+def test_expire_keeps_fork_anchor_for_cherry_pick(spark):
+    """The fork-point snapshot is what cherry_pick diffs against — expire
+    must pin it alongside the branch head."""
+    from data_pipeline_spark.cdc.cherry import cherry_pick
+
+    t = _mk()
+    apply_changes(t, _changes(spark, [(1, "U", "d1", 1, "m")]), epoch=0)
+    t.refresh().create_branch("slow")
+    b = IcehouseTable.load(t.root, branch="slow")
+    apply_changes(b, _changes(spark, [(10, "U", "s1", 2, "b")]), epoch=1)
+    m = IcehouseTable.load(t.root)
+    for i in range(6):  # churn main far past keep_last, diverging it
+        apply_changes(m.refresh(), _changes(spark, [(20 + i, "U", f"m{i}", i, "z")]), epoch=20 + i)
+    m.refresh().expire_snapshots(keep_last=2)
+    res = cherry_pick(spark, m.refresh(), "slow")
+    assert not res.skipped
+    got = _state(spark, m.refresh())
+    assert ("s1", 2, "b") in got and ("d1", 1, "m") in got
