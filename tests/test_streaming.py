@@ -395,3 +395,38 @@ def test_stream_maintains_matview_incrementally(spark, log_path, tmp_path):
         key=key,
     )
     assert got == want and got
+
+
+def test_stream_mor_maintains_matview(spark, log_path, tmp_path):
+    """Matview maintenance composes with merge-on-read micro-batches: the
+    point reads resolve winners against base + pending deltas."""
+    from data_pipeline_spark.table.matview import create_matview, read_matview
+
+    table = IcehouseTable.create(str(tmp_path / "mvm_t"), TABLE_SCHEMA, n_buckets=8)
+    mv = create_matview(
+        spark, str(tmp_path / "mvm_v"), table, ["source"], "n_tok", scale=1
+    )
+    ingest = StreamingIngest(
+        table, str(tmp_path / "mvm_ck"), max_files_per_trigger=3,
+        mode="mor", matviews=[mv.root],
+    )
+    q = ingest.start(spark, log_path, trigger_once=True)
+    q.awaitTermination(300)
+    assert table.refresh().meta.get("deltas"), "MOR deltas pending at drain"
+
+    def key(r):
+        return tuple((v is None, v) for v in r)
+
+    got = sorted(read_matview(spark, mv.refresh()).collect(), key=key)
+    want = sorted(
+        table.read(spark).groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("n_tok").alias("n_vals"),
+            F.sum(F.col("n_tok").cast("long")).alias("s"),
+        ).select(
+            "source", "n_rows", "n_vals",
+            F.when(F.col("n_vals") > 0, F.col("s")).alias("value_sum_scaled"),
+        ).collect(),
+        key=key,
+    )
+    assert got == want and got
