@@ -61,8 +61,18 @@ from ..cdc.apply import ApplyStats, apply_changes
 
 GROUP_KEY_COL = "group_key"
 _REFRESH_NS = "mv-refresh"
-# measure columns maintained for every view
-_MEASURES = ["n_rows", "n_vals", "value_sum_scaled"]
+
+
+def _measures(value_cols: list[str]) -> list[str]:
+    """Measure column names for a view over ``value_cols``.  A single
+    measure keeps the original flat names (the shape every existing test,
+    oracle, and consumer pins); multi-measure views suffix per column."""
+    if len(value_cols) == 1:
+        return ["n_rows", "n_vals", "value_sum_scaled"]
+    out = ["n_rows"]
+    for c in value_cols:
+        out += [f"n_vals_{c}", f"sum_{c}_scaled"]
+    return out
 
 
 def _group_key(group_cols: list[str]) -> F.Column:
@@ -76,19 +86,22 @@ def _group_key(group_cols: list[str]) -> F.Column:
 
 
 def _contributions(
-    rows: DataFrame, group_cols: list[str], value_col: str, scale: int, sign: int
+    rows: DataFrame, group_cols: list[str], value_cols: list[str], scale: int, sign: int
 ) -> DataFrame:
-    """Per-group signed contributions of a row set.  ``n_rows`` counts rows,
-    ``n_vals`` counts non-NULL measure values (so a consumer can reconstruct
-    SQL SUM/AVG semantics: sum IS NULL iff n_vals = 0), and the sum is
-    fixed-point with NULLs contributing 0 — increments stay exact and
-    order-independent."""
-    v = F.round(F.col(value_col) * scale).cast("long")
-    return rows.groupBy(*group_cols).agg(
-        (F.lit(sign) * F.count(F.lit(1))).alias("n_rows"),
-        (F.lit(sign) * F.count(F.col(value_col))).alias("n_vals"),
-        (F.lit(sign) * F.sum(F.coalesce(v, F.lit(0)))).alias("value_sum_scaled"),
-    )
+    """Per-group signed contributions of a row set.  ``n_rows`` counts rows;
+    per measure column, a non-NULL count (so a consumer can reconstruct SQL
+    SUM/AVG semantics: sum IS NULL iff its count = 0) and a fixed-point sum
+    with NULLs contributing 0 — increments stay exact and
+    order-independent.  One shuffle covers every measure."""
+    names = _measures(value_cols)
+    aggs = [(F.lit(sign) * F.count(F.lit(1))).alias(names[0])]
+    for i, c in enumerate(value_cols):
+        v = F.round(F.col(c) * scale).cast("long")
+        aggs.append((F.lit(sign) * F.count(F.col(c))).alias(names[1 + 2 * i]))
+        aggs.append(
+            (F.lit(sign) * F.sum(F.coalesce(v, F.lit(0)))).alias(names[2 + 2 * i])
+        )
+    return rows.groupBy(*group_cols).agg(*aggs)
 
 
 @dataclass(frozen=True)
@@ -105,21 +118,25 @@ class RefreshStats:
         return self.mode == "skipped"
 
 
-def _mv_schema(base_schema: T.StructType, group_cols: list[str]) -> T.StructType:
+def _mv_schema(
+    base_schema: T.StructType, group_cols: list[str], measures: list[str]
+) -> T.StructType:
     fields = [T.StructField(GROUP_KEY_COL, T.StringType(), False)]
     fields += [
         T.StructField(c, base_schema[c].dataType, True) for c in group_cols
     ]
-    fields += [T.StructField(m, T.LongType(), True) for m in _MEASURES]
+    fields += [T.StructField(m, T.LongType(), True) for m in measures]
     return T.StructType(fields)
 
 
 def _aggregate(
-    base_rows: DataFrame, group_cols: list[str], value_col: str, scale: int
+    base_rows: DataFrame, group_cols: list[str], value_cols: list[str], scale: int
 ) -> DataFrame:
     """Full aggregate of a base row set in view-row shape (no sign)."""
-    return _contributions(base_rows, group_cols, value_col, scale, sign=1).select(
-        _group_key(group_cols).alias(GROUP_KEY_COL), *group_cols, *_MEASURES
+    return _contributions(base_rows, group_cols, value_cols, scale, sign=1).select(
+        _group_key(group_cols).alias(GROUP_KEY_COL),
+        *group_cols,
+        *_measures(value_cols),
     )
 
 
@@ -174,20 +191,29 @@ def create_matview(
     mv_root: str,
     base: IcehouseTable,
     group_cols: list[str],
-    value_col: str,
+    value_col: "str | list[str]",
     scale: int = 1_000_000,
     n_buckets: int = 8,
 ) -> IcehouseTable:
     """Create a materialized grouped-aggregate view of ``base`` at its
     current snapshot.  The initial full aggregate commits through the same
     fenced apply as every later refresh (``epoch = base.version``), so
-    create itself is idempotent and the registry seeds the watermark."""
-    missing = [c for c in group_cols + [value_col] if c not in base.schema.fieldNames()]
+    create itself is idempotent and the registry seeds the watermark.
+
+    ``value_col`` may be a list — a MULTI-MEASURE view maintains per-column
+    (count, fixed-point sum) pairs (``n_vals_<col>`` / ``sum_<col>_scaled``)
+    alongside the shared ``n_rows``, all through the same single-shuffle
+    contributions and one MERGE per refresh; a single measure keeps the
+    flat ``n_vals`` / ``value_sum_scaled`` names."""
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    if not value_cols or len(set(value_cols)) != len(value_cols):
+        raise ValueError("value_col must name at least one distinct column")
+    missing = [c for c in group_cols + value_cols if c not in base.schema.fieldNames()]
     if missing:
         raise ValueError(f"base table {base.root} lacks columns {missing}")
     mv = IcehouseTable.create(
         mv_root,
-        _mv_schema(base.schema, group_cols),
+        _mv_schema(base.schema, group_cols, _measures(value_cols)),
         key_col=GROUP_KEY_COL,
         n_buckets=n_buckets,
     )
@@ -195,14 +221,14 @@ def create_matview(
         {
             "mv.base_root": base.root,
             "mv.group_cols": json.dumps(group_cols),
-            "mv.value_col": value_col,
+            "mv.value_cols": json.dumps(value_cols),
             "mv.scale": scale,
             # floor covers the empty-base create (an empty apply commits no
             # epoch) and every later empty-delta refresh
             "mv.refreshed_floor": base.version,
         }
     )
-    agg = _aggregate(base.read(spark), group_cols, value_col, scale)
+    agg = _aggregate(base.read(spark), group_cols, value_cols, scale)
     changes = agg.select(
         F.lit(0).cast("long").alias("lsn"),
         F.lit("U").alias("op"),
@@ -212,13 +238,17 @@ def create_matview(
     return mv.refresh()
 
 
-def _view_spec(mv: IcehouseTable) -> tuple[str, list[str], str, int]:
+def _view_spec(mv: IcehouseTable) -> tuple[str, list[str], list[str], int]:
     props = mv.meta.get("properties", {})
     try:
+        if "mv.value_cols" in props:
+            value_cols = json.loads(props["mv.value_cols"])
+        else:  # views created before multi-measure support
+            value_cols = [props["mv.value_col"]]
         return (
             props["mv.base_root"],
             json.loads(props["mv.group_cols"]),
-            props["mv.value_col"],
+            value_cols,
             int(props["mv.scale"]),
         )
     except KeyError as e:
@@ -230,6 +260,7 @@ def _apply_view_delta(
     delta: DataFrame,
     group_cols: list[str],
     base_version: int,
+    measures: list[str],
 ) -> ApplyStats:
     """MERGE a signed per-group delta into the view: point-read the affected
     groups' current aggregates (bucket-pruned through the view's own key
@@ -243,14 +274,14 @@ def _apply_view_delta(
     try:
         current = mv.read_for_keys(spark, delta.select(GROUP_KEY_COL))
         cur = current.select(
-            GROUP_KEY_COL, *[F.col(m).alias(f"_cur_{m}") for m in _MEASURES]
+            GROUP_KEY_COL, *[F.col(m).alias(f"_cur_{m}") for m in measures]
         )
         merged = delta.join(cur, GROUP_KEY_COL, "left_outer").select(
             GROUP_KEY_COL,
             *group_cols,
             *[
                 (F.coalesce(F.col(f"_cur_{m}"), F.lit(0)) + F.col(m)).alias(m)
-                for m in _MEASURES
+                for m in measures
             ],
         )
         changes = merged.select(
@@ -258,7 +289,7 @@ def _apply_view_delta(
             F.when(F.col("n_rows") <= 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
             GROUP_KEY_COL,
             *group_cols,
-            *_MEASURES,
+            *measures,
         )
         stats = apply_changes(mv, changes, epoch=base_version, epoch_source=_REFRESH_NS)
     finally:
@@ -301,7 +332,8 @@ def refresh_matview(
     explicitly there).
     """
     mv.refresh()
-    base_root, group_cols, value_col, scale = _view_spec(mv)
+    base_root, group_cols, value_cols, scale = _view_spec(mv)
+    measures = _measures(value_cols)
     base = IcehouseTable.load(base_root)  # pins the target snapshot
     v0 = _last_refreshed_version(mv)
     v1 = base.version
@@ -330,9 +362,9 @@ def refresh_matview(
                 full = True
 
     if full:
-        agg = _aggregate(base.read(spark), group_cols, value_col, scale)
+        agg = _aggregate(base.read(spark), group_cols, value_cols, scale)
         cur = mv.read(spark).select(
-            GROUP_KEY_COL, *[F.col(m).alias(f"_cur_{m}") for m in _MEASURES]
+            GROUP_KEY_COL, *[F.col(m).alias(f"_cur_{m}") for m in measures]
         )
         # diff against the current view so untouched groups write nothing
         # and vanished groups tombstone; the delta form reuses the same
@@ -343,10 +375,10 @@ def refresh_matview(
             *group_cols,
             *[
                 (F.coalesce(F.col(m), F.lit(0)) - F.coalesce(F.col(f"_cur_{m}"), F.lit(0))).alias(m)
-                for m in _MEASURES
+                for m in measures
             ],
-        ).where(" OR ".join(f"{m} != 0" for m in _MEASURES))
-        stats = _apply_view_delta(mv, delta, group_cols, v1)
+        ).where(" OR ".join(f"{m} != 0" for m in measures))
+        stats = _apply_view_delta(mv, delta, group_cols, v1, measures)
         return RefreshStats("full", v0, v1, stats.result)
 
     key = base.key_col
@@ -383,18 +415,18 @@ def refresh_matview(
                 ~F.coalesce(F.col("_deleted"), F.lit(False))
             ).select(*base.schema.fieldNames())
         prior_rows = prior.read_for_keys(spark, point_keys)
-        retract = _contributions(prior_rows, group_cols, value_col, scale, sign=-1)
-        add = _contributions(live_changed, group_cols, value_col, scale, sign=1)
+        retract = _contributions(prior_rows, group_cols, value_cols, scale, sign=-1)
+        add = _contributions(live_changed, group_cols, value_cols, scale, sign=1)
         delta = (
             retract.unionByName(add)
             .groupBy(*group_cols)
-            .agg(*[F.sum(m).alias(m) for m in _MEASURES])
-            .where(" OR ".join(f"{m} != 0" for m in _MEASURES))
+            .agg(*[F.sum(m).alias(m) for m in measures])
+            .where(" OR ".join(f"{m} != 0" for m in measures))
             .select(
-                _group_key(group_cols).alias(GROUP_KEY_COL), *group_cols, *_MEASURES
+                _group_key(group_cols).alias(GROUP_KEY_COL), *group_cols, *measures
             )
         )
-        stats = _apply_view_delta(mv, delta, group_cols, v1)
+        stats = _apply_view_delta(mv, delta, group_cols, v1, measures)
     finally:
         changed.unpersist()
     return RefreshStats("incremental", v0, v1, stats.result)
@@ -402,12 +434,13 @@ def refresh_matview(
 
 def read_matview(spark: SparkSession, mv: IcehouseTable) -> DataFrame:
     """The view's logical contents: group columns + measures, with SQL SUM
-    semantics restored (``value_sum_scaled`` NULL when every measure value
-    in the group was NULL)."""
-    _, group_cols, _, _ = _view_spec(mv)
-    return mv.read(spark).select(
-        *group_cols,
-        "n_rows",
-        "n_vals",
-        F.when(F.col("n_vals") > 0, F.col("value_sum_scaled")).alias("value_sum_scaled"),
-    )
+    semantics restored per measure (a sum reads NULL when every value in
+    the group was NULL — its non-NULL count is 0)."""
+    _, group_cols, value_cols, _ = _view_spec(mv)
+    cols: list = [*group_cols, "n_rows"]
+    names = _measures(value_cols)
+    for i in range(len(value_cols)):
+        n_vals, total = names[1 + 2 * i], names[2 + 2 * i]
+        cols.append(n_vals)
+        cols.append(F.when(F.col(n_vals) > 0, F.col(total)).alias(total))
+    return mv.read(spark).select(*cols)

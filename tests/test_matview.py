@@ -362,3 +362,88 @@ def test_matview_refresh_across_branch_publish(spark):
     st2 = refresh_matview(spark, mv)
     assert st2.mode == "incremental"
     _assert_mv_equals_recompute(spark, mv, base.refresh())
+
+
+def test_multi_measure_view(spark):
+    """Multi-measure views maintain per-column (count, fixed-point sum)
+    pairs through one shuffle and one MERGE; per-measure NULL-sum
+    semantics are independent."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("source", T.StringType(), True),
+            T.StructField("n_tok", T.IntegerType(), True),
+            T.StructField("quality", T.DoubleType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="mv_multi_")
+    base = IcehouseTable.create(f"{root}/t", schema, key_col="doc_id", n_buckets=4)
+
+    def ch(rows):
+        return spark.createDataFrame(
+            rows,
+            "lsn long, op string, doc_id string, source string, n_tok int, quality double",
+        )
+
+    apply_changes(
+        base,
+        ch(
+            [
+                (1, "U", "d1", "a", 10, 0.5),
+                (2, "U", "d2", "a", None, 0.25),
+                (3, "U", "d3", "b", 7, None),
+            ]
+        ),
+        epoch=0,
+    )
+    mv = create_matview(
+        spark, f"{root}/v", base.refresh(), ["source"], ["n_tok", "quality"], scale=100
+    )
+    rows = {r["source"]: r for r in read_matview(spark, mv).collect()}
+    assert rows["a"]["n_rows"] == 2
+    assert rows["a"]["n_vals_n_tok"] == 1 and rows["a"]["sum_n_tok_scaled"] == 1000
+    assert rows["a"]["n_vals_quality"] == 2 and rows["a"]["sum_quality_scaled"] == 75
+    assert rows["b"]["n_vals_quality"] == 0 and rows["b"]["sum_quality_scaled"] is None
+
+    # incremental: delete the only quality row of 'a'-group member d2,
+    # move d3 to group a, add d4 with both measures NULL
+    apply_changes(
+        base.refresh(),
+        ch(
+            [
+                (4, "D", "d2", None, None, None),
+                (5, "U", "d3", "a", 7, 0.1),
+                (6, "U", "d4", "b", None, None),
+            ]
+        ),
+        epoch=1,
+    )
+    st = refresh_matview(spark, mv)
+    assert st.mode == "incremental"
+    rows = {r["source"]: r for r in read_matview(spark, mv.refresh()).collect()}
+    assert rows["a"]["n_rows"] == 2 and rows["a"]["sum_n_tok_scaled"] == 1700
+    assert rows["a"]["sum_quality_scaled"] == 60  # 0.5 + 0.1 at scale 100
+    assert rows["b"]["n_rows"] == 1
+    assert rows["b"]["n_vals_n_tok"] == 0 and rows["b"]["sum_n_tok_scaled"] is None
+    # matches a from-scratch recompute measure-for-measure
+    want = sorted(
+        base.refresh()
+        .read(spark)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("n_tok").alias("n_vals_n_tok"),
+            F.sum(F.round(F.col("n_tok") * 100).cast("long")).alias("sum_n_tok_scaled"),
+            F.count("quality").alias("n_vals_quality"),
+            F.sum(F.round(F.col("quality") * 100).cast("long")).alias("sum_quality_scaled"),
+        )
+        .collect(),
+        key=_null_safe_key,
+    )
+    got = sorted(read_matview(spark, mv).collect(), key=_null_safe_key)
+    assert got == want
+
+    with pytest.raises(ValueError, match="distinct"):
+        create_matview(
+            spark, tempfile.mkdtemp() + "/v", base, ["source"], ["n_tok", "n_tok"]
+        )
