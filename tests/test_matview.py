@@ -447,3 +447,40 @@ def test_multi_measure_view(spark):
         create_matview(
             spark, tempfile.mkdtemp() + "/v", base, ["source"], ["n_tok", "n_tok"]
         )
+
+
+def test_view_changes_are_a_consumable_feed(spark):
+    """A matview is a full icehouse table, so downstream consumers tail ITS
+    changed-since feed: only groups whose aggregates moved appear (the
+    aggregate-drift alerting pattern — no view rescan, no base access)."""
+    base = _mk_table()
+    apply_changes(
+        base,
+        _changes(spark, [(1, "U", "d1", "a", 10), (2, "U", "d2", "b", 20)]),
+        epoch=0,
+    )
+    mv = _mk_mv(spark, base)
+    w = max(
+        e["lsn_max"]
+        for e in mv.refresh().meta["partitions"].values()
+        if e.get("lsn_max") is not None
+    )
+    # epoch 1 touches ONLY group a
+    apply_changes(base.refresh(), _changes(spark, [(3, "U", "d1", "a", 15)]), epoch=1)
+    refresh_matview(spark, mv)
+    feed = mv.refresh().read_changed_since(spark, w)
+    moved = {r["source"]: r for r in feed.collect()}
+    assert set(moved) == {"a"}
+    assert moved["a"]["value_sum_scaled"] == 15 and not moved["a"]["_deleted"]
+    # retracting group b entirely surfaces as a tombstone in the feed
+    w2 = max(
+        x
+        for part in [mv.refresh().meta["partitions"].values()]
+        for x in [e["lsn_max"] for e in part]
+        if x is not None
+    )
+    apply_changes(base.refresh(), _changes(spark, [(4, "D", "d2", None, None)]), epoch=2)
+    refresh_matview(spark, mv)
+    feed2 = mv.refresh().read_changed_since(spark, w2)
+    tomb = {r["source"]: r["_deleted"] for r in feed2.collect()}
+    assert tomb == {"b": True}
