@@ -19,12 +19,14 @@ see :func:`cherry_pick`).  Unlike fast-forward this is a DATA commit (the
 delta rewrites the touched buckets), not a metadata re-point — the price
 of divergence.
 
-Exactly-once: the commit is fenced on ``epoch = branch head version`` in
-namespace ``cherry:<branch>``, so a crash-retried or double-submitted pick
-is a no-op; picking again after NEW branch commits uses the new head
-version = a fresh epoch, which applies only the incremental rows (the
-diff is cumulative from the fork, and re-applied rows merge idempotently —
-same values, higher LSN).
+Exactly-once AND incremental: the commit is fenced on ``epoch = branch
+head version`` in namespace ``cherry:<branch>``, so a crash-retried or
+double-submitted pick is a no-op — and the HIGHEST committed epoch in
+that namespace doubles as the next pick's diff anchor (it was written
+atomically with the applied data, so it can never disagree).  A later
+pick therefore diffs only (last picked head → new head): rows picked
+earlier are NOT re-applied, so target-side writes made between picks are
+never clobbered by a stale re-stamp.
 
 Scale shape: two bucket-co-partitioned snapshot scans for the diff (cost
 of not materializing per-commit change files), then the standard O(touched
@@ -104,7 +106,21 @@ def cherry_pick(
     fork = forks.get(branch)
     if fork is None or fork.get("from_branch") != target.branch:
         raise ValueError(f"branch {branch!r} was not forked from {target.branch!r}")
-    v_from, v_to = int(fork["at_version"]), int(heads[branch])
+    # diff anchor = the last picked branch head (from the target's OWN fence
+    # registry — written atomically with the applied rows), else the fork.
+    # Expiry note: branch heads and fork anchors are pinned against
+    # expire_snapshots, but a superseded picked head is not — run picks
+    # more often than snapshot expiry or the anchor load fails loudly.
+    ns = f"cherry:{branch}"
+    last_picked = -1
+    for k in target.meta.get("committed_epochs", {}):
+        k_ns, _, ep = k.rpartition(":")
+        if k_ns == ns:
+            last_picked = max(last_picked, int(ep))
+    for lo, hi in target.meta.get("committed_epoch_ranges", {}).get(ns, []):
+        last_picked = max(last_picked, hi)
+    v_from = max(int(fork["at_version"]), last_picked)
+    v_to = int(heads[branch])
     if v_to <= v_from:
         # no branch commits since the fork (or since the last publish)
         return CherryPickStats(branch, v_from, v_to, _noop_stats(target))

@@ -441,3 +441,28 @@ def test_expire_keeps_fork_anchor_for_cherry_pick(spark):
     assert not res.skipped
     got = _state(spark, m.refresh())
     assert ("s1", 2, "b") in got and ("d1", 1, "m") in got
+
+
+def test_second_cherry_pick_does_not_reapply_old_rows(spark):
+    """A later pick must diff from the LAST PICKED head, not the original
+    fork — otherwise previously-picked rows re-apply at a fresh top LSN and
+    clobber target-side writes made between picks (found by the branch
+    model property test)."""
+    from data_pipeline_spark.cdc.cherry import cherry_pick
+
+    t = _mk()
+    apply_changes(t, _changes(spark, [(1, "U", "base", 0, "m")]), epoch=0)
+    t.refresh().create_branch("fix")
+    b = IcehouseTable.load(t.root, branch="fix")
+    apply_changes(b, _changes(spark, [(10, "U", "k", 5, "b")]), epoch=1)
+    m = IcehouseTable.load(t.root)
+    apply_changes(m, _changes(spark, [(20, "U", "div", 1, "m")]), epoch=2)  # diverge
+    assert not cherry_pick(spark, m.refresh(), "fix").skipped
+    # target now updates the picked key itself...
+    apply_changes(m.refresh(), _changes(spark, [(30, "U", "k", 9, "m2")]), epoch=3)
+    # ...then the branch does UNRELATED new work and is picked again
+    apply_changes(b.refresh(), _changes(spark, [(11, "U", "k2", 7, "b")]), epoch=4)
+    assert not cherry_pick(spark, m.refresh(), "fix").skipped
+    got = _state(spark, m.refresh())
+    assert ("k", 9, "m2") in got, "stale re-pick clobbered the target's newer write"
+    assert ("k2", 7, "b") in got
