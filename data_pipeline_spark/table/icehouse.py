@@ -408,6 +408,24 @@ class IcehouseTable:
         file CONTENT stays deterministic at any parallelism level."""
         return max(1, int(self.meta.get("properties", {}).get("write.fanout", 1)))
 
+    @property
+    def stats_columns(self) -> list[str]:
+        """``write.stats-columns`` table property (comma-separated): columns
+        whose per-FILE min/max ranges are recorded in the manifests at commit
+        time, enabling planning-time file skipping via
+        ``read(stats_filters=...)``.  Pair with ``write.sort-order`` on the
+        same columns so each bucket's files are range-clustered and the
+        ranges actually prune.  Ints/floats/strings/dates work; avoid
+        float columns that may hold NaN (parquet min/max is unreliable
+        there — such files simply never prune, correct but useless)."""
+        return [
+            c.strip()
+            for c in str(
+                self.meta.get("properties", {}).get("write.stats-columns", "")
+            ).split(",")
+            if c.strip()
+        ]
+
     def _layout(
         self, out: DataFrame, n_buckets: int, fanout: int | None = None
     ) -> DataFrame:
@@ -671,6 +689,7 @@ class IcehouseTable:
         partitions: list[int] | None = None,
         with_part_col: bool = False,
         with_meta: bool = False,
+        stats_filters: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Read the current snapshot (optionally only some bucket partitions —
         this is partition pruning: untouched buckets are never scanned).
@@ -687,7 +706,29 @@ class IcehouseTable:
         LSN tie can only be duplicate delivery of the same event, so the
         arbitrary tie winner is content-identical.  Buckets without deltas
         pay nothing — the resolve shuffle touches only delta-bearing data.
+
+        ``stats_filters`` — planning-time data skipping: ``{col: (lo, hi)}``
+        range predicates (either bound ``None`` = unbounded) that (a) prune,
+        DRIVER-SIDE from the manifest stats recorded under
+        ``write.stats-columns``, every base file whose stored [min, max]
+        cannot intersect the range, and (b) are applied as residual
+        ``BETWEEN`` filters on the scan (so results are exact whether or not
+        a file carried stats, and the same predicate also drives parquet
+        row-group skipping).  Files are pruned ONLY in buckets with no
+        pending merge-on-read deltas: in a dirty bucket the current winner
+        of a key may live in a file whose OLD column value is out of range
+        (or vice versa), so pruning any of its files could surface a
+        superseded row — dirty buckets scan fully until compaction folds
+        their deltas, exactly the data-skipping cost MOR tables pay in
+        Iceberg.  Requires ``with_meta=False`` (tombstones carry no payload
+        values for the residual filter to pass).
         """
+        if stats_filters:
+            if with_meta:
+                raise ValueError("stats_filters requires with_meta=False")
+            unknown = [c for c in stats_filters if c not in self.schema.fieldNames()]
+            if unknown:
+                raise ValueError(f"stats_filters references unknown columns: {unknown}")
         read_schema = T.StructType(
             list(self.schema.fields)
             + [
@@ -703,8 +744,23 @@ class IcehouseTable:
             if partitions is not None
             else sorted(set(parts) | set(deltas), key=int)
         )
-        base_paths = [os.path.join(self.root, parts[k]["path"]) for k in keys if k in parts]
         delta_keys = [k for k in keys if deltas.get(k)]
+        base_paths = []
+        for k in keys:
+            if k not in parts:
+                continue
+            entry = parts[k]
+            pdir = os.path.join(self.root, entry["path"])
+            if stats_filters and k not in delta_keys and entry.get("files"):
+                survivors = [
+                    f["name"]
+                    for f in entry["files"]
+                    if self._file_may_match(f.get("stats") or {}, stats_filters)
+                ]
+                if len(survivors) < len(entry["files"]):
+                    base_paths.extend(os.path.join(pdir, n) for n in survivors)
+                    continue
+            base_paths.append(pdir)
         delta_paths = [
             os.path.join(self.root, d["path"]) for k in delta_keys for d in deltas[k]
         ]
@@ -732,7 +788,37 @@ class IcehouseTable:
         if with_meta:
             return df if with_part_col else df.drop(PART_COL)
         df = df.where(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(LSN_COL, DELETED_COL)
+        if stats_filters:
+            # residual predicate: exactness does not depend on which files
+            # carried stats, and the same bounds push into the parquet scan
+            # for row-group skipping on the survivors
+            for col, (lo, hi) in stats_filters.items():
+                if lo is not None:
+                    df = df.where(F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    df = df.where(F.col(col) <= F.lit(hi))
         return df if with_part_col else df.drop(PART_COL)
+
+    @classmethod
+    def _file_may_match(cls, file_stats: dict, stats_filters: dict) -> bool:
+        """Can a file with the given per-column [min, max] ranges hold a row
+        matching every range predicate?  Unknown columns / uncomparable
+        bounds keep the file (pruning must be provably safe)."""
+        for col, (lo, hi) in stats_filters.items():
+            rng = file_stats.get(col)
+            if not rng:
+                continue
+            fmin, fmax = rng
+            nlo = cls._stat_json(lo) if lo is not None else None
+            nhi = cls._stat_json(hi) if hi is not None else None
+            try:
+                if nlo is not None and fmax < nlo:
+                    return False
+                if nhi is not None and fmin > nhi:
+                    return False
+            except TypeError:
+                continue  # mixed types: range unknowable -> keep
+        return True
 
     def read_changed_since(self, spark: SparkSession, lsn_watermark: int) -> DataFrame:
         """Incremental-consumer scan: the current WINNING version of every key
@@ -1092,12 +1178,48 @@ class IcehouseTable:
         raise ConcurrentCommitError(f"lost {max_retries} consecutive commit races on {self.root}")
 
     @staticmethod
-    def _footer_stats(sdir: str, lsn_range: bool = False) -> dict[int, Any]:
+    def _stat_json(v):
+        """Normalize a parquet footer statistic to a JSON-storable value that
+        compares consistently with itself (ints/floats/strs as-is, temporal
+        values as ISO strings — lexicographic order == chronological order).
+        ``None`` means "not representable" — the caller must treat the
+        column's range as unknown for that file (never prune on it)."""
+        import datetime
+
+        if isinstance(v, bool) or v is None:
+            return None  # bool min/max never prunes anything useful
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, (int, float, str)):
+            return v
+        return None
+
+    @staticmethod
+    def _footer_stats(
+        sdir: str, lsn_range: bool = False, stats_cols: list[str] | None = None
+    ) -> dict[int, Any]:
         """Per-partition row counts (and, with ``lsn_range``, min/max ``_lsn``
         from the parquet column statistics) read from the footers of a just-
         written snapshot dir — driver-side metadata only, no Spark job.  This
         keeps the commit at ONE compute pass over the merged data (the write);
         a stats-side groupBy would recompute the whole merge plan.
+
+        With ``stats_cols`` (the parsed ``write.stats-columns`` property),
+        each partition additionally records a PER-FILE entry list
+        ``files=[{name, rows, stats: {col: [min, max]}}, ...]`` — the
+        manifest-level data-skipping stats an Iceberg scan plans against.  A
+        column appears in a file's stats only if EVERY row group of that
+        file carries trustworthy min/max for it (a partial range could prune
+        a file that still holds matching rows).  Combined with
+        ``write.sort-order`` on the same columns, the files inside a bucket
+        are range-clustered, so a range predicate prunes most of them at
+        PLANNING time — no listing, no footer reads, no tasks for skipped
+        files (see :meth:`read` ``stats_filters``).
 
         Routed through ``pyarrow.fs`` so any URI scheme pyarrow can resolve
         works (local, hdfs://, s3://).  NOTE the metadata CAS
@@ -1113,20 +1235,20 @@ class IcehouseTable:
         rows: dict[int, int] = {}
         lsn_lo: dict[int, int] = {}
         lsn_hi: dict[int, int] = {}
+        files: dict[int, list] = {}
         sel = pafs.FileSelector(path, recursive=True, allow_not_found=True)
-        for finfo in filesystem.get_file_info(sel):
+        for finfo in sorted(filesystem.get_file_info(sel), key=lambda fi: fi.path):
             if finfo.type != pafs.FileType.File or not finfo.path.endswith(".parquet"):
                 continue
             if "_pw=" not in finfo.path:
                 continue
-            p = int(finfo.path.split("_pw=", 1)[1].split("/", 1)[0])
+            tail = finfo.path.split("_pw=", 1)[1]
+            p = int(tail.split("/", 1)[0])
             with filesystem.open_input_file(finfo.path) as f:
                 md = pq.ParquetFile(f).metadata
                 rows[p] = rows.get(p, 0) + md.num_rows
+                names = {md.schema.column(i).name: i for i in range(md.num_columns)}
                 if lsn_range:
-                    names = {
-                        md.schema.column(i).name: i for i in range(md.num_columns)
-                    }
                     ci = names.get(LSN_COL)
                     if ci is not None:
                         for rg in range(md.num_row_groups):
@@ -1134,12 +1256,45 @@ class IcehouseTable:
                             if st is not None and st.has_min_max:
                                 lsn_lo[p] = min(lsn_lo.get(p, st.min), st.min)
                                 lsn_hi[p] = max(lsn_hi.get(p, st.max), st.max)
-        if not lsn_range:
+                if stats_cols:
+                    col_stats: dict[str, list] = {}
+                    for col in stats_cols:
+                        ci = names.get(col)
+                        if ci is None:
+                            continue
+                        lo = hi = None
+                        complete = md.num_row_groups > 0
+                        for rg in range(md.num_row_groups):
+                            st = md.row_group(rg).column(ci).statistics
+                            if st is None or not st.has_min_max:
+                                complete = False
+                                break
+                            jlo = IcehouseTable._stat_json(st.min)
+                            jhi = IcehouseTable._stat_json(st.max)
+                            if jlo is None or jhi is None:
+                                complete = False
+                                break
+                            lo = jlo if lo is None else min(lo, jlo)
+                            hi = jhi if hi is None else max(hi, jhi)
+                        if complete:
+                            col_stats[col] = [lo, hi]
+                    files.setdefault(p, []).append(
+                        {
+                            "name": tail.split("/", 1)[1],
+                            "rows": md.num_rows,
+                            "stats": col_stats,
+                        }
+                    )
+        if not lsn_range and not stats_cols:
             return rows
-        return {
+        out = {
             p: {"rows": n, "lsn_min": lsn_lo.get(p), "lsn_max": lsn_hi.get(p)}
             for p, n in rows.items()
         }
+        if stats_cols:
+            for p, fl in files.items():
+                out[p]["files"] = fl
+        return out
 
     def _commit_attempts(
         self, laid_out, epoch, lineage_extra, new_schema, schema_changed, max_retries,
@@ -1170,7 +1325,9 @@ class IcehouseTable:
             sdir_rel = os.path.join("data", snapshot_id)
             sdir = os.path.join(self.root, sdir_rel)
             self._writer(laid_out).parquet(sdir)
-            stats = self._footer_stats(sdir, lsn_range=True)
+            stats = self._footer_stats(
+                sdir, lsn_range=True, stats_cols=self.stats_columns or None
+            )
             if affected_partitions is not None:
                 # partitions the caller read but whose rewrite produced zero
                 # rows get an explicit rows=0 entry → dropped from metadata
@@ -1233,7 +1390,7 @@ class IcehouseTable:
             final_schema, _ = evolve_schema(self.schema, new_schema)
             meta["schema"] = final_schema.jsonValue()
             for p in affected:
-                meta["partitions"][str(p)] = {
+                entry = {
                     "path": os.path.join(sdir_rel, f"_pw={p}"),
                     "rows": stats[p]["rows"],
                     # file-skipping stats: a changed-since scan prunes any
@@ -1241,6 +1398,11 @@ class IcehouseTable:
                     "lsn_min": stats[p]["lsn_min"],
                     "lsn_max": stats[p]["lsn_max"],
                 }
+                # write.stats-columns: per-file column ranges for planning-
+                # time data skipping (read(stats_filters=...))
+                if stats[p].get("files"):
+                    entry["files"] = stats[p]["files"]
+                meta["partitions"][str(p)] = entry
             # drop partitions that became empty
             meta["partitions"] = {k: v for k, v in meta["partitions"].items() if v["rows"] > 0}
             # a copy-on-write rewrite of a bucket folds its merge-on-read
