@@ -35,6 +35,12 @@ from .similarity import (
 )
 from .hierarchy import path_edges, subtree_rollup
 from .graph import connected_components, dedup_assignments
+from .shards import (
+    assign_training_shards,
+    read_shard_manifest,
+    shard_summary,
+    write_training_shards,
+)
 
 __all__ = [
     "latest_per_key", "price_changes", "robust_zscore_anomalies",
@@ -46,4 +52,6 @@ __all__ = [
     "lsh_bucketed_topk", "lsh_candidate_pairs",
     "path_edges", "subtree_rollup",
     "connected_components", "dedup_assignments",
+    "assign_training_shards", "read_shard_manifest",
+    "shard_summary", "write_training_shards",
 ]

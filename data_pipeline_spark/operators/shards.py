@@ -1,0 +1,181 @@
+"""Deterministic training-shard export: slice a curated, tokenized corpus
+into fixed-size shards a data loader can stream (the WebDataset / streaming-
+dataset layout every large training run feeds from).
+
+Reference analog: the reference ships curated rows to its warehouse and
+leaves loader sharding to downstream jobs (`transformations/load.py`
+`load_to_bigquery`); here the engine closes the loop — the table that CDC
+maintains is exported as numbered shards with a manifest, so a training job
+can resume mid-epoch and verify integrity without scanning data.
+
+Scale shape: the global rank that drives shard assignment is a distributed
+prefix COUNT — range-repartition on the order key, a partition-local
+row_number, and P driver-side partition totals broadcast back as a literal
+map (the same pattern as ``functions.tokens.pack_corpus_sequences``).  NO
+global single-partition window, NO collect of data rows; the subsequent
+write is one hash shuffle on ``shard_id``.  Every shard lives wholly inside
+one task, so ``partitionBy`` emits exactly one sorted file per shard at any
+parallelism level, and the bytes are deterministic for a given order key.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["assign_training_shards", "write_training_shards", "read_shard_manifest"]
+
+
+def assign_training_shards(
+    df: DataFrame,
+    order_col: str = "doc_id",
+    shard_rows: int = 1024,
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Append ``shard_id`` / ``shard_pos`` from each row's GLOBAL rank in
+    ``order_col`` order: ``rank = partition_offset + local row_number``,
+    ``shard_id = rank div shard_rows``, ``shard_pos = rank mod shard_rows``.
+
+    ``order_col`` must be globally unique (a key column) — ties would make
+    the rank, and therefore shard contents, nondeterministic across runs.
+    Determinism is the point: two exports of the same table state produce
+    byte-identical shards, so a training run can be reproduced or resumed
+    against a re-export.
+    """
+    if shard_rows <= 0:
+        raise ValueError(f"shard_rows must be positive, got {shard_rows}")
+    spark = df.sparkSession
+    n_parts = num_parts or spark.sparkContext.defaultParallelism
+    d = df.repartitionByRange(n_parts, order_col).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # pin partition ids: the counts pass and the rank pass below must see the
+    # same pid assignment
+    d = d.localCheckpoint()
+    totals = {
+        r["_pid"]: r["n"]
+        for r in d.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not totals:
+        return (
+            df.withColumn("shard_id", F.lit(None).cast("long"))
+            .withColumn("shard_pos", F.lit(None).cast("long"))
+            .limit(0)
+        )
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets += [F.lit(pid), F.lit(acc)]
+        acc += int(totals[pid])
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    rank = (
+        F.row_number().over(w).cast("long")
+        - 1
+        + F.element_at(F.create_map(*offsets), F.col("_pid"))
+    )
+    return (
+        d.withColumn("_rank", rank)
+        .withColumn("shard_id", (F.col("_rank") / shard_rows).cast("long"))
+        .withColumn("shard_pos", F.pmod(F.col("_rank"), F.lit(shard_rows)).cast("long"))
+        .drop("_pid", "_rank")
+    )
+
+
+def shard_summary(
+    sharded: DataFrame,
+    order_col: str = "doc_id",
+    tokens_col: str | None = "tokens",
+) -> DataFrame:
+    """Per-shard manifest rows from an :func:`assign_training_shards` output:
+    (shard_id, n_rows, first_key, last_key[, n_tokens, token_checksum]).
+    One combinable groupBy — the manifest costs a scan, never a sort."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(order_col).alias("first_key"),
+        F.max(order_col).alias("last_key"),
+    ]
+    if tokens_col is not None:
+        aggs += [
+            F.sum(F.size(tokens_col)).cast("long").alias("n_tokens"),
+            F.sum(
+                F.aggregate(
+                    tokens_col,
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x.cast("long"),
+                )
+            )
+            .cast("long")
+            .alias("token_checksum"),
+        ]
+    return sharded.groupBy("shard_id").agg(*aggs).orderBy("shard_id")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    order_col: str = "doc_id",
+    shard_rows: int = 1024,
+    tokens_col: str | None = "tokens",
+    overwrite: bool = False,
+    num_parts: int | None = None,
+) -> dict[str, Any]:
+    """Export ``df`` as ``path/shard=NNNNNN/`` parquet dirs (exactly one
+    sorted file per shard) plus a ``_manifest.json`` (underscore: invisible to Spark's parquet reader) holding per-shard row/
+    token counts and checksums.  The export is staged in a scratch dir and
+    atomically renamed into place — a crashed export leaves no half-visible
+    dataset, and re-running it is safe.
+
+    Returns the manifest dict.
+    """
+    sharded = assign_training_shards(
+        df, order_col=order_col, shard_rows=shard_rows, num_parts=num_parts
+    ).withColumn("shard", F.format_string("%06d", F.col("shard_id").cast("int")))
+    summary = [r.asDict() for r in shard_summary(sharded, order_col, tokens_col).collect()]
+
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(parent, exist_ok=True)
+    staging = os.path.join(parent, f".{os.path.basename(path)}.tmp-{uuid.uuid4().hex[:8]}")
+    (
+        sharded.repartition(max(len(summary), 1), "shard_id")
+        .sortWithinPartitions("shard_id", "shard_pos")
+        .drop("shard_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(staging)
+    )
+    manifest = {
+        "format": "training-shards/1",
+        "order_col": order_col,
+        "shard_rows": shard_rows,
+        "n_shards": len(summary),
+        "n_rows": sum(s["n_rows"] for s in summary),
+        "shards": summary,
+    }
+    if tokens_col is not None:
+        manifest["n_tokens"] = sum(s["n_tokens"] for s in summary)
+    with open(os.path.join(staging, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, default=str)
+    if os.path.exists(path):
+        if not overwrite:
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+            raise FileExistsError(f"{path} exists; pass overwrite=True to replace")
+        import shutil
+
+        old = path + f".old-{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.rename(staging, path)
+    return manifest
+
+
+def read_shard_manifest(path: str) -> dict[str, Any]:
+    with open(os.path.join(path, "_manifest.json")) as f:
+        return json.load(f)

@@ -3186,6 +3186,57 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "training_shards_manifest",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+                            w -> LENGTH(w)::INTEGER) AS tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, tokens,
+             (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 100 AS shard_id
+      FROM tok
+    )
+    SELECT shard_id::BIGINT AS shard_id,
+           COUNT(*)::BIGINT AS n_rows,
+           MIN(doc_id) AS first_key,
+           MAX(doc_id) AS last_key,
+           SUM(len(tokens))::BIGINT AS n_tokens,
+           SUM(COALESCE(list_sum(tokens), 0))::BIGINT AS token_checksum
+    FROM r GROUP BY 1 ORDER BY 1
+    """,
+)
+def training_shards_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment + manifest
+    (``operators/shards.assign_training_shards`` / ``shard_summary``): every
+    document's GLOBAL rank in doc_id order maps it to a fixed-size shard
+    (100 docs here), and the manifest aggregates each shard's row/token
+    counts, key range, and token checksum — the loader-facing export layout
+    of the curated corpus.  The rank is a distributed prefix count (range
+    repartition + partition-local row_number + broadcast partition totals;
+    NO global window — asserted catalog-wide in tests/test_sources_plans).
+    The oracle recomputes the assignment with a window row_number, so a
+    single row landing in the wrong shard anywhere flips two checksums.
+    The on-disk writer (one sorted file per shard + manifest.json, atomic
+    publish) is proven in tests/test_shards.py.
+
+    Reference analog: the reference's loader step ships curated rows to its
+    warehouse (transformations/load.py:34 load_to_bigquery) and leaves
+    shard layout to downstream consumers; here the export is first-class.
+    """
+    from .operators.shards import assign_training_shards, shard_summary
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.transform(words("text"), lambda w: F.length(w).cast("int")).alias("tokens"),
+    )
+    sharded = assign_training_shards(docs, order_col="doc_id", shard_rows=100)
+    return shard_summary(sharded, order_col="doc_id", tokens_col="tokens")
+
+
+@q(
     "token_pack_windows",
     r"""
     WITH tok AS (
@@ -4150,9 +4201,13 @@ _DRIVER_WINDOW_FIRST = [
     # cdc_branch_replay (NEW round-4 engine code: isolated staging branches
     # + fast-forward publish, replay-oracle-proven) takes the slot of
     # token_normalize (r03 hash-green; its Arrow kernel is untouched this
-    # round and bit-identity-tested in-repo).
-    "matview_incremental_rollup", "cdc_branch_replay", "token_pack_windows",
-    "bpe_apply_fixed",
+    # round and bit-identity-tested in-repo).  training_shards_manifest
+    # (NEW round-4 engine code: deterministic loader-shard export via the
+    # distributed prefix-count rank) takes the slot of token_pack_windows
+    # (r03 hash-green; its mapInPandas kernel is untouched and the window
+    # already drives the packing family via corpus_pack_sequences).
+    "matview_incremental_rollup", "cdc_branch_replay",
+    "training_shards_manifest", "bpe_apply_fixed",
 ]
 assert len(_DRIVER_WINDOW_FIRST) == 50 and len(set(_DRIVER_WINDOW_FIRST)) == 50
 

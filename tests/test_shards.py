@@ -1,0 +1,146 @@
+"""Deterministic training-shard export (``operators/shards``).
+
+The loader-facing layout: fixed-size numbered shards, one sorted parquet
+file each, plus a manifest with per-shard counts/checksums; exports are
+staged and atomically published, and two exports of the same input are
+byte-identical.
+"""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_spark.operators.shards import (
+    assign_training_shards,
+    read_shard_manifest,
+    shard_summary,
+    write_training_shards,
+)
+
+N_DOCS = 1037
+SHARD_ROWS = 100
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.range(N_DOCS).select(
+        F.format_string("doc-%05d", F.col("id").cast("int")).alias("doc_id"),
+        F.sequence(F.lit(1), (F.pmod(F.col("id"), F.lit(9)) + 1).cast("int")).alias(
+            "tokens"
+        ),
+    )
+
+
+def test_assignment_matches_global_rank(spark, docs):
+    got = assign_training_shards(docs, "doc_id", SHARD_ROWS).collect()
+    assert len(got) == N_DOCS
+    by_id = sorted(got, key=lambda r: r["doc_id"])
+    for rank, r in enumerate(by_id):
+        assert r["shard_id"] == rank // SHARD_ROWS, r
+        assert r["shard_pos"] == rank % SHARD_ROWS, r
+
+
+def test_assignment_deterministic_across_parallelism(spark, docs):
+    a = {
+        r["doc_id"]: (r["shard_id"], r["shard_pos"])
+        for r in assign_training_shards(docs, "doc_id", SHARD_ROWS, num_parts=2).collect()
+    }
+    b = {
+        r["doc_id"]: (r["shard_id"], r["shard_pos"])
+        for r in assign_training_shards(
+            docs.repartition(13), "doc_id", SHARD_ROWS, num_parts=7
+        ).collect()
+    }
+    assert a == b
+
+
+def test_write_layout_and_manifest(spark, docs, tmp_path):
+    out = str(tmp_path / "export")
+    manifest = write_training_shards(docs, out, "doc_id", SHARD_ROWS)
+
+    n_shards = (N_DOCS + SHARD_ROWS - 1) // SHARD_ROWS
+    assert manifest["n_shards"] == n_shards
+    assert manifest["n_rows"] == N_DOCS
+    assert read_shard_manifest(out)["n_rows"] == N_DOCS
+
+    # exactly one data file per shard dir, shards numbered densely
+    dirs = sorted(glob.glob(os.path.join(out, "shard=*")))
+    assert [os.path.basename(d) for d in dirs] == [
+        f"shard={i:06d}" for i in range(n_shards)
+    ]
+    for d in dirs:
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1
+
+    # shard files hold the manifest's rows, in shard_pos order
+    s0 = spark.read.parquet(dirs[0]).collect()
+    assert [r["shard_pos"] for r in s0] == list(range(SHARD_ROWS))
+    assert s0[0]["doc_id"] == "doc-00000"
+    # last shard is the remainder
+    last = spark.read.parquet(dirs[-1]).collect()
+    assert len(last) == N_DOCS - (n_shards - 1) * SHARD_ROWS
+
+    # manifest aggregates reconcile with the data
+    whole = spark.read.parquet(out)
+    assert whole.count() == N_DOCS
+    per = {
+        r["shard"]: r["n"]
+        for r in whole.groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for s in manifest["shards"]:
+        assert per[s["shard_id"]] == s["n_rows"]
+        assert s["n_tokens"] >= s["n_rows"]  # every doc has >=1 token here
+
+
+def test_export_is_reproducible_bytes(spark, docs, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_shards(docs, a, "doc_id", SHARD_ROWS)
+    write_training_shards(docs.repartition(17), b, "doc_id", SHARD_ROWS, num_parts=3)
+    fa = sorted(glob.glob(os.path.join(a, "shard=*", "*.parquet")))
+    fb = sorted(glob.glob(os.path.join(b, "shard=*", "*.parquet")))
+    assert len(fa) == len(fb)
+    for x, y in zip(fa, fb):
+        with open(x, "rb") as f1, open(y, "rb") as f2:
+            assert f1.read() == f2.read(), (x, y)
+
+
+def test_overwrite_semantics(spark, docs, tmp_path):
+    out = str(tmp_path / "export")
+    write_training_shards(docs, out, "doc_id", SHARD_ROWS)
+    with pytest.raises(FileExistsError):
+        write_training_shards(docs, out, "doc_id", SHARD_ROWS)
+    # no stray staging dirs left behind by the refused write
+    assert not glob.glob(str(tmp_path / ".export.tmp-*"))
+    m = write_training_shards(
+        docs.limit(150), out, "doc_id", SHARD_ROWS, overwrite=True
+    )
+    assert m["n_rows"] == 150
+    assert read_shard_manifest(out)["n_rows"] == 150
+    assert not glob.glob(str(tmp_path / "export.old-*"))
+
+
+def test_empty_input(spark, docs, tmp_path):
+    out = str(tmp_path / "empty")
+    m = write_training_shards(docs.limit(0), out, "doc_id", SHARD_ROWS)
+    assert m["n_shards"] == 0 and m["n_rows"] == 0
+    assert read_shard_manifest(out)["shards"] == []
+
+
+def test_summary_matches_manual_aggregation(spark, docs):
+    sharded = assign_training_shards(docs, "doc_id", SHARD_ROWS)
+    summ = {r["shard_id"]: r for r in shard_summary(sharded).collect()}
+    manual = {
+        r["shard_id"]: r
+        for r in sharded.groupBy("shard_id")
+        .agg(
+            F.sum(F.size("tokens")).alias("n_tokens"),
+            F.min("doc_id").alias("first_key"),
+        )
+        .collect()
+    }
+    for sid, m in manual.items():
+        assert summ[sid]["n_tokens"] == m["n_tokens"]
+        assert summ[sid]["first_key"] == m["first_key"]
