@@ -159,6 +159,7 @@ def pack_corpus_sequences(
     eos_id: int = 1,
     pad_id: int = PAD_ID,
     num_parts: int | None = None,
+    with_doc_spans: bool = False,
 ) -> DataFrame:
     """GPT-style corpus packing: append EOS to every document, concatenate
     all documents in ``id_col`` order into one virtual token stream, and
@@ -168,6 +169,11 @@ def pack_corpus_sequences(
 
     Returns one row per sequence: (seq_idx, input_ids[seq_len],
     n_real_tokens).  Deterministic for a given ``id_col`` order.
+    ``with_doc_spans=True`` adds ``doc_spans`` — per-sequence
+    ``[(doc_id, begin, end)]`` document boundaries (begin inclusive, end
+    exclusive, sequence-local offsets) in stream order, the metadata a
+    packed trainer needs for block-diagonal attention masks and
+    position-id resets; padding belongs to no span.
 
     Scale shape (100-TB story) — NO global window, NO per-token explode:
 
@@ -203,16 +209,28 @@ def pack_corpus_sequences(
         offsets += [F.lit(pid), F.lit(acc)]
         acc += int(totals[pid])
     if not offsets:
-        return spark.createDataFrame(
-            [],
-            T.StructType(
-                [
-                    T.StructField("seq_idx", T.LongType()),
-                    T.StructField("input_ids", T.ArrayType(T.IntegerType())),
-                    T.StructField("n_real_tokens", T.LongType()),
-                ]
-            ),
-        )
+        fields = [
+            T.StructField("seq_idx", T.LongType()),
+            T.StructField("input_ids", T.ArrayType(T.IntegerType())),
+            T.StructField("n_real_tokens", T.LongType()),
+        ]
+        if with_doc_spans:
+            id_type = df.schema[id_col].dataType
+            fields.append(
+                T.StructField(
+                    "doc_spans",
+                    T.ArrayType(
+                        T.StructType(
+                            [
+                                T.StructField("doc_id", id_type),
+                                T.StructField("begin", T.IntegerType()),
+                                T.StructField("end", T.IntegerType()),
+                            ]
+                        )
+                    ),
+                )
+            )
+        return spark.createDataFrame([], T.StructType(fields))
     w = Window.partitionBy("_pid").orderBy("_id").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -223,6 +241,7 @@ def pack_corpus_sequences(
     )
     L = seq_len
     frags = d.select(
+        "_id",
         "_stream",
         "_start",
         "_slen",
@@ -241,21 +260,36 @@ def pack_corpus_sequences(
         F.slice(
             "_stream", (lo - F.col("_start") + 1).cast("int"), (hi - lo).cast("int")
         ).alias("_frag"),
+        F.col("_id").alias("_did"),
     )
+    # _lo leads the struct so array_sort orders fragments by their position
+    # in the virtual stream; _did rides along only for span emission
     assembled = frags.groupBy("seq_idx").agg(
-        F.flatten(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_lo", "_frag"))),
-                lambda s: s["_frag"],
-            )
-        ).alias("_toks")
-    )
+        F.array_sort(F.collect_list(F.struct("_lo", "_frag", "_did"))).alias("_sorted")
+    ).withColumn("_toks", F.flatten(F.transform("_sorted", lambda s: s["_frag"])))
     n_real = F.size("_toks").cast("long")
-    return assembled.select(
+    cols = [
         F.col("seq_idx").cast("long").alias("seq_idx"),
         F.when(n_real < L, F.concat(
             "_toks",
             F.array_repeat(F.lit(pad_id).cast("int"), (F.lit(L) - n_real).cast("int")),
         )).otherwise(F.col("_toks")).alias("input_ids"),
         n_real.alias("n_real_tokens"),
-    )
+    ]
+    if with_doc_spans:
+        # per-sequence document boundaries (a packed trainer's block-diagonal
+        # attention mask / position-id reset needs them): begin inclusive,
+        # end exclusive, offsets local to the sequence; EOS belongs to its
+        # document, padding belongs to no span
+        base = F.col("seq_idx") * L
+        cols.append(
+            F.transform(
+                "_sorted",
+                lambda s: F.struct(
+                    s["_did"].alias("doc_id"),
+                    (s["_lo"] - base).cast("int").alias("begin"),
+                    (s["_lo"] - base + F.size(s["_frag"])).cast("int").alias("end"),
+                ),
+            ).alias("doc_spans")
+        )
+    return assembled.select(*cols)

@@ -3186,6 +3186,76 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_pack_doc_spans",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_append(
+               list_transform(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+                              w -> LENGTH(w)::INTEGER),
+               9999) AS stream
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, len(stream)::BIGINT AS slen,
+             COALESCE(SUM(len(stream)) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
+      FROM tok
+    ),
+    spans AS (
+      SELECT unnest(generate_series(start // 64, (start + slen - 1) // 64)) AS seq_idx,
+             doc_id, start, slen
+      FROM o
+    ),
+    frags AS (
+      SELECT seq_idx, doc_id,
+             GREATEST(start, seq_idx * 64) AS lo,
+             LEAST(start + slen, (seq_idx + 1) * 64) AS hi
+      FROM spans
+    )
+    SELECT seq_idx::BIGINT AS seq_idx,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM((lo - seq_idx * 64) * 8191 + (hi - seq_idx * 64))::BIGINT AS span_checksum,
+           STRING_AGG(doc_id, '|' ORDER BY lo) AS docs_concat
+    FROM frags GROUP BY 1 ORDER BY 1
+    """,
+)
+def corpus_pack_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-boundary metadata for packed training sequences
+    (``functions/tokens.pack_corpus_sequences(with_doc_spans=True)``): each
+    64-token sequence reports its documents in stream order with
+    sequence-local [begin, end) offsets — what a packed trainer feeds its
+    block-diagonal attention mask / position-id reset.  The oracle
+    recomputes every span from the window cumsum, and the checksum
+    (begin*8191 + end summed) plus the ordered doc_id concatenation pin
+    both offsets and membership — one off-by-one or a swapped pair flips
+    the hash.  Engine-side cost: the spans ride the SAME fragment rows the
+    packing already builds (zero extra shuffle)."""
+    from .functions.text import words
+    from .functions.tokens import pack_corpus_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.transform(words("text"), lambda w: F.length(w).cast("int")).alias("tokens"),
+    )
+    packed = pack_corpus_sequences(
+        docs, seq_len=64, eos_id=9999, pad_id=0, with_doc_spans=True
+    )
+    return packed.select(
+        "seq_idx",
+        F.size("doc_spans").cast("long").alias("n_docs"),
+        F.aggregate(
+            "doc_spans",
+            F.lit(0).cast("long"),
+            lambda a, s: a + s["begin"].cast("long") * 8191 + s["end"].cast("long"),
+        ).alias("span_checksum"),
+        F.array_join(
+            F.transform("doc_spans", lambda s: s["doc_id"]), "|"
+        ).alias("docs_concat"),
+    ).orderBy("seq_idx")
+
+
+@q(
     "training_shards_manifest",
     r"""
     WITH tok AS (

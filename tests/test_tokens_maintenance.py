@@ -243,6 +243,64 @@ def test_pack_corpus_sequences_reconstruction(spark):
     assert got == expected
 
 
+def test_pack_corpus_doc_spans_tile_and_reconstruct(spark):
+    """``with_doc_spans=True``: per-sequence spans must tile
+    [0, n_real_tokens) contiguously in order, never overlap a padding
+    region, and — stitched across sequences — allot every document exactly
+    len(tokens)+1 positions (its tokens + EOS) under its own doc_id."""
+    import random
+
+    from data_pipeline_spark.functions.tokens import pack_corpus_sequences
+
+    rng = random.Random(23)
+    rows = [
+        (f"doc_{i:04d}", [rng.randrange(2, 500) for _ in range(rng.randrange(0, 90))])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>").repartition(5)
+    L = 64
+    out = (
+        pack_corpus_sequences(
+            df, seq_len=L, eos_id=1, pad_id=0, num_parts=4, with_doc_spans=True
+        )
+        .orderBy("seq_idx")
+        .collect()
+    )
+
+    per_doc: dict[str, int] = {}
+    for r in out:
+        spans = [s.asDict() for s in r["doc_spans"]]
+        assert spans[0]["begin"] == 0
+        for a, b in zip(spans, spans[1:]):
+            assert a["end"] == b["begin"], "spans must tile contiguously"
+        assert spans[-1]["end"] == r["n_real_tokens"], "span past padding"
+        for s in spans:
+            assert 0 <= s["begin"] < s["end"] <= L
+            per_doc[s["doc_id"]] = per_doc.get(s["doc_id"], 0) + s["end"] - s["begin"]
+
+    assert per_doc == {d: len(t) + 1 for d, t in rows}
+
+    # spans are consistent with the token content: slicing input_ids at a
+    # span must reproduce that document's fragment of (tokens + EOS)
+    stream = {d: t + [1] for d, t in rows}
+    cursor: dict[str, int] = {}
+    for r in out:
+        for s in r["doc_spans"]:
+            d = s["doc_id"]
+            k = cursor.get(d, 0)
+            frag = list(r["input_ids"][s["begin"]: s["end"]])
+            assert frag == stream[d][k: k + len(frag)], d
+            cursor[d] = k + len(frag)
+
+    # default call is unchanged: no doc_spans column
+    assert "doc_spans" not in pack_corpus_sequences(df, seq_len=L).columns
+
+    # empty input carries the column with the right shape
+    empty = spark.createDataFrame([], "doc_id string, tokens array<int>")
+    e = pack_corpus_sequences(empty, seq_len=4, with_doc_spans=True)
+    assert "doc_spans" in e.columns and e.count() == 0
+
+
 def test_pack_corpus_sequences_deterministic_and_empty(spark):
     from pyspark.sql import functions as F
 
