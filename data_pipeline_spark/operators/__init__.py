@@ -36,6 +36,7 @@ from .similarity import (
 from .hierarchy import path_edges, subtree_rollup
 from .graph import connected_components, dedup_assignments
 from .shards import (
+    append_training_shards,
     assign_training_shards,
     read_shard_manifest,
     shard_summary,
@@ -52,6 +53,6 @@ __all__ = [
     "lsh_bucketed_topk", "lsh_candidate_pairs",
     "path_edges", "subtree_rollup",
     "connected_components", "dedup_assignments",
-    "assign_training_shards", "read_shard_manifest",
-    "shard_summary", "write_training_shards",
+    "append_training_shards", "assign_training_shards",
+    "read_shard_manifest", "shard_summary", "write_training_shards",
 ]

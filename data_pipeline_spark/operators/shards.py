@@ -179,3 +179,90 @@ def write_training_shards(
 def read_shard_manifest(path: str) -> dict[str, Any]:
     with open(os.path.join(path, "_manifest.json")) as f:
         return json.load(f)
+
+
+def append_training_shards(
+    df_new: DataFrame,
+    path: str,
+    tokens_col: str | None = "tokens",
+    num_parts: int | None = None,
+) -> dict[str, Any]:
+    """Incremental export: add ``df_new``'s rows to an existing shard
+    dataset as NEW shards, leaving every published shard untouched — the
+    O(delta) complement of :func:`write_training_shards`'s O(corpus) rewrite.
+
+    Contract: the dataset's order key is append-only — every new row's
+    ``order_col`` must sort strictly AFTER the last exported key (checked
+    with one tiny aggregate; violations raise, because a mid-order insert
+    would silently change what a full re-export of the same data produces).
+    Each append cycle closes its own shard group, so the previous cycle's
+    tail shard may stay partial forever; loaders must take per-shard row
+    counts from the manifest, not assume uniformity.  That is the explicit
+    trade for never rewriting published bytes: a training run already
+    mid-epoch on the old manifest keeps byte-stable shards.
+
+    Crash safety: new shard dirs are staged and renamed into place FIRST,
+    the manifest last (atomic tmp+rename) — a crash leaves orphan dirs the
+    old manifest never references, and a re-run replaces them.
+    """
+    manifest = read_shard_manifest(path)
+    order_col = manifest["order_col"]
+    shard_rows = int(manifest["shard_rows"])
+    prev_shards = manifest["shards"]
+    last_key = max((s["last_key"] for s in prev_shards), default=None)
+
+    probe = df_new.agg(
+        F.count(F.lit(1)).alias("n"), F.min(order_col).alias("lo")
+    ).collect()[0]
+    if probe["n"] == 0:
+        return manifest
+    try:
+        out_of_order = last_key is not None and probe["lo"] <= last_key
+    except TypeError:  # manifest round-tripped a non-JSON key type as str
+        out_of_order = str(probe["lo"]) <= str(last_key)
+    if out_of_order:
+        raise ValueError(
+            f"append requires every new {order_col} to sort after the last "
+            f"exported key {last_key!r}; got min={probe['lo']!r} — run a "
+            "full write_training_shards(overwrite=True) instead"
+        )
+
+    base_shard = manifest["n_shards"]
+    sharded = assign_training_shards(
+        df_new, order_col=order_col, shard_rows=shard_rows, num_parts=num_parts
+    ).withColumn("shard_id", F.col("shard_id") + base_shard)
+    sharded = sharded.withColumn(
+        "shard", F.format_string("%06d", F.col("shard_id").cast("int"))
+    )
+    summary = [r.asDict() for r in shard_summary(sharded, order_col, tokens_col).collect()]
+
+    staging = path + f".append-{uuid.uuid4().hex[:8]}"
+    (
+        sharded.repartition(max(len(summary), 1), "shard_id")
+        .sortWithinPartitions("shard_id", "shard_pos")
+        .drop("shard_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(staging)
+    )
+    import shutil
+
+    for s in summary:
+        name = f"shard={s['shard_id']:06d}"
+        dst = os.path.join(path, name)
+        if os.path.exists(dst):  # orphan from a crashed prior append
+            shutil.rmtree(dst)
+        os.rename(os.path.join(staging, name), dst)
+    shutil.rmtree(staging, ignore_errors=True)
+
+    out = dict(manifest)
+    out["shards"] = prev_shards + summary
+    out["n_shards"] = len(out["shards"])
+    out["n_rows"] = manifest["n_rows"] + sum(s["n_rows"] for s in summary)
+    if tokens_col is not None and "n_tokens" in manifest:
+        out["n_tokens"] = manifest["n_tokens"] + sum(s["n_tokens"] for s in summary)
+    tmp = os.path.join(path, f"._manifest.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump(out, f, indent=1, default=str)
+    os.replace(tmp, os.path.join(path, "_manifest.json"))
+    return out

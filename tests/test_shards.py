@@ -13,6 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from data_pipeline_spark.operators.shards import (
+    append_training_shards,
     assign_training_shards,
     read_shard_manifest,
     shard_summary,
@@ -127,6 +128,76 @@ def test_empty_input(spark, docs, tmp_path):
     m = write_training_shards(docs.limit(0), out, "doc_id", SHARD_ROWS)
     assert m["n_shards"] == 0 and m["n_rows"] == 0
     assert read_shard_manifest(out)["shards"] == []
+
+
+def _mk(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.format_string("doc-%05d", F.col("id").cast("int")).alias("doc_id"),
+        F.sequence(F.lit(1), (F.pmod(F.col("id"), F.lit(5)) + 1).cast("int")).alias(
+            "tokens"
+        ),
+    )
+
+
+def test_append_adds_new_shards_without_touching_published_bytes(spark, tmp_path):
+    out = str(tmp_path / "ds")
+    write_training_shards(_mk(spark, 0, 250), out, "doc_id", 100)
+    published = {}
+    for f in glob.glob(os.path.join(out, "shard=*", "*.parquet")):
+        with open(f, "rb") as fh:
+            published[f] = fh.read()
+
+    m = append_training_shards(_mk(spark, 250, 430), out)
+    assert m["n_shards"] == 3 + 2  # 100+100+50, then 100+80
+    assert m["n_rows"] == 430
+    assert read_shard_manifest(out)["n_rows"] == 430
+
+    # every previously published byte is untouched (mid-epoch readers keep
+    # byte-stable shards); the old tail stays partial by contract
+    for f, blob in published.items():
+        with open(f, "rb") as fh:
+            assert fh.read() == blob, f
+    assert m["shards"][2]["n_rows"] == 50
+    assert m["shards"][3]["n_rows"] == 100 and m["shards"][3]["shard_id"] == 3
+    assert m["shards"][4]["n_rows"] == 80
+
+    # loader view is complete and deduplicated
+    back = spark.read.parquet(out)
+    assert back.count() == 430
+    assert back.select("doc_id").distinct().count() == 430
+    # manifest total token count reconciles with data
+    tok = back.select(F.sum(F.size("tokens")).alias("s")).collect()[0]["s"]
+    assert m["n_tokens"] == tok
+
+
+def test_append_rejects_out_of_order_keys(spark, tmp_path):
+    out = str(tmp_path / "ds")
+    write_training_shards(_mk(spark, 100, 200), out, "doc_id", 50)
+    with pytest.raises(ValueError, match="sort after"):
+        append_training_shards(_mk(spark, 0, 50), out)
+    # overlapping key (equal to last) also rejected
+    with pytest.raises(ValueError, match="sort after"):
+        append_training_shards(_mk(spark, 199, 260), out)
+    # dataset unchanged by the refused appends
+    assert read_shard_manifest(out)["n_rows"] == 100
+
+
+def test_append_empty_is_noop_and_orphan_dirs_are_replaced(spark, tmp_path):
+    out = str(tmp_path / "ds")
+    write_training_shards(_mk(spark, 0, 100), out, "doc_id", 100)
+    m0 = read_shard_manifest(out)
+    assert append_training_shards(_mk(spark, 0, 0), out) == m0
+
+    # a crashed prior append left an orphan next-shard dir the manifest
+    # never referenced; a re-run must replace it, not fail or double-count
+    orphan = os.path.join(out, "shard=000001")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    m = append_training_shards(_mk(spark, 100, 150), out)
+    assert m["n_rows"] == 150
+    assert not os.path.exists(os.path.join(orphan, "junk.parquet"))
+    assert spark.read.parquet(out).count() == 150
 
 
 def test_summary_matches_manual_aggregation(spark, docs):
