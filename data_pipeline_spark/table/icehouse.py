@@ -52,6 +52,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import shutil
 import threading
 import time
@@ -752,10 +753,17 @@ class IcehouseTable:
             entry = parts[k]
             pdir = os.path.join(self.root, entry["path"])
             if stats_filters and k not in delta_keys and entry.get("files"):
+                # stats are keyed by the column's PHYSICAL name at write
+                # time; map current filter names through the rename log
+                v_entry = self._data_path_version(entry["path"])
+                phys_filters = {
+                    self._physical_name(c, v_entry): b
+                    for c, b in stats_filters.items()
+                }
                 survivors = [
                     f["name"]
                     for f in entry["files"]
-                    if self._file_may_match(f.get("stats") or {}, stats_filters)
+                    if self._file_may_match(f.get("stats") or {}, phys_filters)
                 ]
                 if len(survivors) < len(entry["files"]):
                     base_paths.extend(os.path.join(pdir, n) for n in survivors)
@@ -767,7 +775,7 @@ class IcehouseTable:
         if not base_paths and not delta_paths:
             df = spark.createDataFrame([], read_schema)
         else:
-            df = spark.read.schema(read_schema).parquet(*base_paths, *delta_paths)
+            df = self._scan_paths(spark, base_paths + delta_paths, read_schema)
         if delta_paths:
             # resolve only the delta-bearing buckets; clean buckets pass through
             dirty = F.col(PART_COL).isin([int(k) for k in delta_keys])
@@ -863,7 +871,7 @@ class IcehouseTable:
         ]
         if not paths:
             return spark.createDataFrame([], read_schema).drop(PART_COL)
-        df = spark.read.schema(read_schema).parquet(*paths)
+        df = self._scan_paths(spark, paths, read_schema)
         # The LWW resolve shuffle is needed ONLY where several versions of a
         # key can coexist in the scanned set — the delta-bearing buckets.  A
         # COW snapshot holds exactly one version per key (each bucket rewrite
@@ -1122,6 +1130,7 @@ class IcehouseTable:
             # (additive ∪ additive is safe; data files conformed to the
             # narrower schema read the extra columns as NULL)
             final_schema, _ = evolve_schema(self.schema, new_schema)
+            self._check_retired_names(final_schema)
             meta["schema"] = final_schema.jsonValue()
             for p in affected:
                 meta.setdefault("deltas", {}).setdefault(str(p), []).append(
@@ -1388,6 +1397,7 @@ class IcehouseTable:
             # re-merge against the REFRESHED schema (see append_deltas): a
             # CAS retry must not clobber a concurrently-evolved column set
             final_schema, _ = evolve_schema(self.schema, new_schema)
+            self._check_retired_names(final_schema)
             meta["schema"] = final_schema.jsonValue()
             for p in affected:
                 entry = {
@@ -2221,6 +2231,169 @@ class IcehouseTable:
         raise ConcurrentCommitError(
             f"migrate_key_type lost 5 source-commit races on {self.root}; "
             "quiesce ingest or retry during a maintenance window"
+        )
+
+    # -- rename / drop without rewrite ------------------------------------
+    #
+    # The Iceberg no-rewrite schema-change pair beyond additive evolution.
+    # Instead of parquet field ids, the metadata keeps an ordered
+    # ``column_renames`` event log [{version, old, new}], and every data
+    # path embeds its commit version (``data/s{N:08d}-…``): a reader
+    # resolves a CURRENT column to its PHYSICAL name in a given file by
+    # walking the events newest→oldest and undoing each rename that
+    # happened after the file was written.  Chains (a→b→c) and renaming a
+    # retired name back both resolve correctly because the walk is
+    # name-chained; the ONE ambiguous shape — re-ADDING a retired name as
+    # a brand-new column via additive evolution — is rejected at commit
+    # (:meth:`_check_retired_names`), since the old files' bytes under
+    # that name belong to a different column.  Dropped columns keep their
+    # bytes in old files (time travel still sees them); current reads
+    # simply stop projecting them.
+
+    @staticmethod
+    def _data_path_version(path: str) -> int:
+        """Commit version a data path was written at (parsed from its
+        snapshot dir name); -1 = unrecognizable → treated as oldest, so
+        every rename applies (always safe, possibly suboptimal)."""
+        m = re.search(r"data/s(\d{8})-", path)
+        return int(m.group(1)) if m else -1
+
+    def _physical_name(self, col: str, v_file: int) -> str:
+        """Physical column name of CURRENT logical ``col`` in a file
+        written at version ``v_file``."""
+        for e in reversed(self.meta.get("column_renames", [])):
+            if v_file <= e["version"] and col == e["new"]:
+                col = e["old"]
+        return col
+
+    def _scan_paths(self, spark: SparkSession, paths: list[str], read_schema: T.StructType) -> DataFrame:
+        """Scan data paths into ``read_schema`` (current logical names),
+        aliasing renamed columns per file era.  With no renames on record
+        this is exactly the single pinned-schema scan; with renames, paths
+        group by their name-mapping signature (a handful of eras, however
+        many files) and the groups union."""
+        renames = self.meta.get("column_renames", [])
+        if not renames:
+            return spark.read.schema(read_schema).parquet(*paths)
+        groups: dict[tuple, list[str]] = {}
+        for p in paths:
+            v = self._data_path_version(p)
+            sig = tuple(self._physical_name(f.name, v) for f in read_schema.fields)
+            groups.setdefault(sig, []).append(p)
+        parts = []
+        for sig, grp in sorted(groups.items()):
+            phys = T.StructType(
+                [
+                    T.StructField(pn, f.dataType, f.nullable)
+                    for pn, f in zip(sig, read_schema.fields)
+                ]
+            )
+            parts.append(
+                spark.read.schema(phys)
+                .parquet(*grp)
+                .select(
+                    *[
+                        F.col(pn).alias(f.name)
+                        for pn, f in zip(sig, read_schema.fields)
+                    ]
+                )
+            )
+        out = parts[0]
+        for d in parts[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def _check_retired_names(self, final_schema: T.StructType) -> None:
+        """Reject additive evolution that re-ADDS a name some older files
+        still use for a different (renamed or dropped) column — reading it
+        from those files would resurrect the other column's bytes."""
+        retired = {e["old"] for e in self.meta.get("column_renames", [])}
+        retired |= set(self.meta.get("dropped_columns", []))
+        if not retired:
+            return
+        current = set(self.schema.fieldNames())
+        clash = [
+            n for n in final_schema.fieldNames() if n in retired and n not in current
+        ]
+        if clash:
+            raise SchemaEvolutionError(
+                f"columns {clash} were previously renamed away or dropped; "
+                "older data files still carry bytes under these names, so "
+                "re-adding them would silently resurrect unrelated data — "
+                "pick fresh names"
+            )
+
+    def rename_column(self, old: str, new: str, max_retries: int = 5) -> CommitResult:
+        """Rename a logical column in one pure-metadata commit — zero data
+        movement at any table size.  Existing files keep their bytes under
+        the old name; reads alias per file era (see the section comment).
+        Renaming the key column updates the key binding too (bucket
+        addressing hashes key VALUES, so placement is unaffected).
+        Writers must use the new name from the next batch on — an old-name
+        batch would be rejected by :meth:`_check_retired_names`."""
+        reserved = {LSN_COL, DELETED_COL, PART_COL, "_pw"}
+
+        def mutate(meta: dict[str, Any]):
+            schema = T.StructType.fromJson(meta["schema"])
+            names = schema.fieldNames()
+            if old not in names:
+                raise SchemaEvolutionError(f"no such column {old!r}")
+            if new in names:
+                raise SchemaEvolutionError(f"column {new!r} already exists")
+            if new in reserved or not new.isidentifier():
+                raise SchemaEvolutionError(f"invalid target column name {new!r}")
+            meta["schema"] = T.StructType(
+                [
+                    T.StructField(
+                        new if f.name == old else f.name, f.dataType, f.nullable
+                    )
+                    for f in schema.fields
+                ]
+            ).jsonValue()
+            # event version = the CAS basis: every existing data file was
+            # committed at <= this version (a racing data commit would win
+            # the version race and force our retry), every later file at >
+            meta.setdefault("column_renames", []).append(
+                {"version": meta["version"], "old": old, "new": new}
+            )
+            if meta.get("key_col") == old:
+                meta["key_col"] = new
+                meta["partition_spec"] = (
+                    f"bucket({new}, {meta['n_buckets']}) -> {PART_COL}"
+                )
+            meta.setdefault("schema_log", []).append(
+                {"version": meta["version"], "schema": meta["schema"], "rename": [old, new]}
+            )
+
+        return self._pure_metadata_commit(
+            mutate, "rename", max_retries=max_retries, touched=set()
+        )
+
+    def drop_column(self, name: str, max_retries: int = 5) -> CommitResult:
+        """Drop a logical column in one pure-metadata commit — no rewrite.
+        Old files keep the bytes (time travel to any pre-drop snapshot
+        still reads them); current reads stop projecting the column, and
+        the name is retired against re-adding."""
+
+        def mutate(meta: dict[str, Any]):
+            schema = T.StructType.fromJson(meta["schema"])
+            if name not in schema.fieldNames():
+                raise SchemaEvolutionError(f"no such column {name!r}")
+            if name == meta.get("key_col"):
+                raise SchemaEvolutionError(
+                    f"cannot drop the key column {name!r}: every merge and "
+                    "bucket address depends on it"
+                )
+            meta["schema"] = T.StructType(
+                [f for f in schema.fields if f.name != name]
+            ).jsonValue()
+            meta.setdefault("dropped_columns", []).append(name)
+            meta.setdefault("schema_log", []).append(
+                {"version": meta["version"], "schema": meta["schema"], "drop": name}
+            )
+
+        return self._pure_metadata_commit(
+            mutate, "dropcol", max_retries=max_retries, touched=set()
         )
 
     def vacuum_tombstones(self, spark: SparkSession, lsn_watermark: int) -> CommitResult:
