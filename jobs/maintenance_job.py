@@ -106,6 +106,12 @@ def main() -> None:
                     help="compress the exactly-once epoch registry, keeping "
                          "KEEP recent full entries per namespace (older "
                          "epochs fold into exact [lo,hi] ranges)")
+    ap.add_argument("--rename-column", default=None, metavar="OLD:NEW",
+                    help="pure-metadata column rename (no rewrite); readers "
+                    "alias old files per era, writers must switch to NEW")
+    ap.add_argument("--drop-column", default=None, metavar="NAME",
+                    help="pure-metadata column drop (no rewrite; old "
+                    "snapshots keep the column for time travel)")
     ap.add_argument("--vacuum-lsn", type=int, default=None)
     ap.add_argument("--rebucket", type=int, default=None)
     ap.add_argument("--expire-keep", type=int, default=None)
@@ -226,6 +232,21 @@ def main() -> None:
         out["actions"].append(
             {"action": "compact_epochs", "keep_recent": args.compact_epochs,
              "entries_pruned": pruned}
+        )
+    if args.rename_column is not None:
+        old, _, new = args.rename_column.partition(":")
+        if not old or not new:
+            raise SystemExit("--rename-column wants OLD:NEW")
+        res = table.rename_column(old, new)
+        table.refresh()
+        out["actions"].append(
+            {"action": "rename_column", "old": old, "new": new, "version": res.version}
+        )
+    if args.drop_column is not None:
+        res = table.drop_column(args.drop_column)
+        table.refresh()
+        out["actions"].append(
+            {"action": "drop_column", "name": args.drop_column, "version": res.version}
         )
     if args.vacuum_lsn is not None:
         res = table.vacuum_tombstones(spark, args.vacuum_lsn)
