@@ -428,7 +428,11 @@ class IcehouseTable:
         ]
 
     def _layout(
-        self, out: DataFrame, n_buckets: int, fanout: int | None = None
+        self,
+        out: DataFrame,
+        n_buckets: int,
+        fanout: int | None = None,
+        order_override: list | None = None,
     ) -> DataFrame:
         """Deterministic physical layout for a write: partition by bucket
         (× fanout sub-split when ``write.fanout`` > 1), rows sorted by key
@@ -446,18 +450,23 @@ class IcehouseTable:
         scan gets for free at any scale, orthogonal to bucket pruning and
         ``write.bloom.columns`` point lookups."""
         fanout = self.write_fanout if fanout is None else fanout
-        order = [
-            c.strip()
-            for c in str(
-                self.meta.get("properties", {}).get("write.sort-order", "")
-            ).split(",")
-            if c.strip()
-        ]
-        unknown = [c for c in order if c not in out.columns]
-        if unknown:
-            raise ValueError(
-                f"write.sort-order references columns not in the write: {unknown}"
-            )
+        if order_override is not None:
+            # caller-supplied clustering expressions (z-order compaction)
+            # replace the property-derived secondary sort for this write
+            order = list(order_override)
+        else:
+            order = [
+                c.strip()
+                for c in str(
+                    self.meta.get("properties", {}).get("write.sort-order", "")
+                ).split(",")
+                if c.strip()
+            ]
+            unknown = [c for c in order if c not in out.columns]
+            if unknown:
+                raise ValueError(
+                    f"write.sort-order references columns not in the write: {unknown}"
+                )
         if fanout <= 1:
             return out.repartition(n_buckets, F.col(PART_COL)).sortWithinPartitions(
                 PART_COL, *order, self.key_col
@@ -968,8 +977,12 @@ class IcehouseTable:
         read_version: int | None = None,
         meta_updates: dict[str, Any] | None = None,
         conflict_scope: str = "partitions",
+        sort_override: list | None = None,
     ) -> CommitResult:
         """Atomically replace the bucket partitions present in ``df``.
+
+        ``sort_override``: clustering expressions replacing the
+        ``write.sort-order`` property for THIS write (z-order compaction).
 
         ``meta_updates``: extra table-metadata fields committed atomically
         with the data (partition-spec evolution — see :meth:`rebucket`).
@@ -1028,7 +1041,7 @@ class IcehouseTable:
             F.col(PART_COL).cast("int").alias(PART_COL),
         )
         layout_buckets = (meta_updates or {}).get("n_buckets", self.n_buckets)
-        laid_out = self._layout(out, layout_buckets)
+        laid_out = self._layout(out, layout_buckets, order_override=sort_override)
         return self._commit_attempts(
             laid_out, epoch, lineage_extra, new_schema, schema_changed, max_retries,
             epoch_source=epoch_source, affected_partitions=affected_partitions,
@@ -2052,10 +2065,72 @@ class IcehouseTable:
                 out.append(int(k))
         return sorted(out)
 
+    # -- z-order clustering (compaction-time, Delta OPTIMIZE ZORDER analog) --
+
+    _ZORDER_BITS = 8  # 256 quantile bins per dimension
+
+    @staticmethod
+    def _zorder_expr(cols: list[str], cuts: dict[str, list[float]]):
+        """Interleaved-bit z-value over per-column quantile-bin ids: rows
+        close in EVERY dimension get close z-values, so sorting by z gives
+        each written file a tight min/max range on ALL the columns at once
+        — range predicates on any one of them prune files
+        (``write.stats-columns``) and row groups (parquet footers), where a
+        1-D ``write.sort-order`` only serves its leading column.  Bin id =
+        #cuts below the value (codegen'd fold over a 255-literal array;
+        NULLs land in bin 0 and sort first)."""
+        bits = IcehouseTable._ZORDER_BITS
+        k = len(cols)
+        z = F.lit(0).cast("long")
+        for j, c in enumerate(cols):
+            arr = F.array(*[F.lit(float(x)) for x in cuts[c]])
+            v = F.col(c).cast("double")
+            b = F.aggregate(
+                arr,
+                F.lit(0),
+                lambda acc, x: acc + F.when(v >= x, 1).otherwise(0),
+            )
+            # driver-precomputed Morton spread table: bin -> its bits spread
+            # to every k-th position with this column's offset.  ONE fold +
+            # ONE array lookup per column per row; interleaving bit-by-bit
+            # in the expression tree would duplicate the 255-literal fold
+            # `bits` times (measured ~8x slower sort on wide rewrites)
+            spread = [
+                sum(((vv >> i) & 1) << (i * k + (k - 1 - j)) for i in range(bits))
+                for vv in range(1 << bits)
+            ]
+            z = z + F.element_at(
+                F.array(*[F.lit(s) for s in spread]), b + 1
+            ).cast("long")
+        return z
+
+    def _zorder_cuts(
+        self, df: DataFrame, cols: list[str]
+    ) -> dict[str, list[float]]:
+        """Per-column quantile cut points (255 cuts → 256 equi-depth bins)
+        from ONE approxQuantile pass over the frame being rewritten.  The
+        pass costs a scan of exactly the files compaction is about to
+        rewrite anyway — which is why z-ordering lives on the compaction
+        path, never the per-epoch commit hot path (where an extra full
+        evaluation of the merge plan would double the write cost)."""
+        numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+        dtypes = dict(df.dtypes)
+        bad = [c for c in cols if dtypes.get(c, "").split("(")[0] not in numeric]
+        if bad:
+            raise ValueError(
+                f"zorder columns must be numeric (got {bad}); derive a "
+                "numeric column first (e.g. datediff for dates)"
+            )
+        probs = [i / 256 for i in range(1, 256)]
+        qdf = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+        cuts = qdf.approxQuantile(cols, probs, 0.001)
+        return dict(zip(cols, cuts))
+
     def compact_partitions(
         self,
         spark: SparkSession,
         partitions: "list[int] | Literal['deltas'] | None" = None,
+        zorder: list[str] | None = None,
     ) -> CommitResult:
         """Small-file compaction: rewrite partitions into one sorted file per
         bucket (× ``write.fanout``), folding any merge-on-read deltas into
@@ -2067,6 +2142,11 @@ class IcehouseTable:
         compact ONLY the delta-bearing buckets — the maintenance-schedule
         shape: cost proportional to pending-delta data, clean buckets
         untouched (ReplayRunner's ``compact_every`` uses this).
+
+        ``zorder=[colA, colB, ...]``: cluster the rewritten files on an
+        interleaved-bit z-value instead of ``write.sort-order`` — see
+        :meth:`_zorder_expr`.  Pair with ``write.stats-columns`` on the
+        same columns for planning-time multi-dimension file skipping.
         """
         for _ in range(5):
             read_version = self.version
@@ -2088,9 +2168,16 @@ class IcehouseTable:
             df = self.read(
                 spark, partitions=read_parts, with_part_col=True, with_meta=True
             )
+            sort_override = None
+            if zorder:
+                cuts = self._zorder_cuts(df, zorder)
+                sort_override = [self._zorder_expr(zorder, cuts)]
             try:
                 return self.overwrite_partitions(
-                    df, affected_partitions=read_parts, read_version=read_version
+                    df,
+                    affected_partitions=read_parts,
+                    read_version=read_version,
+                    sort_override=sort_override,
                 )
             except CommitConflictError:
                 self.refresh()

@@ -96,6 +96,11 @@ def main() -> None:
     ap.add_argument("--table", required=True)
     ap.add_argument("--compact", action="store_true")
     ap.add_argument("--compact-deltas", action="store_true")
+    ap.add_argument("--zorder", default=None, metavar="COLS",
+                    help="with --compact/--compact-deltas: cluster rewritten "
+                    "files on an interleaved-bit z-value over these "
+                    "comma-separated numeric columns (multi-dimension file "
+                    "skipping with write.stats-columns)")
     ap.add_argument("--compact-ratio", type=float, default=None,
                     help="fold only buckets whose pending delta rows exceed "
                          "RATIO x base rows (read-amplification policy)")
@@ -202,11 +207,15 @@ def main() -> None:
         )
 
     if args.compact or args.compact_deltas:
+        zcols = [c.strip() for c in (args.zorder or "").split(",") if c.strip()]
         res = table.compact_partitions(
-            spark, partitions="deltas" if args.compact_deltas else None
+            spark,
+            partitions="deltas" if args.compact_deltas else None,
+            zorder=zcols or None,
         )
         out["actions"].append(
             {"action": "compact_deltas" if args.compact_deltas else "compact",
+             **({"zorder": zcols} if zcols else {}),
              "version": res.version,
              "partitions": len(res.partitions_rewritten or []),
              "skipped": res.skipped}
