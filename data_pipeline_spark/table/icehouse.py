@@ -450,10 +450,27 @@ class IcehouseTable:
         scan gets for free at any scale, orthogonal to bucket pruning and
         ``write.bloom.columns`` point lookups."""
         fanout = self.write_fanout if fanout is None else fanout
+        tmp_cols: list[str] = []
         if order_override is not None:
             # caller-supplied clustering expressions (z-order compaction)
-            # replace the property-derived secondary sort for this write
-            order = list(order_override)
+            # replace the property-derived secondary sort for this write.
+            # Expressions are MATERIALIZED into temp columns before the
+            # sort: Spark's sort comparator re-evaluates expression keys
+            # per COMPARISON (n log n times), which turned a wide z-value
+            # expression into the rewrite's bottleneck; a projected column
+            # is computed once per row and dropped after the sort (the
+            # post-sort projection is narrow, so file order is preserved).
+            order = []
+            for idx, o in enumerate(order_override):
+                if isinstance(o, str):
+                    order.append(o)
+                    continue
+                name = f"_ord{idx}"
+                while name in out.columns:
+                    name += "_"
+                out = out.withColumn(name, o)
+                tmp_cols.append(name)
+                order.append(name)
         else:
             order = [
                 c.strip()
@@ -468,21 +485,23 @@ class IcehouseTable:
                     f"write.sort-order references columns not in the write: {unknown}"
                 )
         if fanout <= 1:
-            return out.repartition(n_buckets, F.col(PART_COL)).sortWithinPartitions(
+            laid = out.repartition(n_buckets, F.col(PART_COL)).sortWithinPartitions(
                 PART_COL, *order, self.key_col
             )
+            return laid.drop(*tmp_cols) if tmp_cols else laid
         sub_col = "_sub"  # collision-proof vs logical columns
         while sub_col in out.columns:
             sub_col += "_"
         sub = F.pmod(
             F.xxhash64(F.col(self.key_col), F.lit("write.fanout")), F.lit(fanout)
         ).cast("int")
-        return (
+        laid = (
             out.withColumn(sub_col, sub)
             .repartition(n_buckets * fanout, F.col(PART_COL), F.col(sub_col))
             .drop(sub_col)  # only steers the shuffle; projection keeps slots
             .sortWithinPartitions(PART_COL, *order, self.key_col)
         )
+        return laid.drop(*tmp_cols) if tmp_cols else laid
 
     def _writer(self, laid_out: DataFrame):
         """Parquet writer for a snapshot dir, honoring ``write.max-file-rows``
