@@ -856,7 +856,12 @@ class IcehouseTable:
                 continue  # mixed types: range unknowable -> keep
         return True
 
-    def read_changed_since(self, spark: SparkSession, lsn_watermark: int) -> DataFrame:
+    def read_changed_since(
+        self,
+        spark: SparkSession,
+        lsn_watermark: int,
+        stats_filters: dict[str, tuple] | None = None,
+    ) -> DataFrame:
         """Incremental-consumer scan: the current WINNING version of every key
         whose latest change has ``_lsn > lsn_watermark`` — deleted keys appear
         as tombstone rows (``_deleted = true``), so a downstream sink can
@@ -873,7 +878,26 @@ class IcehouseTable:
         only: a pruned file could at most hold a SUPERSEDED version of a
         changed key — never the winner — and unchanged keys are filtered by
         the final ``_lsn > watermark`` gate.)
+
+        ``stats_filters`` — a SELECTIVE feed (``{col: (lo, hi)}``, the
+        :meth:`read` contract): upsert rows are restricted to the value
+        range, while **every delete tombstone newer than the watermark is
+        still delivered** — a filtered replica must hear about deletions
+        even though a tombstone carries no payload values to test (the
+        consumer drops deletes for keys it never stored; the standard
+        filtered-CDC contract).  Value pruning composes with LSN pruning on
+        clean-bucket base files, and only where the manifest proves the
+        file holds no tombstones (``has_deletes=false``); dirty buckets and
+        tombstone-bearing files scan fully, exactness guaranteed by the
+        residual predicate.  NOTE the predicate tests the row's CURRENT
+        value: a key UPDATED OUT of the range emits nothing (not a delete)
+        — consumers needing leave-the-range retractions should diff
+        successive filtered reads or consume the unfiltered feed.
         """
+        if stats_filters:
+            unknown = [c for c in stats_filters if c not in self.schema.fieldNames()]
+            if unknown:
+                raise ValueError(f"stats_filters references unknown columns: {unknown}")
         read_schema = T.StructType(
             list(self.schema.fields)
             + [
@@ -887,11 +911,31 @@ class IcehouseTable:
             mx = entry.get("lsn_max")
             return mx is None or mx > lsn_watermark  # None = pre-stats file: keep
 
-        paths = [
-            os.path.join(self.root, e["path"])
-            for e in self.meta["partitions"].values()
-            if live(e)
-        ] + [
+        dirty_bucket_keys = {
+            k for k, ds in self.meta.get("deltas", {}).items() if ds
+        }
+        paths = []
+        for k, e in self.meta["partitions"].items():
+            if not live(e):
+                continue
+            pdir = os.path.join(self.root, e["path"])
+            if stats_filters and k not in dirty_bucket_keys and e.get("files"):
+                v_entry = self._data_path_version(e["path"])
+                phys_filters = {
+                    self._physical_name(c, v_entry): b
+                    for c, b in stats_filters.items()
+                }
+                survivors = [
+                    f["name"]
+                    for f in e["files"]
+                    if f.get("has_deletes", True)
+                    or self._file_may_match(f.get("stats") or {}, phys_filters)
+                ]
+                if len(survivors) < len(e["files"]):
+                    paths.extend(os.path.join(pdir, n) for n in survivors)
+                    continue
+            paths.append(pdir)
+        paths += [
             os.path.join(self.root, d["path"])
             for ds in self.meta.get("deltas", {}).values()
             for d in ds
@@ -929,7 +973,18 @@ class IcehouseTable:
                 .select(*[f.name for f in read_schema.fields])
             )
             df = df.where(~dirty).unionByName(resolved)
-        return df.where(F.col(LSN_COL) > lsn_watermark).drop(PART_COL)
+        df = df.where(F.col(LSN_COL) > lsn_watermark)
+        if stats_filters:
+            # residual: upserts gated by the range, tombstones always pass
+            is_del = F.coalesce(F.col(DELETED_COL), F.lit(False))
+            for col, (lo, hi) in stats_filters.items():
+                cond = F.lit(True)
+                if lo is not None:
+                    cond = cond & (F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    cond = cond & (F.col(col) <= F.lit(hi))
+                df = df.where(is_del | cond)
+        return df.drop(PART_COL)
 
     def read_for_keys(self, spark: SparkSession, keys: DataFrame | list) -> DataFrame:
         """Bucket-pruned point lookup: read ONLY the bucket partitions the
@@ -1298,6 +1353,24 @@ class IcehouseTable:
                                 lsn_lo[p] = min(lsn_lo.get(p, st.min), st.min)
                                 lsn_hi[p] = max(lsn_hi.get(p, st.max), st.max)
                 if stats_cols:
+                    # per-file tombstone presence: a filtered changed-since
+                    # feed may value-prune a file ONLY if it provably holds
+                    # no delete tombstones (their payload columns are NULL,
+                    # so value ranges say nothing about them).  bool max
+                    # from the footer: max(_deleted)=false == no tombstones;
+                    # missing column/stats -> conservatively true.
+                    has_deletes = True
+                    di = names.get(DELETED_COL)
+                    if di is not None:
+                        dmax, complete_d = False, md.num_row_groups > 0
+                        for rg in range(md.num_row_groups):
+                            st = md.row_group(rg).column(di).statistics
+                            if st is None or not st.has_min_max:
+                                complete_d = False
+                                break
+                            dmax = dmax or bool(st.max)
+                        if complete_d:
+                            has_deletes = dmax
                     col_stats: dict[str, list] = {}
                     for col in stats_cols:
                         ci = names.get(col)
@@ -1324,6 +1397,7 @@ class IcehouseTable:
                             "name": tail.split("/", 1)[1],
                             "rows": md.num_rows,
                             "stats": col_stats,
+                            "has_deletes": has_deletes,
                         }
                     )
         if not lsn_range and not stats_cols:

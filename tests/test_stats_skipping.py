@@ -96,7 +96,8 @@ def test_manifest_records_per_file_stats(stats_table):
         assert files, "write.stats-columns set but no per-file stats recorded"
         assert len(files) > 1, "max-file-rows should split each bucket"
         for f in files:
-            assert set(f) == {"name", "rows", "stats"}
+            assert set(f) == {"name", "rows", "stats", "has_deletes"}
+            assert f["has_deletes"] is False  # seed write has no tombstones
             assert "event_day" in f["stats"]
             lo, hi = f["stats"]["event_day"]
             assert lo <= hi
@@ -173,6 +174,45 @@ def test_dirty_bucket_never_prunes_stale_winners(spark, stats_table):
     assert not stats_table.meta.get("deltas"), "compaction left deltas behind"
     after = stats_table.read(spark, stats_filters={"event_day": (990, None)})
     assert [r["doc_id"] for r in after.collect()] == [victim["doc_id"]]
+
+
+def test_filtered_changed_since_feed(spark, stats_table):
+    """Selective incremental consumer: value-range upserts + ALL deletes,
+    with value pruning composing with LSN pruning on clean base files."""
+    from data_pipeline_spark.cdc.apply import apply_changes
+
+    watermark = 3999  # seed lsns are 0..3999
+    victim_in = stats_table.read(spark).where(F.col("event_day") == 3).limit(1).collect()[0]
+    victim_out = stats_table.read(spark).where(F.col("event_day") == 20).limit(1).collect()[0]
+    dead = stats_table.read(spark).where(F.col("event_day") == 30).limit(1).collect()[0]
+
+    batch = spark.createDataFrame(
+        [
+            (10_000, "U", victim_in["doc_id"], [1], 1, "s0", 999),  # moves INTO range
+            (10_001, "U", victim_out["doc_id"], [1], 1, "s0", 7),  # stays OUT of range
+            (10_002, "D", dead["doc_id"], None, None, None, None),  # delete
+        ],
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int, "
+        "source string, event_day int",
+    )
+    apply_changes(stats_table, batch, epoch=1)
+    stats_table.refresh()
+
+    feed = stats_table.read_changed_since(spark, watermark, stats_filters={"event_day": (900, None)})
+    rows = {r["doc_id"]: r for r in feed.collect()}
+    assert victim_in["doc_id"] in rows and rows[victim_in["doc_id"]]["event_day"] == 999
+    assert victim_out["doc_id"] not in rows, "out-of-range upsert leaked"
+    assert rows[dead["doc_id"]]["_deleted"] is True, "delete tombstone lost"
+    assert set(rows) == {victim_in["doc_id"], dead["doc_id"]}
+
+    # value pruning bites: the filtered feed plans fewer files than the
+    # unfiltered feed over the same watermark
+    unfiltered = stats_table.read_changed_since(spark, watermark)
+    assert len(feed.inputFiles()) < len(unfiltered.inputFiles())
+    # and the unfiltered feed still carries all three events
+    assert {r["doc_id"] for r in unfiltered.collect()} == {
+        victim_in["doc_id"], victim_out["doc_id"], dead["doc_id"]
+    }
 
 
 def test_without_property_no_stats_but_filters_still_exact(spark, tmp_path):
