@@ -28,7 +28,13 @@ from typing import Any
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["assign_training_shards", "write_training_shards", "read_shard_manifest"]
+__all__ = [
+    "append_training_shards",
+    "assign_training_shards",
+    "read_shard_manifest",
+    "shard_summary",
+    "write_training_shards",
+]
 
 
 def assign_training_shards(
@@ -124,21 +130,34 @@ def write_training_shards(
     num_parts: int | None = None,
 ) -> dict[str, Any]:
     """Export ``df`` as ``path/shard=NNNNNN/`` parquet dirs (exactly one
-    sorted file per shard) plus a ``_manifest.json`` (underscore: invisible to Spark's parquet reader) holding per-shard row/
-    token counts and checksums.  The export is staged in a scratch dir and
-    atomically renamed into place — a crashed export leaves no half-visible
-    dataset, and re-running it is safe.
+    sorted file per shard) plus a ``_manifest.json`` (underscore: invisible
+    to Spark's parquet reader) holding per-shard row/token counts and
+    checksums.
+
+    Publication is a SYMLINK swap: the data lands in an immutable
+    ``path.v-<hex>`` dir and ``path`` atomically repoints to it
+    (``os.replace`` of a symlink) — at every instant a reader resolving
+    ``path`` sees either the complete old dataset or the complete new one,
+    including across an overwrite crash (the old version dir is removed
+    only AFTER the swap).  A crashed export leaves at most an orphan
+    version dir the link never referenced.
 
     Returns the manifest dict.
     """
+    import shutil
+
+    path = os.path.abspath(path)
+    if os.path.lexists(path) and not overwrite:
+        # fail in milliseconds, not after a corpus-scale write
+        raise FileExistsError(f"{path} exists; pass overwrite=True to replace")
     sharded = assign_training_shards(
         df, order_col=order_col, shard_rows=shard_rows, num_parts=num_parts
     ).withColumn("shard", F.format_string("%06d", F.col("shard_id").cast("int")))
     summary = [r.asDict() for r in shard_summary(sharded, order_col, tokens_col).collect()]
 
-    parent = os.path.dirname(os.path.abspath(path)) or "."
+    parent = os.path.dirname(path) or "."
     os.makedirs(parent, exist_ok=True)
-    staging = os.path.join(parent, f".{os.path.basename(path)}.tmp-{uuid.uuid4().hex[:8]}")
+    staging = path + f".v-{uuid.uuid4().hex[:8]}"
     (
         sharded.repartition(max(len(summary), 1), "shard_id")
         .sortWithinPartitions("shard_id", "shard_pos")
@@ -159,20 +178,24 @@ def write_training_shards(
         manifest["n_tokens"] = sum(s["n_tokens"] for s in summary)
     with open(os.path.join(staging, "_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1, default=str)
-    if os.path.exists(path):
-        if not overwrite:
-            import shutil
 
+    prev_target = None
+    if os.path.lexists(path):
+        if not overwrite:  # re-check: racing writer since the early check
             shutil.rmtree(staging, ignore_errors=True)
             raise FileExistsError(f"{path} exists; pass overwrite=True to replace")
-        import shutil
-
-        old = path + f".old-{uuid.uuid4().hex[:8]}"
-        os.rename(path, old)
-        os.rename(staging, path)
-        shutil.rmtree(old, ignore_errors=True)
-    else:
-        os.rename(staging, path)
+        if os.path.islink(path):
+            prev_target = os.path.realpath(path)
+        else:
+            # legacy real-dir layout: move it aside (non-atomic window is
+            # legacy-only; every symlink-era overwrite is atomic)
+            prev_target = path + f".old-{uuid.uuid4().hex[:8]}"
+            os.rename(path, prev_target)
+    tmp_link = path + f".lnk-{uuid.uuid4().hex[:8]}"
+    os.symlink(staging, tmp_link)
+    os.replace(tmp_link, path)  # atomic publish
+    if prev_target and os.path.isdir(prev_target):
+        shutil.rmtree(prev_target, ignore_errors=True)
     return manifest
 
 
@@ -208,6 +231,13 @@ def append_training_shards(
     manifest = read_shard_manifest(path)
     order_col = manifest["order_col"]
     shard_rows = int(manifest["shard_rows"])
+    if (tokens_col is not None) != ("n_tokens" in manifest):
+        raise ValueError(
+            "tokens accounting mismatch: manifest "
+            + ("has" if "n_tokens" in manifest else "lacks")
+            + f" n_tokens but tokens_col={tokens_col!r} — appending would "
+            "leave the dataset-level totals wrong for integrity checks"
+        )
     prev_shards = manifest["shards"]
     last_key = max((s["last_key"] for s in prev_shards), default=None)
 

@@ -2207,6 +2207,15 @@ class IcehouseTable:
         path, never the per-epoch commit hot path (where an extra full
         evaluation of the merge plan would double the write cost)."""
         numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+        if not cols or len(set(cols)) != len(cols):
+            raise ValueError(f"zorder columns must be non-empty and distinct: {cols}")
+        if len(cols) * self._ZORDER_BITS > 63:
+            raise ValueError(
+                f"zorder supports at most {63 // self._ZORDER_BITS} columns "
+                f"({self._ZORDER_BITS} bits each in a signed 64-bit z-value); "
+                f"got {len(cols)} — and past ~4 dimensions the interleave "
+                "stops clustering anything usefully anyway"
+            )
         dtypes = dict(df.dtypes)
         bad = [c for c in cols if dtypes.get(c, "").split("(")[0] not in numeric]
         if bad:
@@ -2503,12 +2512,40 @@ class IcehouseTable:
                 "pick fresh names"
             )
 
+    #: table properties holding comma-separated COLUMN LISTS — schema DDL
+    #: must rewrite them in the same commit, or the next write would fail
+    #: (sort-order validation) or silently stop recording stats
+    _COLUMN_LIST_PROPS = (
+        "write.sort-order",
+        "write.stats-columns",
+        "write.bloom.columns",
+    )
+
+    @classmethod
+    def _remap_column_props(
+        cls, meta: dict[str, Any], old: str, new: str | None
+    ) -> None:
+        """Rewrite ``old`` to ``new`` (or remove it, ``new=None``) in every
+        column-list table property, atomically with the schema change."""
+        props = meta.get("properties") or {}
+        for prop in cls._COLUMN_LIST_PROPS:
+            if prop not in props:
+                continue
+            cols = [c.strip() for c in str(props[prop]).split(",") if c.strip()]
+            out = [new if c == old else c for c in cols if not (c == old and new is None)]
+            if out:
+                props[prop] = ",".join(out)
+            else:
+                props.pop(prop)
+
     def rename_column(self, old: str, new: str, max_retries: int = 5) -> CommitResult:
         """Rename a logical column in one pure-metadata commit — zero data
         movement at any table size.  Existing files keep their bytes under
         the old name; reads alias per file era (see the section comment).
         Renaming the key column updates the key binding too (bucket
-        addressing hashes key VALUES, so placement is unaffected).
+        addressing hashes key VALUES, so placement is unaffected), and any
+        column-list table property (sort-order, stats-columns, bloom)
+        naming the column is rewritten in the same commit.
         Writers must use the new name from the next batch on — an old-name
         batch would be rejected by :meth:`_check_retired_names`."""
         reserved = {LSN_COL, DELETED_COL, PART_COL, "_pw"}
@@ -2541,6 +2578,7 @@ class IcehouseTable:
                 meta["partition_spec"] = (
                     f"bucket({new}, {meta['n_buckets']}) -> {PART_COL}"
                 )
+            self._remap_column_props(meta, old, new)
             meta.setdefault("schema_log", []).append(
                 {"version": meta["version"], "schema": meta["schema"], "rename": [old, new]}
             )
@@ -2568,6 +2606,7 @@ class IcehouseTable:
                 [f for f in schema.fields if f.name != name]
             ).jsonValue()
             meta.setdefault("dropped_columns", []).append(name)
+            self._remap_column_props(meta, name, None)
             meta.setdefault("schema_log", []).append(
                 {"version": meta["version"], "schema": meta["schema"], "drop": name}
             )

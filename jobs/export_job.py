@@ -37,7 +37,10 @@ def main() -> None:
     ap.add_argument("--table", required=True, help="icehouse table root")
     ap.add_argument("--out", required=True, help="shard dataset directory")
     ap.add_argument("--order-col", default="doc_id")
-    ap.add_argument("--shard-rows", type=int, default=4096)
+    ap.add_argument("--shard-rows", type=int, default=None,
+                    help="rows per shard (default 4096; in --append mode the "
+                    "manifest's value is authoritative and a conflicting "
+                    "explicit value is an error)")
     ap.add_argument("--tokens-col", default="tokens")
     ap.add_argument("--no-tokens", action="store_true")
     ap.add_argument("--overwrite", action="store_true")
@@ -61,6 +64,12 @@ def main() -> None:
             raise SystemExit(
                 f"manifest order_col {manifest['order_col']!r} != --order-col"
             )
+        if args.shard_rows is not None and args.shard_rows != int(manifest["shard_rows"]):
+            raise SystemExit(
+                f"--shard-rows {args.shard_rows} conflicts with the manifest's "
+                f"{manifest['shard_rows']} (append always continues the "
+                "published shard size)"
+            )
         last = max((s["last_key"] for s in manifest["shards"]), default=None)
         if last is None:
             rows = table.read(spark)
@@ -78,7 +87,7 @@ def main() -> None:
             table.read(spark),
             args.out,
             order_col=args.order_col,
-            shard_rows=args.shard_rows,
+            shard_rows=args.shard_rows if args.shard_rows is not None else 4096,
             tokens_col=tokens_col,
             overwrite=args.overwrite,
         )

@@ -206,6 +206,9 @@ def main() -> None:
             {"action": "list_branches", "branches": table.list_branches()}
         )
 
+    if args.zorder and not (args.compact or args.compact_deltas):
+        raise SystemExit("--zorder only acts together with --compact/"
+                         "--compact-deltas; add one (refusing to no-op)")
     if args.compact or args.compact_deltas:
         zcols = [c.strip() for c in (args.zorder or "").split(",") if c.strip()]
         res = table.compact_partitions(

@@ -259,6 +259,38 @@ def test_rename_era_stats_pruning_still_works(spark, tmp_path):
         > 0
     )
 
+    # column-list properties were remapped atomically with the rename, so
+    # the NEXT write sorts/records stats under the new name instead of
+    # failing sort-order validation or silently dropping stats
+    props = t.meta["properties"]
+    assert props["write.sort-order"] == "token_count"
+    assert props["write.stats-columns"] == "token_count"
+    write(t, rows(spark, 1600, 1700).withColumnRenamed("n_tok", "token_count"))
+    new_entries = [
+        e for e in t.meta["partitions"].values() if e.get("files")
+    ]
+    assert any(
+        "token_count" in f["stats"] for e in new_entries for f in e["files"]
+    )
+
+
+def test_drop_column_removes_it_from_column_list_properties(spark, tmp_path):
+    t = make(
+        spark,
+        tmp_path,
+        {"write.sort-order": "n_tok,source", "write.stats-columns": "n_tok"},
+    )
+    write(t, rows(spark, 0, 50))
+    t.drop_column("n_tok")
+    t.refresh()
+    assert t.meta["properties"]["write.sort-order"] == "source"
+    assert "write.stats-columns" not in t.meta["properties"]
+    # next write does not trip sort-order validation on the dropped name
+    # (it replaces the touched buckets — the point is it COMMITS)
+    write(t, rows(spark, 50, 80).drop("n_tok"))
+    assert t.read(spark).count() == 30
+    assert "n_tok" not in t.read(spark).columns
+
 
 def test_compaction_upgrades_physical_names(spark, tmp_path):
     t = make(spark, tmp_path)

@@ -111,16 +111,21 @@ def test_export_is_reproducible_bytes(spark, docs, tmp_path):
 def test_overwrite_semantics(spark, docs, tmp_path):
     out = str(tmp_path / "export")
     write_training_shards(docs, out, "doc_id", SHARD_ROWS)
+    # published as an atomic symlink to an immutable version dir
+    assert os.path.islink(out)
     with pytest.raises(FileExistsError):
         write_training_shards(docs, out, "doc_id", SHARD_ROWS)
-    # no stray staging dirs left behind by the refused write
-    assert not glob.glob(str(tmp_path / ".export.tmp-*"))
+    # the refused write failed BEFORE staging anything
+    assert len(glob.glob(str(tmp_path / "export.v-*"))) == 1
     m = write_training_shards(
         docs.limit(150), out, "doc_id", SHARD_ROWS, overwrite=True
     )
     assert m["n_rows"] == 150
     assert read_shard_manifest(out)["n_rows"] == 150
-    assert not glob.glob(str(tmp_path / "export.old-*"))
+    # old version dir removed after the swap; exactly one live version
+    assert len(glob.glob(str(tmp_path / "export.v-*"))) == 1
+    assert not glob.glob(str(tmp_path / "export.lnk-*"))
+    assert spark.read.parquet(out).count() == 150
 
 
 def test_empty_input(spark, docs, tmp_path):
@@ -187,6 +192,10 @@ def test_append_empty_is_noop_and_orphan_dirs_are_replaced(spark, tmp_path):
     write_training_shards(_mk(spark, 0, 100), out, "doc_id", 100)
     m0 = read_shard_manifest(out)
     assert append_training_shards(_mk(spark, 0, 0), out) == m0
+
+    # tokens accounting must stay consistent with the manifest
+    with pytest.raises(ValueError, match="tokens accounting"):
+        append_training_shards(_mk(spark, 500, 510), out, tokens_col=None)
 
     # a crashed prior append left an orphan next-shard dir the manifest
     # never referenced; a re-run must replace it, not fail or double-count

@@ -82,6 +82,10 @@ def test_zorder_validates_numeric(spark, tmp_path):
     t = build(spark, tmp_path, n=500)
     with pytest.raises(ValueError, match="numeric"):
         t.compact_partitions(spark, zorder=["payload"])
+    with pytest.raises(ValueError, match="at most"):
+        t.compact_partitions(spark, zorder=[f"c{i}" for i in range(8)])
+    with pytest.raises(ValueError, match="distinct"):
+        t.compact_partitions(spark, zorder=["x", "x"])
 
 
 def test_zorder_expr_locality():
