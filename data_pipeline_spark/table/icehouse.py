@@ -719,6 +719,7 @@ class IcehouseTable:
         with_part_col: bool = False,
         with_meta: bool = False,
         stats_filters: dict[str, tuple] | None = None,
+        key_literals: list | None = None,
     ) -> DataFrame:
         """Read the current snapshot (optionally only some bucket partitions —
         this is partition pruning: untouched buckets are never scanned).
@@ -751,6 +752,15 @@ class IcehouseTable:
         their deltas, exactly the data-skipping cost MOR tables pay in
         Iceberg.  Requires ``with_meta=False`` (tombstones carry no payload
         values for the residual filter to pass).
+
+        ``key_literals`` (used by :meth:`read_for_keys`): a point-lookup
+        key set.  Files within a bucket are KEY-sorted, so when the key
+        column is under ``write.stats-columns`` each file's key range is
+        tight and the lookup prunes to the one file per bucket that can
+        hold each key — planning-time pruning UNDER the bucket pruning,
+        before blooms or row-group stats are even opened.  Clean buckets
+        only (same merge-on-read rule as ``stats_filters``); purely an
+        optimization — the caller still applies its exact key predicate.
         """
         if stats_filters:
             if with_meta:
@@ -758,6 +768,11 @@ class IcehouseTable:
             unknown = [c for c in stats_filters if c not in self.schema.fieldNames()]
             if unknown:
                 raise ValueError(f"stats_filters references unknown columns: {unknown}")
+        norm_keys = None
+        if key_literals:
+            norm_keys = [
+                k for k in (self._stat_json(k) for k in key_literals) if k is not None
+            ] or None
         read_schema = T.StructType(
             list(self.schema.fields)
             + [
@@ -780,19 +795,29 @@ class IcehouseTable:
                 continue
             entry = parts[k]
             pdir = os.path.join(self.root, entry["path"])
-            if stats_filters and k not in delta_keys and entry.get("files"):
+            if (stats_filters or norm_keys) and k not in delta_keys and entry.get("files"):
                 # stats are keyed by the column's PHYSICAL name at write
                 # time; map current filter names through the rename log
                 v_entry = self._data_path_version(entry["path"])
                 phys_filters = {
                     self._physical_name(c, v_entry): b
-                    for c, b in stats_filters.items()
+                    for c, b in (stats_filters or {}).items()
                 }
-                survivors = [
-                    f["name"]
-                    for f in entry["files"]
-                    if self._file_may_match(f.get("stats") or {}, phys_filters)
-                ]
+                phys_key = self._physical_name(self.key_col, v_entry)
+                survivors = []
+                for f in entry["files"]:
+                    fs = f.get("stats") or {}
+                    if not self._file_may_match(fs, phys_filters):
+                        continue
+                    if norm_keys is not None:
+                        rng = fs.get(phys_key)
+                        if rng:
+                            try:
+                                if not any(rng[0] <= kk <= rng[1] for kk in norm_keys):
+                                    continue
+                            except TypeError:
+                                pass  # uncomparable -> keep the file
+                    survivors.append(f["name"])
                 if len(survivors) < len(entry["files"]):
                     base_paths.extend(os.path.join(pdir, n) for n in survivors)
                     continue
@@ -1018,14 +1043,19 @@ class IcehouseTable:
             r["b"]
             for r in keys.select(self.bucket_expr().alias("b")).distinct().collect()
         ]
-        pruned = self.read(spark, partitions=buckets)
         if literal_keys is not None and len(literal_keys) <= 1000:
             # literal IN predicate instead of a semi join: it pushes into the
             # parquet scan, where per-file min/max on the sorted key column,
             # dictionary filtering, and (with write.bloom.columns) row-group
             # bloom filters all prune BEFORE any row is materialized — a
-            # semi join prunes nothing below the scan.
+            # semi join prunes nothing below the scan.  key_literals adds
+            # the PLANNING-time tier: with the key under
+            # write.stats-columns, each clean bucket prunes to the files
+            # whose key range can hold a requested key (files are
+            # key-sorted, so that is ~one file per key per bucket).
+            pruned = self.read(spark, partitions=buckets, key_literals=literal_keys)
             return pruned.where(F.col(self.key_col).isin(literal_keys))
+        pruned = self.read(spark, partitions=buckets)
         return pruned.join(F.broadcast(keys), self.key_col, "left_semi")
 
     def row_count(self) -> int:

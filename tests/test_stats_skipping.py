@@ -223,6 +223,41 @@ def test_without_property_no_stats_but_filters_still_exact(spark, tmp_path):
     assert got.count() == t.read(spark).where(F.col("event_day").between(5, 9)).count()
 
 
+def test_point_lookup_prunes_to_key_range_files(spark, tmp_path):
+    """read_for_keys with the key under write.stats-columns: a point lookup
+    plans only the file(s) whose key range can hold each key — under the
+    bucket pruning, before blooms or footers are opened."""
+    t = make_table(
+        tmp_path,
+        {"write.stats-columns": "doc_id", "write.max-file-rows": 200},
+    )
+    write_cow(t, seed_rows(spark))
+
+    one = t.read_for_keys(spark, ["d17"])
+    got = one.collect()
+    assert [r["doc_id"] for r in got] == ["d17"]
+    per_bucket_files = sum(
+        len(e.get("files", [])) for e in t.meta["partitions"].values()
+    ) / len(t.meta["partitions"])
+    assert per_bucket_files > 1
+    # one bucket scanned, and inside it only the file(s) covering "d17"
+    assert len(one.inputFiles()) < per_bucket_files
+
+    # multi-key lookup across buckets still exact and pruned
+    ks = ["d17", "d2900", "d999", "nope"]
+    multi = t.read_for_keys(spark, ks)
+    assert sorted(r["doc_id"] for r in multi.collect()) == ["d17", "d2900", "d999"]
+    assert len(multi.inputFiles()) <= 2 * len(ks)
+
+    # a deleted key's tombstone keeps its file un-prunable for that key:
+    # the lookup returns nothing, never a stale row
+    t.delete_where(spark, F.col("doc_id") == "d17", lsn=10_000, epoch=5)
+    t.refresh()
+    t.compact_partitions(spark)  # fold the tombstone delta into clean base
+    t.refresh()
+    assert t.read_for_keys(spark, ["d17"]).count() == 0
+
+
 def test_stats_filters_validation(spark, stats_table):
     with pytest.raises(ValueError, match="unknown columns"):
         stats_table.read(spark, stats_filters={"nope": (1, 2)})
