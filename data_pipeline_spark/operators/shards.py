@@ -135,12 +135,16 @@ def write_training_shards(
     checksums.
 
     Publication is a SYMLINK swap: the data lands in an immutable
-    ``path.v-<hex>`` dir and ``path`` atomically repoints to it
-    (``os.replace`` of a symlink) — at every instant a reader resolving
-    ``path`` sees either the complete old dataset or the complete new one,
-    including across an overwrite crash (the old version dir is removed
-    only AFTER the swap).  A crashed export leaves at most an orphan
-    version dir the link never referenced.
+    ``path.v-<hex>`` sibling dir and ``path`` atomically repoints to it
+    (``os.replace`` of a relative symlink, so the dataset survives a
+    mv/remount of its parent) — at every instant a reader resolving
+    ``path`` sees either the complete old dataset or the complete new one.
+    The just-replaced version dir is KEPT (keep-last-2): a reader that
+    resolved the link before the swap finishes its epoch on intact files;
+    generations older than that are reclaimed on the next overwrite.  A
+    crashed export leaves at most an orphan version dir the link never
+    referenced.  To delete the dataset remove the link and its ``.v-*``
+    siblings (``shutil.rmtree`` on the symlink itself raises by design).
 
     Returns the manifest dict.
     """
@@ -192,10 +196,21 @@ def write_training_shards(
             prev_target = path + f".old-{uuid.uuid4().hex[:8]}"
             os.rename(path, prev_target)
     tmp_link = path + f".lnk-{uuid.uuid4().hex[:8]}"
-    os.symlink(staging, tmp_link)
+    # RELATIVE target: the version dir is a sibling, so the whole dataset
+    # (link + versions) survives a mv/remount/rsync of its parent
+    os.symlink(os.path.basename(staging), tmp_link)
     os.replace(tmp_link, path)  # atomic publish
-    if prev_target and os.path.isdir(prev_target):
-        shutil.rmtree(prev_target, ignore_errors=True)
+    # keep-last-2: the just-replaced version stays on disk so a reader that
+    # resolved the link before the swap finishes its epoch on intact files;
+    # only OLDER generations are reclaimed (next overwrite retires prev)
+    keep = {os.path.abspath(staging)}
+    if prev_target:
+        keep.add(os.path.abspath(prev_target))
+    import glob as _glob
+
+    for d in _glob.glob(path + ".v-*") + _glob.glob(path + ".old-*"):
+        if os.path.abspath(d) not in keep and os.path.isdir(d):
+            shutil.rmtree(d, ignore_errors=True)
     return manifest
 
 
@@ -266,7 +281,12 @@ def append_training_shards(
     )
     summary = [r.asDict() for r in shard_summary(sharded, order_col, tokens_col).collect()]
 
-    staging = path + f".append-{uuid.uuid4().hex[:8]}"
+    # pin the CURRENT version dir: every rename and the manifest swap land
+    # in this resolved target, not through the (swappable) symlink — a
+    # concurrent overwrite publish can then never split an append across
+    # two generations
+    target = os.path.realpath(path) if os.path.islink(path) else os.path.abspath(path)
+    staging = os.path.abspath(path) + f".append-{uuid.uuid4().hex[:8]}"
     (
         sharded.repartition(max(len(summary), 1), "shard_id")
         .sortWithinPartitions("shard_id", "shard_pos")
@@ -279,11 +299,18 @@ def append_training_shards(
 
     for s in summary:
         name = f"shard={s['shard_id']:06d}"
-        dst = os.path.join(path, name)
+        dst = os.path.join(target, name)
         if os.path.exists(dst):  # orphan from a crashed prior append
             shutil.rmtree(dst)
         os.rename(os.path.join(staging, name), dst)
     shutil.rmtree(staging, ignore_errors=True)
+    if os.path.islink(path) and os.path.realpath(path) != target:
+        raise RuntimeError(
+            f"concurrent overwrite republished {path} while this append ran; "
+            "the append is void (its shards landed in the retired version "
+            "dir, which the keep-last-2 policy will reclaim) — re-run "
+            "against the new dataset"
+        )
 
     out = dict(manifest)
     out["shards"] = prev_shards + summary
@@ -291,8 +318,8 @@ def append_training_shards(
     out["n_rows"] = manifest["n_rows"] + sum(s["n_rows"] for s in summary)
     if tokens_col is not None and "n_tokens" in manifest:
         out["n_tokens"] = manifest["n_tokens"] + sum(s["n_tokens"] for s in summary)
-    tmp = os.path.join(path, f"._manifest.tmp-{uuid.uuid4().hex[:8]}")
+    tmp = os.path.join(target, f"._manifest.tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
         json.dump(out, f, indent=1, default=str)
-    os.replace(tmp, os.path.join(path, "_manifest.json"))
+    os.replace(tmp, os.path.join(target, "_manifest.json"))
     return out

@@ -58,6 +58,10 @@ def main() -> None:
     table = IcehouseTable.load(args.table)
     tokens_col = None if args.no_tokens else args.tokens_col
 
+    if args.append and args.overwrite:
+        raise SystemExit("--append and --overwrite contradict: append never "
+                         "rewrites published shards, overwrite replaces the "
+                         "whole dataset — pick one")
     if args.append:
         manifest = read_shard_manifest(args.out)
         if manifest["order_col"] != args.order_col:

@@ -165,6 +165,11 @@ def main() -> None:
                          "pass, exactly-once (all-or-nothing per epoch)")
     ap.add_argument("--stats", action="store_true")
     args = ap.parse_args()
+    # pure argument validation BEFORE any action commits: a refusal after a
+    # branch-mutating action would leave partial work behind a nonzero exit
+    if args.zorder and not (args.compact or args.compact_deltas):
+        raise SystemExit("--zorder only acts together with --compact/"
+                         "--compact-deltas; add one (refusing to no-op)")
 
     from data_pipeline_spark.table.icehouse import IcehouseTable
 
@@ -206,9 +211,6 @@ def main() -> None:
             {"action": "list_branches", "branches": table.list_branches()}
         )
 
-    if args.zorder and not (args.compact or args.compact_deltas):
-        raise SystemExit("--zorder only acts together with --compact/"
-                         "--compact-deltas; add one (refusing to no-op)")
     if args.compact or args.compact_deltas:
         zcols = [c.strip() for c in (args.zorder or "").split(",") if c.strip()]
         res = table.compact_partitions(

@@ -70,6 +70,7 @@ def test_pruned_reads_equal_unpruned(spark, ops, rng):
         },
     )
     model: dict[str, int] = {}
+    last_lsn: dict[str, int] = {}
     lsn = [0]
     epoch = [0]
     watermark_lsn = 0
@@ -85,6 +86,7 @@ def test_pruned_reads_equal_unpruned(spark, ops, rng):
             lsn[0] += 1
             key = KEYS[ki]
             events.append((lsn[0], "D" if val is None else "U", key, val))
+            last_lsn[key] = lsn[0]
             if val is None:
                 model.pop(key, None)
             else:
@@ -116,10 +118,11 @@ def test_pruned_reads_equal_unpruned(spark, ops, rng):
     feed_rows = {r["doc_id"]: (r["val"], bool(r["_deleted"])) for r in feed.collect()}
     for k, (v, deleted) in feed_rows.items():
         if deleted:
-            assert k not in model or True  # tombstones always allowed through
+            # a tombstone in the feed means the key's WINNER is a delete
+            assert k not in model, k
         else:
             assert model.get(k) == v and in_range(v), (k, v)
-    # completeness: every in-range live row that changed after the
+    # completeness 1: every in-range live row that changed after the
     # watermark appears
     changed_keys = {
         k for k, v in model.items() if watermark_model.get(k) != v
@@ -127,3 +130,9 @@ def test_pruned_reads_equal_unpruned(spark, ops, rng):
     for k in changed_keys:
         if in_range(model[k]):
             assert k in feed_rows and feed_rows[k] == (model[k], False), k
+    # completeness 2: every key whose winner is a delete newer than the
+    # watermark surfaces as a tombstone — the pruning property the
+    # per-file has_deletes flag exists to protect
+    for k, last in last_lsn.items():
+        if last > watermark_lsn and k not in model:
+            assert k in feed_rows and feed_rows[k][1] is True, f"lost tombstone {k}"

@@ -122,10 +122,22 @@ def test_overwrite_semantics(spark, docs, tmp_path):
     )
     assert m["n_rows"] == 150
     assert read_shard_manifest(out)["n_rows"] == 150
-    # old version dir removed after the swap; exactly one live version
-    assert len(glob.glob(str(tmp_path / "export.v-*"))) == 1
+    # keep-last-2: current + just-replaced version stay (a reader that
+    # resolved the link pre-swap finishes on intact files); a third
+    # overwrite retires the oldest
+    assert len(glob.glob(str(tmp_path / "export.v-*"))) == 2
     assert not glob.glob(str(tmp_path / "export.lnk-*"))
     assert spark.read.parquet(out).count() == 150
+    write_training_shards(docs.limit(70), out, "doc_id", SHARD_ROWS, overwrite=True)
+    assert len(glob.glob(str(tmp_path / "export.v-*"))) == 2
+
+    # the symlink is RELATIVE: moving the parent keeps the dataset readable
+    assert not os.path.isabs(os.readlink(out))
+    moved = tmp_path / "moved"
+    os.makedirs(moved)
+    for p in glob.glob(str(tmp_path / "export*")):
+        os.rename(p, str(moved / os.path.basename(p)))
+    assert read_shard_manifest(str(moved / "export"))["n_rows"] == 70
 
 
 def test_empty_input(spark, docs, tmp_path):
