@@ -1,4 +1,5 @@
 from .format import TableFormat, create_table, open_table, register_backend
+from .index import SecondaryIndex, create_index, open_index
 from .icehouse import (
     PART_COL,
     CommitConflictError,
@@ -19,6 +20,9 @@ __all__ = [
     "ConcurrentCommitError",
     "IcehouseTable",
     "SchemaEvolutionError",
+    "SecondaryIndex",
+    "create_index",
+    "open_index",
     "TableFormat",
     "conform_to_schema",
     "create_table",

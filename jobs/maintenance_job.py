@@ -111,6 +111,14 @@ def main() -> None:
                     help="compress the exactly-once epoch registry, keeping "
                          "KEEP recent full entries per namespace (older "
                          "epochs fold into exact [lo,hi] ranges)")
+    ap.add_argument("--create-index", default=None, metavar="COLUMN",
+                    help="build a secondary index on COLUMN (requires "
+                    "--index-root); slim value-sorted (key, value) table "
+                    "kept fresh from the base's changed-data feed")
+    ap.add_argument("--refresh-index", default=None, metavar="INDEX_ROOT",
+                    help="bring a secondary index up to the base's current "
+                    "snapshot (exactly-once; cron-safe)")
+    ap.add_argument("--index-root", default=None)
     ap.add_argument("--rename-column", default=None, metavar="OLD:NEW",
                     help="pure-metadata column rename (no rewrite); readers "
                     "alias old files per era, writers must switch to NEW")
@@ -247,6 +255,23 @@ def main() -> None:
             {"action": "compact_epochs", "keep_recent": args.compact_epochs,
              "entries_pruned": pruned}
         )
+    if args.create_index is not None:
+        from data_pipeline_spark.table.index import SecondaryIndex
+
+        if not args.index_root:
+            raise SystemExit("--create-index requires --index-root")
+        idx = SecondaryIndex.create(spark, table, args.index_root, args.create_index)
+        out["actions"].append(
+            {"action": "create_index", "column": args.create_index,
+             "index_root": args.index_root,
+             "rows": idx.index.refresh().row_count()}
+        )
+    if args.refresh_index is not None:
+        from data_pipeline_spark.table.index import open_index
+
+        idx = open_index(args.refresh_index)
+        res = idx.refresh(spark)
+        out["actions"].append({"action": "refresh_index", **res})
     if args.rename_column is not None:
         old, _, new = args.rename_column.partition(":")
         if not old or not new:

@@ -1,0 +1,113 @@
+"""Secondary index tables: attribute lookups on a wide tokenized table via
+a slim value-sorted (key, value) icehouse table maintained exactly-once
+from the base's changed-data feed."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_pipeline_spark.cdc.apply import apply_changes
+from data_pipeline_spark.table import IcehouseTable, SecondaryIndex, open_index
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+
+def mk_batch(spark, events):
+    return spark.createDataFrame(
+        events, "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string"
+    )
+
+
+@pytest.fixture()
+def base(spark, tmp_path):
+    t = IcehouseTable.create(
+        str(tmp_path / "base"), schema=SCHEMA, key_col="doc_id", n_buckets=4
+    )
+    events = [
+        (i, "U", f"d{i:04d}", [i], 1, f"s{i % 5}") for i in range(400)
+    ]
+    apply_changes(t, mk_batch(spark, events), epoch=0)
+    return t.refresh()
+
+
+def expected(spark, base, sources):
+    return sorted(
+        r["doc_id"]
+        for r in base.read(spark).where(F.col("source").isin(sources)).collect()
+    )
+
+
+def test_build_and_lookup(spark, tmp_path, base):
+    idx = SecondaryIndex.create(
+        spark, base, str(tmp_path / "idx"), "source", max_file_rows=50
+    )
+    got = sorted(r["doc_id"] for r in idx.lookup_keys(spark, ["s2"]).collect())
+    assert got == expected(spark, base, ["s2"])
+    assert len(got) == 80
+
+    # slim-table probe plans fewer files than a full index scan
+    probe = idx.lookup_keys(spark, ["s2"])
+    assert len(probe.inputFiles()) < len(idx.index.read(spark).inputFiles())
+
+    # full-row fetch returns the wide rows for exactly the hits
+    rows = idx.lookup_rows(spark, ["s2", "s4"]).collect()
+    assert sorted(r["doc_id"] for r in rows) == expected(spark, base, ["s2", "s4"])
+    assert all(r["tokens"] is not None for r in rows)
+
+
+def test_incremental_refresh_updates_and_deletes(spark, tmp_path, base):
+    idx = SecondaryIndex.create(spark, base, str(tmp_path / "idx"), "source")
+
+    # epoch 1: move d0001 from s1 -> s2, delete d0002, add d9999 (s1)
+    events = [
+        (1_000, "U", "d0001", [1], 1, "s2"),
+        (1_001, "D", "d0002", None, None, None),
+        (1_002, "U", "d9999", [9], 1, "s1"),
+    ]
+    apply_changes(base, mk_batch(spark, events), epoch=1)
+    base.refresh()
+    res = idx.refresh(spark)
+    assert not res["skipped"] and res["applied"] == 3
+
+    s1 = set(r["doc_id"] for r in idx.lookup_keys(spark, ["s1"]).collect())
+    s2 = set(r["doc_id"] for r in idx.lookup_keys(spark, ["s2"]).collect())
+    assert "d0001" not in s1 and "d0001" in s2  # old value left, new arrived
+    assert "d0002" not in s1 | s2  # deleted key gone from the index
+    assert "d9999" in s1
+    assert s1 == set(expected(spark, base, ["s1"]))
+    assert s2 == set(expected(spark, base, ["s2"]))
+
+
+def test_refresh_is_exactly_once_and_cronnable(spark, tmp_path, base):
+    idx = SecondaryIndex.create(spark, base, str(tmp_path / "idx"), "source")
+    v = idx.index.version
+    res = idx.refresh(spark)  # no base change -> fenced no-op
+    assert res["skipped"]
+    assert idx.index.refresh().version == v
+
+    # reopened handle refreshes the same way (cron shape)
+    idx2 = open_index(str(tmp_path / "idx"))
+    assert idx2.refresh(spark)["skipped"]
+    assert idx2.column == "source" and idx2.base_root == base.root
+
+
+def test_range_lookup_and_validation(spark, tmp_path, base):
+    with pytest.raises(ValueError, match="no such column"):
+        SecondaryIndex.create(spark, base, str(tmp_path / "x"), "nope")
+    with pytest.raises(ValueError, match="key column"):
+        SecondaryIndex.create(spark, base, str(tmp_path / "y"), "doc_id")
+    with pytest.raises(ValueError, match="not a secondary index"):
+        open_index(base.root)
+
+    idx = SecondaryIndex.create(spark, base, str(tmp_path / "idx"), "n_tok")
+    # all rows have n_tok=1
+    assert idx.range_keys(spark, 0, 5).count() == 400
+    assert idx.range_keys(spark, 2, None).count() == 0
+    assert idx.lookup_keys(spark, []).count() == 0
