@@ -113,6 +113,14 @@ class StreamingIngest:
     matviews: "list[str] | None" = None
     matview_every: int = 1
     matview_results: list = field(default_factory=list)
+    #: secondary indexes over this table (roots created by
+    #: ``table/index.SecondaryIndex.create``): refreshed after EVERY applied
+    #: micro-batch via the point-read path (the batch's keys are the change
+    #: set), so attribute lookups trail the stream with no dependence on
+    #: LSN ordering across batch boundaries — same reasoning as the
+    #: per-batch matview refresh below.
+    indexes: "list[str] | None" = None
+    index_results: list = field(default_factory=list)
 
     def __post_init__(self) -> None:
         if self.mode not in ("cow", "mor"):
@@ -271,6 +279,17 @@ class StreamingIngest:
                 self.matview_results.append((mv_root, st))
             if len(self.matview_results) > self.applied_cap:
                 del self.matview_results[: len(self.matview_results) - self.applied_cap]
+        if self.indexes:
+            from ..table.index import open_index
+
+            batch_keys = batch.select(self.table.key_col).distinct()
+            for idx_root in self.indexes:
+                res = open_index(idx_root).refresh(
+                    batch_df.sparkSession, changed_keys=batch_keys
+                )
+                self.index_results.append((idx_root, res))
+            if len(self.index_results) > self.applied_cap:
+                del self.index_results[: len(self.index_results) - self.applied_cap]
         if (
             self.publish_every
             and self.publish_expectations

@@ -104,9 +104,36 @@ class SecondaryIndex:
 
     # -- maintenance -------------------------------------------------------
 
-    def refresh(self, spark: SparkSession) -> dict[str, Any]:
+    @staticmethod
+    def _meta_lsn_high(t: IcehouseTable) -> int:
+        """Highest lsn_max any live file of ``t`` records (driver-side
+        metadata only); -1 when nothing is recorded."""
+        vals = [e.get("lsn_max") for e in t.meta["partitions"].values()]
+        vals += [
+            d.get("lsn_max")
+            for ds in t.meta.get("deltas", {}).values()
+            for d in ds
+        ]
+        return max((v for v in vals if v is not None), default=-1)
+
+    def refresh(
+        self, spark: SparkSession, changed_keys: DataFrame | None = None
+    ) -> dict[str, Any]:
         """Bring the index up to the base's current snapshot.  O(changed
-        data); exactly-once per base version; safe to re-run or cron."""
+        data); exactly-once per base version; safe to re-run or cron
+        (sequentially — run ONE maintainer per index, like any CDC
+        consumer; the fence serializes same-version retries, not two
+        maintainers chasing different base versions).
+
+        Default path: the base's changed-since feed from the stored LSN
+        watermark — correct when LSN progression is (eventually) ascending,
+        which batch replay and epoch-ordered streams guarantee.  When the
+        caller KNOWS the changed key set (a streaming micro-batch whose
+        boundaries may split epochs out of LSN order — the same caveat
+        table/matview.py documents), pass ``changed_keys``: the refresh
+        becomes one bucket-pruned point read of those keys' CURRENT rows
+        (present → upsert at lsn=base.version, absent → delete), with no
+        dependence on feed ordering at all."""
         from ..cdc.apply import apply_changes
 
         self.index = self.index.refresh()
@@ -116,20 +143,52 @@ class SecondaryIndex:
         if self.index.epoch_committed(base.version, ns):
             return {"applied": 0, "skipped": True, "base_version": base.version}
 
-        feed = base.read_changed_since(spark, wm)
-        batch = feed.select(
-            F.col(LSN_COL).alias("lsn"),
-            F.when(F.coalesce(F.col(DELETED_COL), F.lit(False)), F.lit("D"))
-            .otherwise(F.lit("U"))
-            .alias("op"),
-            F.col(base.key_col),
-            F.col(self.column),
+        # every row any refresh applies is the key's CURRENT value as of
+        # that refresh (the feed emits winners; the point read IS the
+        # current row), so the correct LWW ordinal is "which refresh saw it
+        # last" — a driver-side monotone counter above every lsn either
+        # table has ever recorded.  Stamping both paths with it keeps them
+        # freely interleavable (real feed LSNs from one path can never
+        # out-rank a LATER point-read refresh).
+        ordinal = (
+            max(self._meta_lsn_high(self.index), self._meta_lsn_high(base), wm) + 1
         )
+        if changed_keys is not None:
+            keys = changed_keys.select(
+                F.col(changed_keys.columns[0]).alias(base.key_col)
+            ).distinct()
+            live = base.read_for_keys(spark, keys).select(
+                base.key_col, self.column
+            )
+            ups = live.select(
+                F.lit(ordinal).cast("long").alias("lsn"),
+                F.lit("U").alias("op"),
+                F.col(base.key_col),
+                F.col(self.column),
+            )
+            dels = keys.join(live, base.key_col, "left_anti").select(
+                F.lit(ordinal).cast("long").alias("lsn"),
+                F.lit("D").alias("op"),
+                F.col(base.key_col),
+                F.lit(None).cast(base.schema[self.column].dataType).alias(self.column),
+            )
+            batch = ups.unionByName(dels)
+            feed = None
+        else:
+            feed = base.read_changed_since(spark, wm)
+            batch = feed.select(
+                F.lit(ordinal).cast("long").alias("lsn"),
+                F.when(F.coalesce(F.col(DELETED_COL), F.lit(False)), F.lit("D"))
+                .otherwise(F.lit("U"))
+                .alias("op"),
+                F.col(base.key_col),
+                F.col(self.column),
+            )
         stats = apply_changes(
             self.index, batch, epoch=base.version, epoch_source=ns
         )
         self.index = self.index.refresh()
-        if not stats.result.skipped:
+        if not stats.result.skipped and feed is not None:
             new_wm = feed.agg(F.max(LSN_COL).alias("m")).collect()[0]["m"]
             if new_wm is not None and new_wm > wm:
                 # watermark is a pure scan-cost optimization: a crash before

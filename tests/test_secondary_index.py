@@ -98,6 +98,48 @@ def test_refresh_is_exactly_once_and_cronnable(spark, tmp_path, base):
     assert idx2.column == "source" and idx2.base_root == base.root
 
 
+def test_point_read_refresh_interleaves_with_feed_refresh(spark, tmp_path, base):
+    """The two refresh paths share an LWW ordinal domain: a point-read
+    refresh AFTER a feed refresh must still win for its keys (and vice
+    versa) — every refresh batch carries the key's current value, so
+    'which refresh saw it last' is the only correct order."""
+    idx = SecondaryIndex.create(spark, base, str(tmp_path / "idx"), "source")
+
+    # feed refresh for epoch 1
+    apply_changes(base, mk_batch(spark, [(1_000, "U", "d0001", [1], 1, "s3")]), epoch=1)
+    base.refresh()
+    assert not idx.refresh(spark)["skipped"]
+    assert "d0001" in {r["doc_id"] for r in idx.lookup_keys(spark, ["s3"]).collect()}
+
+    # point-read refresh for epoch 2 (streaming micro-batch shape)
+    apply_changes(
+        base,
+        mk_batch(
+            spark,
+            [(1_100, "U", "d0001", [1], 1, "s4"), (1_101, "D", "d0003", None, None, None)],
+        ),
+        epoch=2,
+    )
+    base.refresh()
+    keys = spark.createDataFrame([("d0001",), ("d0003",)], "doc_id string")
+    res = idx.refresh(spark, changed_keys=keys)
+    assert not res["skipped"] and res["applied"] == 2
+    hits = {r["doc_id"] for r in idx.lookup_keys(spark, ["s3", "s4"]).collect()}
+    assert "d0001" in hits  # moved to s4, still found
+    got4 = {r["doc_id"] for r in idx.lookup_keys(spark, ["s4"]).collect()}
+    assert "d0001" in got4
+    assert "d0003" not in {
+        r["doc_id"] for r in idx.lookup_keys(spark, ["s3"]).collect()
+    }
+
+    # back to the feed path for epoch 3 — must supersede the point refresh
+    apply_changes(base, mk_batch(spark, [(1_200, "U", "d0001", [1], 1, "s0")]), epoch=3)
+    base.refresh()
+    assert not idx.refresh(spark)["skipped"]
+    assert "d0001" not in {r["doc_id"] for r in idx.lookup_keys(spark, ["s4"]).collect()}
+    assert "d0001" in {r["doc_id"] for r in idx.lookup_keys(spark, ["s0"]).collect()}
+
+
 def test_range_lookup_and_validation(spark, tmp_path, base):
     with pytest.raises(ValueError, match="no such column"):
         SecondaryIndex.create(spark, base, str(tmp_path / "x"), "nope")

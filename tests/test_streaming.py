@@ -397,6 +397,38 @@ def test_stream_maintains_matview_incrementally(spark, log_path, tmp_path):
     assert got == want and got
 
 
+def test_stream_maintains_secondary_index(spark, log_path, tmp_path):
+    """Secondary indexes trail the stream via the point-read refresh path
+    (the micro-batch's keys are the change set — no dependence on LSN
+    ordering across batch boundaries): after draining, every attribute
+    lookup through the index equals a filter over the final table state."""
+    from data_pipeline_spark.table.index import SecondaryIndex, open_index
+
+    table = IcehouseTable.create(str(tmp_path / "ix_t"), TABLE_SCHEMA, n_buckets=8)
+    idx = SecondaryIndex.create(spark, table, str(tmp_path / "ix_i"), "source")
+    ingest = StreamingIngest(
+        table,
+        str(tmp_path / "ix_ck"),
+        max_files_per_trigger=4,
+        indexes=[idx.index.root],
+    )
+    q = ingest.start(spark, log_path, trigger_once=True)
+    q.awaitTermination(300)
+    assert ingest.index_results, "index must have been refreshed per batch"
+    assert all(not r["skipped"] for _, r in ingest.index_results)
+
+    idx = open_index(str(tmp_path / "ix_i"))
+    final = table.refresh().read(spark)
+    for src in [r["source"] for r in final.select("source").distinct().collect()][:3]:
+        got = sorted(
+            r["doc_id"] for r in idx.lookup_keys(spark, [src]).collect()
+        )
+        want = sorted(
+            r["doc_id"] for r in final.where(F.col("source") == src).collect()
+        )
+        assert got == want and got, src
+
+
 def test_stream_mor_maintains_matview(spark, log_path, tmp_path):
     """Matview maintenance composes with merge-on-read micro-batches: the
     point reads resolve winners against base + pending deltas."""
