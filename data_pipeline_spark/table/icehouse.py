@@ -2568,6 +2568,27 @@ class IcehouseTable:
             else:
                 props.pop(prop)
 
+    def check_no_stale_renamed_columns(self, batch_columns) -> None:
+        """Refuse a change batch still written under a RENAMED-AWAY column
+        name: the values would be silently conformed away (the successor
+        column gets NULL) — data loss, not drift.  A DROPPED column in a
+        batch stays silently ignored (the documented stale-producer
+        contract: the engine stopped caring about those values)."""
+        renamed_away = {
+            e["old"] for e in self.meta.get("column_renames", [])
+        } - set(self.schema.fieldNames())
+        stale = sorted(set(batch_columns) & renamed_away)
+        if stale:
+            live = {
+                e["old"]: e["new"] for e in self.meta.get("column_renames", [])
+            }
+            raise SchemaEvolutionError(
+                f"batch uses renamed-away columns {stale} — their values "
+                "would be silently lost (the current schema reads them as "
+                f"NULL); update the producer to the new names "
+                f"({ {o: live[o] for o in stale} })"
+            )
+
     def rename_column(self, old: str, new: str, max_retries: int = 5) -> CommitResult:
         """Rename a logical column in one pure-metadata commit — zero data
         movement at any table size.  Existing files keep their bytes under

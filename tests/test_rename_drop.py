@@ -220,6 +220,38 @@ def test_drop_column_no_rewrite_and_time_travel(spark, tmp_path):
         t.drop_column("doc_id")
 
 
+def test_stale_producer_batch_refused_after_rename_but_not_drop(spark, tmp_path):
+    """A CDC batch still written under a RENAMED-AWAY column is refused
+    loudly (its values would conform to NULL under the new name — silent
+    data loss); a batch still carrying a DROPPED column stays silently
+    projected away (the engine stopped caring).  This is the cherry-pick-
+    across-a-rename-boundary failure mode caught at the merge, not after."""
+    from data_pipeline_spark.cdc.apply import apply_changes, apply_changes_mor
+
+    t = make(spark, tmp_path)
+    write(t, rows(spark, 0, 40))
+    t.rename_column("source", "origin")
+    t.drop_column("n_tok")
+    t.refresh()
+
+    stale = spark.createDataFrame(
+        [(5_000, "U", "d90001", [1], 1, "sX")],
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    with pytest.raises(SchemaEvolutionError, match="renamed-away"):
+        apply_changes(t, stale, epoch=7)
+    with pytest.raises(SchemaEvolutionError, match="renamed-away"):
+        apply_changes_mor(t, stale, epoch=7)
+
+    # same batch WITHOUT the renamed column: dropped n_tok is ignored,
+    # commit lands
+    ok = stale.withColumnRenamed("source", "origin")
+    apply_changes(t, ok, epoch=8)
+    got = {r["doc_id"]: r["origin"] for r in t.refresh().read(spark).collect()}
+    assert got["d90001"] == "sX"
+    assert "n_tok" not in t.read(spark).columns
+
+
 def test_rename_validation(spark, tmp_path):
     t = make(spark, tmp_path)
     write(t, rows(spark, 0, 10))
