@@ -88,6 +88,11 @@ class TableFormat(Protocol):
 
     def update_properties(self, updates, max_retries: int = 5) -> "CommitResult": ...
     def ensure_key_type_unchanged(self, new_schema) -> None: ...
+    def check_no_stale_renamed_columns(self, batch_columns) -> None:
+        """Refuse batches written under renamed-away column names (their
+        values would silently conform to NULL).  Backends without rename
+        support satisfy the contract with this default no-op."""
+        return None
     def migrate_key_type(self, spark, new_root: str, new_key_type, n_buckets=None): ...
 
     # -- time travel / refs -----------------------------------------------------

@@ -33,6 +33,7 @@ CONTRACT_MEMBERS = [
     "vacuum_tombstones", "expire_snapshots", "rollback", "history",
     "create_tag", "delete_tag", "update_properties",
     "ensure_key_type_unchanged", "migrate_key_type",
+    "check_no_stale_renamed_columns",
 ]
 
 
