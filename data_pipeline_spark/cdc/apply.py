@@ -184,7 +184,11 @@ def apply_changes(
     # key-type changes re-address every bucket (xxhash64 hashes int vs long
     # differently) — rejected table-side too; fail here before any scan runs
     table.ensure_key_type_unchanged(target_schema)
-    table.check_no_stale_renamed_columns(changes.columns)
+    # structural (non-subclassing) TableFormat backends may omit the rename
+    # guard — absence means no rename support, so nothing can be stale
+    _rename_guard = getattr(table, "check_no_stale_renamed_columns", None)
+    if _rename_guard is not None:
+        _rename_guard(changes.columns)
     logical_cols = target_schema.fieldNames()
 
     # conform the batch payload to the target schema, keeping lsn/op
@@ -400,7 +404,9 @@ def apply_changes_mor(
     key = table.key_col
     target_schema = target_schema or table.schema
     table.ensure_key_type_unchanged(target_schema)  # see apply_changes
-    table.check_no_stale_renamed_columns(changes.columns)
+    _rename_guard = getattr(table, "check_no_stale_renamed_columns", None)
+    if _rename_guard is not None:  # see apply_changes
+        _rename_guard(changes.columns)
     logical_cols = target_schema.fieldNames()
     conformed = changes.select(
         "lsn",

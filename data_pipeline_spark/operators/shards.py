@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from typing import Any
 
@@ -35,6 +36,42 @@ __all__ = [
     "shard_summary",
     "write_training_shards",
 ]
+
+
+def _canon_key(v):
+    """Normalize an order-key value to a form that compares consistently
+    with itself after a JSON round-trip (the manifest is JSON): ints /
+    floats / strs as-is, temporal values and Decimals as ISO strings /
+    numbers whose order matches the original type's order.  Raises on
+    types with no canonically comparable JSON form — the append-only
+    contract check must never fall back to guessing (lexicographic
+    ``str()`` comparison would accept '10' <= '9').  Mirrors
+    ``icehouse._stat_json``'s normalization rules."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        raise TypeError("bool order keys are not supported for shard export")
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()  # lexicographic == chronological
+    if isinstance(v, decimal.Decimal):
+        i = int(v)
+        return i if v == i else float(v)
+    if isinstance(v, (int, float, str)):
+        return v
+    raise TypeError(
+        f"order key type {type(v).__name__} has no canonically comparable "
+        "JSON form; use a string/numeric/temporal order column"
+    )
+
+
+def _canon_summary(s: dict) -> dict:
+    out = dict(s)
+    out["first_key"] = _canon_key(s["first_key"])
+    out["last_key"] = _canon_key(s["last_key"])
+    return out
 
 
 def assign_training_shards(
@@ -128,6 +165,7 @@ def write_training_shards(
     tokens_col: str | None = "tokens",
     overwrite: bool = False,
     num_parts: int | None = None,
+    cleanup_grace_seconds: float = 1800.0,
 ) -> dict[str, Any]:
     """Export ``df`` as ``path/shard=NNNNNN/`` parquet dirs (exactly one
     sorted file per shard) plus a ``_manifest.json`` (underscore: invisible
@@ -157,7 +195,10 @@ def write_training_shards(
     sharded = assign_training_shards(
         df, order_col=order_col, shard_rows=shard_rows, num_parts=num_parts
     ).withColumn("shard", F.format_string("%06d", F.col("shard_id").cast("int")))
-    summary = [r.asDict() for r in shard_summary(sharded, order_col, tokens_col).collect()]
+    summary = [
+        _canon_summary(r.asDict())
+        for r in shard_summary(sharded, order_col, tokens_col).collect()
+    ]
 
     parent = os.path.dirname(path) or "."
     os.makedirs(parent, exist_ok=True)
@@ -208,9 +249,21 @@ def write_training_shards(
         keep.add(os.path.abspath(prev_target))
     import glob as _glob
 
+    # age-gated reclamation: a sibling dir younger than the grace window may
+    # be ANOTHER export's in-flight staging dir (overlapping cron) — deleting
+    # it would fail that writer mid-write or dangle its published symlink.
+    # Old-enough dirs not in the keep set are retired generations no reader
+    # following the keep-last-2 contract can still be on.
+    now = time.time()
     for d in _glob.glob(path + ".v-*") + _glob.glob(path + ".old-*"):
-        if os.path.abspath(d) not in keep and os.path.isdir(d):
-            shutil.rmtree(d, ignore_errors=True)
+        if os.path.abspath(d) in keep or not os.path.isdir(d):
+            continue
+        try:
+            if now - os.path.getmtime(d) < cleanup_grace_seconds:
+                continue
+        except OSError:  # vanished under a concurrent cleanup
+            continue
+        shutil.rmtree(d, ignore_errors=True)
     return manifest
 
 
@@ -239,9 +292,13 @@ def append_training_shards(
     trade for never rewriting published bytes: a training run already
     mid-epoch on the old manifest keeps byte-stable shards.
 
-    Crash safety: new shard dirs are staged and renamed into place FIRST,
-    the manifest last (atomic tmp+rename) — a crash leaves orphan dirs the
-    old manifest never references, and a re-run replaces them.
+    Crash safety: new shard dirs are staged inside the target under
+    dot-prefixed (Spark-invisible) names, renamed to their final
+    ``shard=NNNNNN`` names only immediately before the manifest swap
+    (atomic tmp+rename, last) — a crash before the final renames leaves
+    only dot-prefixed orphans even a raw ``spark.read.parquet(path)``
+    never scans; a crash between renames and manifest leaves dirs the old
+    manifest never references, and a re-run replaces them.
     """
     manifest = read_shard_manifest(path)
     order_col = manifest["order_col"]
@@ -261,11 +318,18 @@ def append_training_shards(
     ).collect()[0]
     if probe["n"] == 0:
         return manifest
-    try:
-        out_of_order = last_key is not None and probe["lo"] <= last_key
-    except TypeError:  # manifest round-tripped a non-JSON key type as str
-        out_of_order = str(probe["lo"]) <= str(last_key)
-    if out_of_order:
+    lo = _canon_key(probe["lo"])
+    if last_key is not None and isinstance(lo, str) != isinstance(last_key, str):
+        # a legacy manifest serialized a non-JSON key type via str() — a
+        # lexicographic compare against it can both falsely accept a
+        # mid-order insert ('10' <= '9') and falsely reject a valid append;
+        # never guess on the byte-determinism contract
+        raise TypeError(
+            f"manifest last_key {last_key!r} and new key {lo!r} are not "
+            "canonically comparable (legacy manifest with a str()-serialized "
+            "key type?) — run a full write_training_shards(overwrite=True)"
+        )
+    if last_key is not None and lo <= last_key:
         raise ValueError(
             f"append requires every new {order_col} to sort after the last "
             f"exported key {last_key!r}; got min={probe['lo']!r} — run a "
@@ -279,7 +343,10 @@ def append_training_shards(
     sharded = sharded.withColumn(
         "shard", F.format_string("%06d", F.col("shard_id").cast("int"))
     )
-    summary = [r.asDict() for r in shard_summary(sharded, order_col, tokens_col).collect()]
+    summary = [
+        _canon_summary(r.asDict())
+        for r in shard_summary(sharded, order_col, tokens_col).collect()
+    ]
 
     # pin the CURRENT version dir: every rename and the manifest swap land
     # in this resolved target, not through the (swappable) symlink — a
@@ -297,12 +364,19 @@ def append_training_shards(
     )
     import shutil
 
+    # land the new shards INSIDE the target under dot-prefixed names first
+    # (invisible to Spark's parquet reader and to any raw
+    # spark.read.parquet(path) consumer) — the visible shard=NNNNNN renames
+    # happen only immediately before the manifest swap below, so a crash
+    # mid-append leaves only Spark-invisible orphans, never duplicate or
+    # partial data a raw read would scan
+    batch = uuid.uuid4().hex[:8]
+    staged = []
     for s in summary:
         name = f"shard={s['shard_id']:06d}"
-        dst = os.path.join(target, name)
-        if os.path.exists(dst):  # orphan from a crashed prior append
-            shutil.rmtree(dst)
-        os.rename(os.path.join(staging, name), dst)
+        tmp_name = f".staged-{batch}-{name}"
+        os.rename(os.path.join(staging, name), os.path.join(target, tmp_name))
+        staged.append((tmp_name, name))
     shutil.rmtree(staging, ignore_errors=True)
     if os.path.islink(path) and os.path.realpath(path) != target:
         raise RuntimeError(
@@ -311,6 +385,25 @@ def append_training_shards(
             "dir, which the keep-last-2 policy will reclaim) — re-run "
             "against the new dataset"
         )
+    for tmp_name, name in staged:
+        dst = os.path.join(target, name)
+        if os.path.exists(dst):  # orphan from a crashed prior append
+            shutil.rmtree(dst)
+        os.rename(os.path.join(target, tmp_name), dst)
+    # sweep Spark-invisible leftovers of crashed prior appends (age-gated:
+    # a young .staged- dir may belong to a concurrent append)
+    import glob as _glob
+
+    now = time.time()
+    for d in _glob.glob(os.path.join(target, ".staged-*")):
+        if f".staged-{batch}-" in os.path.basename(d):
+            continue
+        try:
+            if now - os.path.getmtime(d) < 1800.0:
+                continue
+        except OSError:
+            continue
+        shutil.rmtree(d, ignore_errors=True)
 
     out = dict(manifest)
     out["shards"] = prev_shards + summary

@@ -90,8 +90,11 @@ class TableFormat(Protocol):
     def ensure_key_type_unchanged(self, new_schema) -> None: ...
     def check_no_stale_renamed_columns(self, batch_columns) -> None:
         """Refuse batches written under renamed-away column names (their
-        values would silently conform to NULL).  Backends without rename
-        support satisfy the contract with this default no-op."""
+        values would silently conform to NULL).  Backends that SUBCLASS
+        TableFormat inherit this default no-op; purely structural
+        implementations may omit the method entirely — engine call sites
+        go through ``getattr(..., None)`` and treat absence as
+        no-rename-support."""
         return None
     def migrate_key_type(self, spark, new_root: str, new_key_type, n_buckets=None): ...
 

@@ -188,8 +188,18 @@ class SecondaryIndex:
             self.index, batch, epoch=base.version, epoch_source=ns
         )
         self.index = self.index.refresh()
-        if not stats.result.skipped and feed is not None:
-            new_wm = feed.agg(F.max(LSN_COL).alias("m")).collect()[0]["m"]
+        if not stats.result.skipped:
+            if feed is not None:
+                new_wm = feed.agg(F.max(LSN_COL).alias("m")).collect()[0]["m"]
+            else:
+                # changed_keys contract: the caller passed EVERY key changed
+                # since the last refresh, and the point read saw the base's
+                # current snapshot — so the base's recorded lsn high-water is
+                # fully reflected in the index.  Advancing keeps a later
+                # cron/feed refresh of a long-lived streaming index O(delta)
+                # instead of rescanning the whole changed-since history
+                # from -1 (correct either way: LWW absorbs overlap).
+                new_wm = self._meta_lsn_high(base)
             if new_wm is not None and new_wm > wm:
                 # watermark is a pure scan-cost optimization: a crash before
                 # this commit just re-reads a wider feed next time (the LWW

@@ -129,6 +129,18 @@ def test_overwrite_semantics(spark, docs, tmp_path):
     assert not glob.glob(str(tmp_path / "export.lnk-*"))
     assert spark.read.parquet(out).count() == 150
     write_training_shards(docs.limit(70), out, "doc_id", SHARD_ROWS, overwrite=True)
+    # the default grace window keeps the young retired dir — it is
+    # indistinguishable by age from a concurrent export's in-flight staging
+    # dir, and deleting such a dir would fail that writer mid-write
+    assert len(glob.glob(str(tmp_path / "export.v-*"))) == 3
+    write_training_shards(
+        docs.limit(70),
+        out,
+        "doc_id",
+        SHARD_ROWS,
+        overwrite=True,
+        cleanup_grace_seconds=0.0,
+    )
     assert len(glob.glob(str(tmp_path / "export.v-*"))) == 2
 
     # the symlink is RELATIVE: moving the parent keeps the dataset readable
