@@ -3272,15 +3272,16 @@ _BPE_FIXED_MERGES = [(3, 4, 29), (29, 5, 30), (4, 4, 31)]
 def bpe_apply_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize-with-a-trained-vocab, hash-verified: apply a PINNED 3-merge
     BPE table (chained — a merged id is itself a later merge's operand) to
-    the documents corpus through the production fold kernel
-    (``functions/bpe.apply_merge`` via ``bpe_apply``), and have the oracle
-    recompute the identical left-to-right carry fold in pure SQL
-    (:func:`_duck_bpe_fold`).  This gives the BPE family its value-hash
-    evidence: TRAINING is iterative and stays rows-only by design
-    (``bpe_learned_merges``), but APPLY — the half that touches the 100-TB
-    corpus — is deterministic given the merge table, so it gets the full
-    oracle treatment.  100-TB shape: one JVM fold per merge over a pure
-    projection, no shuffle, no Python."""
+    the documents corpus through the PRODUCTION kernel — since round 5 the
+    vectorized one-pass mapInPandas rank-priority merge
+    (``functions/bpe._bpe_apply_arrow_kernel`` via ``bpe_apply``, default
+    method="arrow") — while the oracle recomputes the equivalent
+    left-to-right carry fold in pure SQL (:func:`_duck_bpe_fold`).  The
+    value-hash equality therefore certifies the arrow kernel against the
+    declarative fold semantics on real data.  100-TB shape: ONE Arrow
+    stage regardless of vocab size (the fold chains one Catalyst
+    aggregate per merge — fine at 3, a non-starter at 32k), no shuffle,
+    no per-row Python."""
     from .functions.bpe import bpe_apply
     from .functions.text import words
 

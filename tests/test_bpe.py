@@ -125,3 +125,59 @@ def test_bpe_weighted_dict_matches_corpus_scan_trainer(spark):
     # and both agree with the in-test reference over the duplicated corpus
     ref_merges, _ = ref_train([t for _, t in dup], 10, 100)
     assert m_fast == ref_merges
+
+def test_bpe_apply_arrow_matches_fold_exactly(spark):
+    """VERDICT r04 #2: the vectorized mapInPandas kernel (rank-priority
+    merge over numpy arrays) must be bit-identical to the Catalyst fold on
+    a trained (causal) table — including chained merges, equal-token runs,
+    empty/single docs, and NULL rows."""
+    rows = _corpus(n_docs=150, seed=41)
+    rows += [("empty", []), ("single", [2]), ("run", [1, 1, 1, 1, 1, 2, 1, 1])]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    df = df.unionByName(
+        spark.createDataFrame([("nul", None)], "doc_id string, tokens array<int>")
+    ).repartition(5)
+    merges, _ = bpe_train(df, n_merges=12, new_id_start=100, return_corpus=False)
+    assert any(m["left"] >= 100 or m["right"] >= 100 for m in merges)  # chained
+    a = {r["doc_id"]: r["tokens"] for r in bpe_apply(df, merges, method="arrow").collect()}
+    b = {r["doc_id"]: r["tokens"] for r in bpe_apply(df, merges, method="fold").collect()}
+    assert a == b
+    assert a["nul"] is None and a["empty"] == [] and a["single"] == [2]
+
+
+def test_bpe_apply_arrow_equal_token_runs(spark):
+    """Leftmost-greedy within runs: [1,1,1,2,1,1] + (1,1)->9 == [9,1,2,9],
+    and a chained second merge consumes the first's output."""
+    df = spark.createDataFrame(
+        [("a", [1, 1, 1, 2, 1, 1]), ("b", [1] * 7)], "doc_id string, tokens array<int>"
+    )
+    m = [{"rank": 0, "left": 1, "right": 1, "new_id": 9, "count": 0},
+         {"rank": 1, "left": 9, "right": 9, "new_id": 11, "count": 0}]
+    got = {r["doc_id"]: r["tokens"] for r in bpe_apply(df, m, method="arrow").collect()}
+    # a: (1,1)->9 gives [9,1,2,9]; no (9,9) adjacency
+    assert got["a"] == [9, 1, 2, 9]
+    # b: [1]*7 -> [9,9,9,1] -> (9,9)->11 leftmost: [11,9,1]
+    assert got["b"] == [11, 9, 1]
+
+
+def test_bpe_apply_non_causal_table_falls_back_to_fold(spark):
+    """A hand-built table violating the causality invariant (pair element
+    >= its own new_id) must take the fold path — rank-priority and
+    sequential application can diverge there, and the fold defines the
+    contract."""
+    df = spark.createDataFrame([("a", [1, 2, 3])], "doc_id string, tokens array<int>")
+    # left(7) >= new_id(5): non-causal
+    m = [{"rank": 0, "left": 7, "right": 2, "new_id": 5, "count": 0}]
+    got = bpe_apply(df, m, method="arrow").collect()[0]["tokens"]
+    assert got == [1, 2, 3]
+
+
+def test_bpe_apply_arrow_rejects_negative_tokens(spark):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    df = spark.createDataFrame([("a", [1, -4, 3])], "doc_id string, tokens array<int>")
+    m = [{"rank": 0, "left": 1, "right": 3, "new_id": 9, "count": 0}]
+    with _pytest.raises(Exception) as e:
+        bpe_apply(df, m, method="arrow").collect()
+    assert "non-negative" in str(e.value)
