@@ -1039,10 +1039,25 @@ class IcehouseTable:
                 T.StructType([T.StructField(self.key_col, self.schema[self.key_col].dataType)]),
             )
         keys = keys.select(F.col(keys.columns[0]).alias(self.key_col)).distinct()
-        buckets = [
-            r["b"]
-            for r in keys.select(self.bucket_expr().alias("b")).distinct().collect()
-        ]
+        buckets = None
+        if literal_keys is not None:
+            # bucket ids driver-side via the bit-equality-tested xxhash64
+            # twin — no keys-sized Spark job for the supported key types
+            # (the fixed cost that dominated small maintenance refreshes)
+            from ..functions.keys import bucket_for_key
+
+            tname = self.schema[self.key_col].dataType.simpleString()
+            try:
+                buckets = sorted(
+                    {bucket_for_key(k, tname, self.n_buckets) for k in literal_keys}
+                )
+            except TypeError:
+                buckets = None  # unsupported key type: Spark-job fallback
+        if buckets is None:
+            buckets = [
+                r["b"]
+                for r in keys.select(self.bucket_expr().alias("b")).distinct().collect()
+            ]
         if literal_keys is not None and len(literal_keys) <= 1000:
             # literal IN predicate instead of a semi join: it pushes into the
             # parquet scan, where per-file min/max on the sorted key column,

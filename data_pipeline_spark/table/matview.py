@@ -261,6 +261,7 @@ def _apply_view_delta(
     group_cols: list[str],
     base_version: int,
     measures: list[str],
+    candidate_keys: DataFrame | None = None,
 ) -> ApplyStats:
     """MERGE a signed per-group delta into the view: point-read the affected
     groups' current aggregates (bucket-pruned through the view's own key
@@ -268,11 +269,18 @@ def _apply_view_delta(
     tombstones, so a fully-retracted group disappears from the view exactly
     as it would from a re-aggregate.  An EMPTY delta commits nothing; the
     caller advances the refresh floor instead (see
-    :func:`_last_refreshed_version`)."""
+    :func:`_last_refreshed_version`).
+
+    ``candidate_keys``: an optional cheap-to-evaluate SUPERSET of the
+    delta's group keys (e.g. derived from locally-collected change rows) —
+    point-reading the superset avoids materializing the delta just to
+    learn which buckets to prune (extra groups read a few spare aggregate
+    rows; the left_outer join below ignores them)."""
     spark = delta.sparkSession
     delta = delta.persist()
     try:
-        current = mv.read_for_keys(spark, delta.select(GROUP_KEY_COL))
+        probe = candidate_keys if candidate_keys is not None else delta.select(GROUP_KEY_COL)
+        current = mv.read_for_keys(spark, probe)
         cur = current.select(
             GROUP_KEY_COL, *[F.col(m).alias(f"_cur_{m}") for m in measures]
         )
@@ -303,11 +311,91 @@ def _apply_view_delta(
     return stats
 
 
+def _signed_delta(
+    retract_rows: DataFrame,
+    add_rows: DataFrame,
+    group_cols: list[str],
+    value_cols: list[str],
+    scale: int,
+) -> DataFrame:
+    """Per-group net delta of (add − retract) in ONE shuffle: both sides are
+    projected to the group/value columns, tagged with a ``_sign`` column,
+    unioned, and aggregated once — replacing the former two-groupBy-then-
+    re-aggregate shape (3 shuffles) that dominated the refresh's fixed
+    overhead.  Sums/counts match :func:`_contributions` exactly: ``n_rows``
+    = Σsign, per-measure non-NULL count = Σsign over non-NULL rows,
+    fixed-point sum = Σ sign·round(value·scale) with NULLs contributing 0."""
+    cols = list(dict.fromkeys(group_cols + value_cols))
+    u = retract_rows.select(*cols).withColumn("_sign", F.lit(-1)).unionByName(
+        add_rows.select(*cols).withColumn("_sign", F.lit(1))
+    )
+    return _signed_agg(u, group_cols, value_cols, scale)
+
+
+def _signed_agg(
+    u: DataFrame, group_cols: list[str], value_cols: list[str], scale: int
+) -> DataFrame:
+    """The single-shuffle aggregation of a ``_sign``-tagged row union (see
+    :func:`_signed_delta`)."""
+    names = _measures(value_cols)
+    aggs = [F.sum("_sign").cast("long").alias(names[0])]
+    for i, c in enumerate(value_cols):
+        v = F.round(F.col(c) * scale).cast("long")
+        aggs.append(
+            F.sum(F.when(F.col(c).isNotNull(), F.col("_sign")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(names[1 + 2 * i])
+        )
+        aggs.append(
+            F.sum(F.col("_sign") * F.coalesce(v, F.lit(0)))
+            .cast("long")
+            .alias(names[2 + 2 * i])
+        )
+    return (
+        u.groupBy(*group_cols)
+        .agg(*aggs)
+        .where(" OR ".join(f"{m} != 0" for m in names))
+        .select(_group_key(group_cols).alias(GROUP_KEY_COL), *group_cols, *names)
+    )
+
+
+def _full_refresh(
+    spark: SparkSession,
+    mv: IcehouseTable,
+    base: IcehouseTable,
+    group_cols: list[str],
+    value_cols: list[str],
+    scale: int,
+    measures: list[str],
+    v0: int,
+    v1: int,
+) -> RefreshStats:
+    agg = _aggregate(base.read(spark), group_cols, value_cols, scale)
+    cur = mv.read(spark).select(
+        GROUP_KEY_COL, *[F.col(m).alias(f"_cur_{m}") for m in measures]
+    )
+    # diff against the current view so untouched groups write nothing
+    # and vanished groups tombstone; the delta form reuses the same
+    # fenced merge as the incremental path (one commit, one epoch).
+    joined = agg.join(cur, GROUP_KEY_COL, "full_outer")
+    delta = joined.select(
+        GROUP_KEY_COL,
+        *group_cols,
+        *[
+            (F.coalesce(F.col(m), F.lit(0)) - F.coalesce(F.col(f"_cur_{m}"), F.lit(0))).alias(m)
+            for m in measures
+        ],
+    ).where(" OR ".join(f"{m} != 0" for m in measures))
+    stats = _apply_view_delta(mv, delta, group_cols, v1, measures)
+    return RefreshStats("full", v0, v1, stats.result)
+
+
 def refresh_matview(
     spark: SparkSession,
     mv: IcehouseTable,
     full: bool = False,
     changed_keys: DataFrame | None = None,
+    auto_full_ratio: float = 0.2,
 ) -> RefreshStats:
     """Bring the view up to the base table's CURRENT snapshot.
 
@@ -318,6 +406,22 @@ def refresh_matview(
     fenced on ``epoch = base version``, so concurrent or crash-retried
     refreshes of the same version are no-ops and the watermark can never
     run ahead of the applied data.
+
+    Small deltas (≤1000 changed rows — the per-epoch poll shape) take a
+    FAST PATH: one slim, file-skipped collect of the changed winners
+    (group/value columns only), the add side built driver-side, the
+    retract side a literal-IN bucket/bloom-pruned point read, and the net
+    delta one single-shuffle signed aggregation — ~2 scheduled jobs of
+    pre-merge overhead instead of the former ~6.
+
+    AUTO-CROSSOVER (``auto_full_ratio``): when the changed-row count
+    exceeds ``auto_full_ratio × base physical rows`` (and the delta is
+    past the fast-path cap), the refresh auto-selects the full recompute —
+    at that delta fraction the incremental path's point reads touch most
+    buckets anyway and the one-scan re-aggregate is cheaper.  The rule is
+    a pure cost heuristic: both paths commit the identical fenced delta.
+    Set ``auto_full_ratio=0`` to disable (always incremental), or pass
+    ``full=True`` to force the recompute.
 
     ``changed_keys``: a one-column DataFrame of base keys KNOWN to cover
     every key changed between the view's refreshed version and the current
@@ -362,69 +466,116 @@ def refresh_matview(
                 full = True
 
     if full:
-        agg = _aggregate(base.read(spark), group_cols, value_cols, scale)
-        cur = mv.read(spark).select(
-            GROUP_KEY_COL, *[F.col(m).alias(f"_cur_{m}") for m in measures]
+        return _full_refresh(
+            spark, mv, base, group_cols, value_cols, scale, measures, v0, v1
         )
-        # diff against the current view so untouched groups write nothing
-        # and vanished groups tombstone; the delta form reuses the same
-        # fenced merge as the incremental path (one commit, one epoch).
-        joined = agg.join(cur, GROUP_KEY_COL, "full_outer")
-        delta = joined.select(
-            GROUP_KEY_COL,
-            *group_cols,
-            *[
-                (F.coalesce(F.col(m), F.lit(0)) - F.coalesce(F.col(f"_cur_{m}"), F.lit(0))).alias(m)
-                for m in measures
-            ],
-        ).where(" OR ".join(f"{m} != 0" for m in measures))
-        stats = _apply_view_delta(mv, delta, group_cols, v1, measures)
-        return RefreshStats("full", v0, v1, stats.result)
 
     key = base.key_col
+    # columns the delta aggregation actually consumes — the feed/point
+    # reads project to these, so collects and scans stay slim even when
+    # the base carries wide payloads (token arrays)
+    need_cols = list(dict.fromkeys(group_cols + value_cols))
+    missing = [c for c in need_cols if c not in prior.schema.fieldNames()]
+    if missing:
+        # the view's columns didn't exist at the prior snapshot (added
+        # since) — the retract side cannot be expressed; recompute
+        return _full_refresh(
+            spark, mv, base, group_cols, value_cols, scale, measures, v0, v1
+        )
+
     if changed_keys is not None:
         # caller-supplied change set: both legs are point reads, no feed
         changed = changed_keys.select(
             F.col(changed_keys.columns[0]).alias(key)
         ).distinct().persist()
-    else:
-        # None w0 (no stats / empty prior) degrades to watermark -1: changed-
-        # since then returns every live key, and the retract side reads every
-        # prior row of those keys — O(table) instead of O(changed), but still
-        # the exact delta.  Real apply paths always record LSN stats.
-        w0 = _lsn_high(prior)
-        w0 = -1 if w0 is None else w0
-        changed = base.read_changed_since(spark, w0).persist()
-    try:
-        keys_df = changed if changed_keys is not None else changed.select(key).distinct()
-        # Point lookups of the changed keys (prior rows to retract; with a
-        # caller-supplied key set, also their current winners to add).  For
-        # the streaming-refresh case (small per-epoch key sets) collect the
-        # keys and take read_for_keys' literal-IN path: the predicate pushes
-        # into the parquet scan where per-file min/max on the sorted key and
-        # (with write.bloom.columns) row-group blooms prune BEFORE any row
-        # materializes — a semi join prunes nothing below the scan.  Large
-        # key sets keep the broadcast-semi-join plan (a driver-side collect
-        # would be the real scale hazard there).
-        lit_keys = [r[0] for r in keys_df.limit(1001).collect()]
-        point_keys = lit_keys if len(lit_keys) <= 1000 else keys_df
-        if changed_keys is not None:
-            live_changed = base.read_for_keys(spark, point_keys)
-        else:
-            live_changed = changed.where(
-                ~F.coalesce(F.col("_deleted"), F.lit(False))
-            ).select(*base.schema.fieldNames())
-        prior_rows = prior.read_for_keys(spark, point_keys)
-        retract = _contributions(prior_rows, group_cols, value_cols, scale, sign=-1)
-        add = _contributions(live_changed, group_cols, value_cols, scale, sign=1)
-        delta = (
-            retract.unionByName(add)
-            .groupBy(*group_cols)
-            .agg(*[F.sum(m).alias(m) for m in measures])
-            .where(" OR ".join(f"{m} != 0" for m in measures))
-            .select(
-                _group_key(group_cols).alias(GROUP_KEY_COL), *group_cols, *measures
+        try:
+            lit_keys = [r[0] for r in changed.limit(1001).collect()]
+            point_keys = lit_keys if len(lit_keys) <= 1000 else changed
+            delta = _signed_delta(
+                prior.read_for_keys(spark, point_keys),
+                base.read_for_keys(spark, point_keys),
+                group_cols,
+                value_cols,
+                scale,
             )
+            stats = _apply_view_delta(mv, delta, group_cols, v1, measures)
+        finally:
+            changed.unpersist()
+        return RefreshStats("incremental", v0, v1, stats.result)
+
+    # None w0 (no stats / empty prior) degrades to watermark -1: changed-
+    # since then returns every live key, and the retract side reads every
+    # prior row of those keys — O(table) instead of O(changed), but still
+    # the exact delta.  Real apply paths always record LSN stats.
+    w0 = _lsn_high(prior)
+    w0 = -1 if w0 is None else w0
+    feed = base.read_changed_since(spark, w0).select(
+        key, "_deleted", *[c for c in need_cols if c != key]
+    )
+    head = feed.limit(1001).collect()  # one file-skipped, column-pruned job
+    if len(head) <= 1000:
+        # FAST PATH: the whole delta fits in hand.  Collect the retract
+        # side too (a literal-IN bloom/stats-pruned point read of <=1000
+        # keys' prior rows, bucket ids computed driver-side by the xxhash64
+        # twin — no keys-sized Spark job), then the signed union is a LOCAL
+        # frame: the delta aggregation never scans anything, and the
+        # affected-group superset is known up front, so the view merge
+        # point-reads its buckets without first materializing the delta.
+        # Total pre-merge cost: two small collects.
+        lit_keys = sorted({r[key] for r in head})
+        prior_local = (
+            prior.read_for_keys(spark, lit_keys).select(*need_cols).collect()
+        )
+        u_schema = T.StructType(
+            [T.StructField(c, base.schema[c].dataType, True) for c in need_cols]
+            + [T.StructField("_sign", T.IntegerType(), False)]
+        )
+        union_local = spark.createDataFrame(
+            [tuple(r[c] for c in need_cols) + (-1,) for r in prior_local]
+            + [
+                tuple(r[c] for c in need_cols) + (1,)
+                for r in head
+                if not (r["_deleted"] or False)
+            ],
+            u_schema,
+        )
+        delta = _signed_agg(union_local, group_cols, value_cols, scale)
+        cand = {tuple(r[c] for c in group_cols) for r in prior_local}
+        cand |= {tuple(r[c] for c in group_cols) for r in head if not (r["_deleted"] or False)}
+        cand_keys = None
+        if cand:
+            cand_schema = T.StructType(
+                [T.StructField(c, base.schema[c].dataType, True) for c in group_cols]
+            )
+            cand_keys = spark.createDataFrame(
+                sorted(cand, key=lambda t: tuple((v is None, str(v)) for v in t)),
+                cand_schema,
+            ).select(_group_key(group_cols).alias(GROUP_KEY_COL))
+        stats = _apply_view_delta(
+            mv, delta, group_cols, v1, measures, candidate_keys=cand_keys
+        )
+        return RefreshStats("incremental", v0, v1, stats.result)
+
+    # HEAVY PATH: >1000 changed rows — persist the (already slim) feed,
+    # count it once, and apply the auto-crossover rule before committing
+    # to point reads.
+    changed = feed.persist()
+    try:
+        n_changed = changed.count()
+        base_rows = max(base.row_count(), 1)
+        if auto_full_ratio and n_changed > auto_full_ratio * base_rows:
+            return _full_refresh(
+                spark, mv, base, group_cols, value_cols, scale, measures, v0, v1
+            )
+        keys_df = changed.select(key).distinct()
+        live_changed = changed.where(
+            ~F.coalesce(F.col("_deleted"), F.lit(False))
+        ).select(*need_cols)
+        # large key sets keep the broadcast-semi-join plan (a driver-side
+        # collect would be the real scale hazard there)
+        prior_rows = prior.read_for_keys(spark, keys_df).select(*need_cols)
+        delta = _signed_delta(
+            prior_rows, live_changed, group_cols, value_cols, scale
         )
         stats = _apply_view_delta(mv, delta, group_cols, v1, measures)
     finally:

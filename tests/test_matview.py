@@ -484,3 +484,62 @@ def test_view_changes_are_a_consumable_feed(spark):
     feed2 = mv.refresh().read_changed_since(spark, w2)
     tomb = {r["source"]: r["_deleted"] for r in feed2.collect()}
     assert tomb == {"b": True}
+
+
+def _rows_for(n, lsn0=0, op="U"):
+    return [
+        (lsn0 + i + 1, op, f"d{i}", f"s{i % 7}", (i * 13) % 200)
+        for i in range(n)
+    ]
+
+
+def test_heavy_path_incremental_beyond_fast_cap(spark):
+    """>1000 changed rows exceeds the fast-path collect cap: the refresh
+    must take the persisted-feed heavy path, stay incremental (changed
+    fraction below the crossover), and still equal the recompute."""
+    base = _mk_table(n_buckets=8)
+    apply_changes(base, _changes(spark, _rows_for(20_000)), epoch=0)
+    base.refresh()
+    mv = _mk_mv(spark, base)
+    upd = [
+        (30_000 + i, "U", f"d{i * 4}", f"s{(i + 3) % 7}", (i * 7) % 200)
+        for i in range(1500)
+    ]
+    apply_changes(base, _changes(spark, upd), epoch=1)
+    base.refresh()
+    st = refresh_matview(spark, mv)
+    assert st.mode == "incremental"
+    assert _mv_equals_recompute(spark, mv, base)
+
+
+def test_auto_crossover_picks_full_on_large_delta(spark):
+    """When the changed-row count exceeds auto_full_ratio x base rows (and
+    the fast-path cap), the refresh auto-selects the one-scan full
+    recompute — same fenced delta commit, cheaper plan."""
+    base = _mk_table(n_buckets=8)
+    apply_changes(base, _changes(spark, _rows_for(3000)), epoch=0)
+    base.refresh()
+    mv_auto = _mk_mv(spark, base)
+    mv_off = _mk_mv(spark, base)
+    upd = [
+        (10_000 + i, "U", f"d{i}", f"s{(i + 1) % 7}", (i * 3) % 200)
+        for i in range(2000)
+    ]
+    apply_changes(base, _changes(spark, upd), epoch=1)
+    base.refresh()
+    st = refresh_matview(spark, mv_auto)  # 2000/3000 > 0.2 default ratio
+    assert st.mode == "full"
+    assert _mv_equals_recompute(spark, mv_auto, base)
+    # ratio=0 disables the crossover: forced incremental, identical state
+    st2 = refresh_matview(spark, mv_off, auto_full_ratio=0)
+    assert st2.mode == "incremental"
+    assert _mv_equals_recompute(spark, mv_off, base)
+
+
+def _mv_equals_recompute(spark, mv, base):
+    def key(r):
+        return tuple((v is None, v) for v in r)
+
+    got = sorted(read_matview(spark, mv.refresh()).collect(), key=key)
+    want = sorted(_recompute(spark, base).collect(), key=key)
+    return got == want
