@@ -125,15 +125,19 @@ def cherry_pick(
         # no branch commits since the fork (or since the last publish)
         return CherryPickStats(branch, v_from, v_to, _noop_stats(target))
     delta = snapshot_diff(spark, target.root, v_from, v_to)
+    head = IcehouseTable.load(target.root, version=v_to)
+    delta = _remap_renamed_columns(delta, target, head, branch)
     lsn0 = _lsn_high(target) + 1
     key = target.key_col
     if lsn == "preserve":
         # per-key true LSNs from the branch head snapshot (with_meta keeps
         # tombstone rows, so deletes carry their delete LSN); a vacuumed
-        # tombstone falls back to the fresh stamp
-        head = IcehouseTable.load(target.root, version=v_to)
+        # tombstone falls back to the fresh stamp.  The join key is the
+        # BRANCH-era key name on the head read, aliased to the target's
+        # current key name (they differ when main renamed the key column
+        # after the fork).
         src = head.read(spark, with_meta=True).select(
-            key, F.col("_lsn").alias("_src_lsn")
+            F.col(head.key_col).alias(key), F.col("_lsn").alias("_src_lsn")
         )
         lsn_col = F.coalesce(F.col("_src_lsn"), F.lit(lsn0))
         delta = delta.join(src, key, "left")
@@ -148,6 +152,70 @@ def cherry_pick(
         target, changes, epoch=v_to, epoch_source=f"cherry:{branch}"
     )
     return CherryPickStats(branch, v_from, v_to, stats)
+
+
+def _remap_renamed_columns(
+    delta: DataFrame, target: IcehouseTable, head: IcehouseTable, branch: str
+) -> DataFrame:
+    """Carry the branch's column names across a rename boundary: the diffed
+    delta is expressed in BRANCH-era names (the branch's schema froze at
+    the fork), while the target may have renamed columns since.  Each delta
+    column that is a retired name on the target is chain-forwarded through
+    the target's ``column_renames`` event log to its current name — the
+    same per-era mapping the read path applies to old files, applied here
+    to a cross-branch batch (without it, ``apply_changes`` would either
+    reject the batch via the stale-name guard or conform the values to
+    NULL).  Renames the BRANCH made that the target has never seen are
+    refused loudly: both sides renaming independently is a genuinely
+    diverged schema with no safe automatic mapping."""
+    t_renames = target.meta.get("column_renames", [])
+    b_renames = head.meta.get("column_renames", [])
+    t_events = {(e["version"], e["old"], e["new"]) for e in t_renames}
+    foreign = [
+        e for e in b_renames if (e["version"], e["old"], e["new"]) not in t_events
+    ]
+    if foreign:
+        raise ValueError(
+            f"branch {branch!r} carries column renames the target has never "
+            f"seen ({[(e['old'], e['new']) for e in foreign]}) — diverged "
+            "schemas cannot be cherry-picked automatically; rename the "
+            "target to match (or re-create the branch) first"
+        )
+    if not t_renames:
+        return delta
+    # apply ONLY the rename events the branch has never seen (target-side,
+    # post-fork), in chronological order — sequential substitution replays
+    # exactly what happened on the target, so chains (a→b→c) and name
+    # shadowing (a→b then later c→a) both resolve to the right logical
+    # column
+    b_events = {(e["version"], e["old"], e["new"]) for e in b_renames}
+    applicable = sorted(
+        (
+            e
+            for e in t_renames
+            if (e["version"], e["old"], e["new"]) not in b_events
+        ),
+        key=lambda e: e["version"],
+    )
+
+    def forward(name: str) -> str:
+        cur = name
+        for e in applicable:
+            if e["old"] == cur:
+                cur = e["new"]
+        return cur
+
+    mapping = {
+        c: forward(c) for c in delta.columns if c != "op" and forward(c) != c
+    }
+    if not mapping:
+        return delta
+    return delta.select(
+        *[
+            F.col(c).alias(mapping.get(c, c))
+            for c in delta.columns
+        ]
+    )
 
 
 def _noop_stats(table: IcehouseTable) -> ApplyStats:

@@ -466,3 +466,102 @@ def test_second_cherry_pick_does_not_reapply_old_rows(spark):
     got = _state(spark, m.refresh())
     assert ("k", 9, "m2") in got, "stale re-pick clobbered the target's newer write"
     assert ("k2", 7, "b") in got
+
+
+def test_cherry_pick_across_rename_boundary(spark):
+    """VERDICT r04 gap: main renames a column AFTER the fork; the branch
+    keeps committing under the branch-era name.  Cherry-pick must carry
+    the per-era mapping — the picked values land in the RENAMED column,
+    never conformed to NULL, never rejected by the stale-name guard."""
+    from data_pipeline_spark.cdc.cherry import cherry_pick
+
+    t = _mk()
+    apply_changes(
+        t,
+        _changes(spark, [(1, "U", "keep", 1, "m"), (2, "U", "both", 2, "m")]),
+        epoch=0,
+    )
+    t.refresh().create_branch("fix")
+    # main renames n_tok -> tok_count and keeps writing under the new name
+    m = IcehouseTable.load(t.root)
+    m.rename_column("n_tok", "tok_count")
+    m = m.refresh()
+    apply_changes(
+        m,
+        spark.createDataFrame(
+            [(20, "U", "mnew", 7, "m"), (21, "U", "both", 3, "m")],
+            "lsn long, op string, doc_id string, tok_count int, source string",
+        ),
+        epoch=3,
+    )
+    # branch still speaks the fork-era schema
+    b = IcehouseTable.load(t.root, branch="fix")
+    assert "n_tok" in b.schema.fieldNames()
+    apply_changes(
+        b,
+        _changes(spark, [(10, "U", "both", 99, "b"), (11, "U", "bnew", 5, "b")]),
+        epoch=1,
+    )
+    apply_changes(b.refresh(), _changes(spark, [(12, "D", "keep", None, None)]), epoch=2)
+
+    res = cherry_pick(spark, m.refresh(), "fix")
+    assert not res.skipped
+    got = {
+        (r["doc_id"], r["tok_count"], r["source"])
+        for r in m.refresh().read(spark).select("doc_id", "tok_count", "source").collect()
+    }
+    assert got == {("both", 99, "b"), ("bnew", 5, "b"), ("mnew", 7, "m")}
+    # idempotent across the boundary too
+    assert cherry_pick(spark, m.refresh(), "fix").skipped
+
+
+def test_cherry_pick_across_key_rename_and_chained_renames(spark):
+    """Chained renames (n_tok->a->b) and a KEY-column rename on main must
+    both forward through the event log in order."""
+    from data_pipeline_spark.cdc.cherry import cherry_pick
+
+    t = _mk()
+    apply_changes(t, _changes(spark, [(1, "U", "d1", 1, "m")]), epoch=0)
+    t.refresh().create_branch("fix")
+    m = IcehouseTable.load(t.root)
+    m.rename_column("n_tok", "a")
+    m.refresh().rename_column("a", "b")
+    m.refresh().rename_column("doc_id", "doc_key")
+    m = m.refresh()
+    assert m.key_col == "doc_key"
+    b = IcehouseTable.load(t.root, branch="fix")
+    apply_changes(
+        b, _changes(spark, [(10, "U", "d2", 42, "x")]), epoch=1
+    )
+    res = cherry_pick(spark, m.refresh(), "fix", lsn="preserve")
+    assert not res.skipped
+    got = {
+        (r["doc_key"], r["b"], r["source"])
+        for r in m.refresh().read(spark).select("doc_key", "b", "source").collect()
+    }
+    assert got == {("d1", 1, "m"), ("d2", 42, "x")}
+
+
+def test_cherry_pick_refuses_branch_side_renames(spark):
+    """Both sides renaming independently is a diverged schema — no safe
+    automatic mapping; the pick must fail loudly, not guess."""
+    from data_pipeline_spark.cdc.cherry import cherry_pick
+
+    t = _mk()
+    apply_changes(t, _changes(spark, [(1, "U", "d1", 1, "m")]), epoch=0)
+    t.refresh().create_branch("fix")
+    b = IcehouseTable.load(t.root, branch="fix")
+    b.rename_column("n_tok", "branch_name")
+    b = b.refresh()
+    apply_changes(
+        b,
+        spark.createDataFrame(
+            [(10, "U", "d2", 9, "x")],
+            "lsn long, op string, doc_id string, branch_name int, source string",
+        ),
+        epoch=1,
+    )
+    m = IcehouseTable.load(t.root)
+    apply_changes(m, _changes(spark, [(20, "U", "d3", 3, "m")]), epoch=3)
+    with pytest.raises(ValueError, match="diverged schemas"):
+        cherry_pick(spark, m.refresh(), "fix")
