@@ -86,6 +86,13 @@ HEADLINE_QUERIES = [
     # machinery, which is the point)
     "cdc_mor_final_state",
     "cdc_changed_since_feed",
+    # round-5 additions: the SELECTIVE feed (stats_filters value pruning
+    # composed with LSN pruning — the planning-time skipping win recorded
+    # per round; the dedicated ratio micro-bench is run_stats_skipping
+    # below) and the vectorized one-pass BPE apply kernel over the sf
+    # documents corpus
+    "changed_since_filtered",
+    "bpe_apply_fixed",
 ]
 
 
@@ -222,6 +229,77 @@ def run_queries() -> dict[str, float]:
     return out
 
 
+def run_stats_skipping() -> dict:
+    """Compact per-round record of the planning-time file-skipping win
+    (`write.stats-columns` manifest ranges + `read(stats_filters=)`): build
+    a sorted, stats-bearing table of 2M rows split into ~25k-row files and
+    compare a day-slice scan with reader-side pruning only vs driver-side
+    file skipping.  The full sweep lives in tools/bench_stats_skipping.py;
+    this inline version pins the skip ratio into every BENCH_r{N}.json."""
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from data_pipeline_spark.table.icehouse import PART_COL, IcehouseTable
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("n_tok", T.IntegerType(), True),
+            T.StructField("event_day", T.IntegerType(), True),
+        ]
+    )
+    spark = _bench_spark(CPUS, "bench_stats_skipping")
+    work = tempfile.mkdtemp(prefix="bench_skip_inline_")
+    n_rows, n_days = 2_000_000, 128
+    try:
+        t = IcehouseTable.create(
+            os.path.join(work, "t"),
+            schema=schema,
+            key_col="doc_id",
+            n_buckets=16,
+            properties={
+                "write.sort-order": "event_day",
+                "write.stats-columns": "event_day",
+                "write.max-file-rows": 25_000,
+            },
+        )
+        rows = spark.range(n_rows).select(
+            F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+            F.lit(1).cast("int").alias("n_tok"),
+            (F.col("id") * n_days / n_rows).cast("int").alias("event_day"),
+            F.col("id").cast("long").alias("_lsn"),
+            F.lit(False).alias("_deleted"),
+        )
+        t.overwrite_partitions(rows.withColumn(PART_COL, t.bucket_expr("doc_id")))
+        t = t.refresh()
+        lo, hi = n_days // 2, n_days // 2 + 7
+        t.read(spark).count()  # warm
+        t0 = time.time()
+        n_full = t.read(spark).where(F.col("event_day").between(lo, hi)).count()
+        t_full = time.time() - t0
+        files_full = len(t.read(spark).inputFiles())
+        t0 = time.time()
+        n_skip = t.read(spark, stats_filters={"event_day": (lo, hi)}).count()
+        t_skip = time.time() - t0
+        files_skip = len(
+            t.read(spark, stats_filters={"event_day": (lo, hi)}).inputFiles()
+        )
+        assert n_full == n_skip, (n_full, n_skip)
+        return {
+            "files_total": files_full,
+            "files_after_skipping": files_skip,
+            "file_skip_ratio": round(1 - files_skip / files_full, 4),
+            "scan_filter_sec": round(t_full, 3),
+            "stats_filtered_sec": round(t_skip, 3),
+            "speedup": round(t_full / t_skip, 2) if t_skip else None,
+        }
+    finally:
+        spark.stop()
+        _shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replay-worker", type=int, default=None)
@@ -310,6 +388,7 @@ def main() -> None:
             run_worker(PEAK_CPUS, N_EPOCHS, pin=False, mode="mor")
 
     qtimes = run_queries()
+    skipping = run_stats_skipping()
 
     lo, hi = f"local{SCALE_CPUS_LOW}", f"local{SCALE_CPUS_HIGH}"
     cow_keys = [k for k in replay if not k.endswith("_mor")]
@@ -338,6 +417,7 @@ def main() -> None:
         ),
         "scaling_pair": [SCALE_CPUS_LOW, SCALE_CPUS_HIGH],
         "scaling_efficiency": scaling,
+        "stats_skipping": skipping,
     }
     print(json.dumps(result))
 
