@@ -210,6 +210,20 @@ def _remap_renamed_columns(
     }
     if not mapping:
         return delta
+    # a branch-ADDED column may coincide with a post-fork rename's target
+    # name (legal on the branch — the name was free there); mapping the
+    # renamed column onto it would emit two columns with one name and
+    # crash downstream with an ambiguous-reference error.  Refuse with the
+    # diverged-schema contract message instead.
+    out_names = [mapping.get(c, c) for c in delta.columns]
+    dupes = sorted({n for n in out_names if out_names.count(n) > 1})
+    if dupes:
+        raise ValueError(
+            f"branch {branch!r} added column(s) {dupes} whose names collide "
+            "with the target's post-fork renames — diverged schemas cannot "
+            "be cherry-picked automatically; rename the branch column (or "
+            "the target) first"
+        )
     return delta.select(
         *[
             F.col(c).alias(mapping.get(c, c))

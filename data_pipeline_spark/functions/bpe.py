@@ -175,6 +175,10 @@ def bpe_train(
     ``"arrow"`` (default, the one-pass vectorized kernel) or ``"fold"``
     (the Catalyst chain); see :func:`bpe_apply`.
     """
+    if apply_method not in ("arrow", "fold"):
+        # validate BEFORE the (possibly hours-long) merge loop — bpe_apply
+        # would only catch a typo after all n_merges rounds completed
+        raise ValueError(f"unknown bpe_apply method {apply_method!r}")
     if new_id_start is None:
         mx = df.select(
             F.max(F.array_max(F.col(tokens_col))).alias("m")

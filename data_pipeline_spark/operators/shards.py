@@ -74,6 +74,25 @@ def _canon_summary(s: dict) -> dict:
     return out
 
 
+_LEGACY_DT = None  # compiled lazily
+
+
+def _canon_str_key(s: str) -> str:
+    """Normalize a STRING order key for comparison: a pre-round-5 manifest
+    serialized temporal keys via ``json.dump(default=str)``, i.e.
+    ``str(datetime)`` = 'YYYY-MM-DD HH:MM:SS[.ffffff]' (space separator),
+    while :func:`_canon_key` emits isoformat ('T' separator).  Comparing
+    the two raw would order 'T' (0x54) after ' ' (0x20) and silently
+    accept a mid-order append — normalize the legacy space form to the
+    'T' form so legacy-vs-new comparisons stay chronological."""
+    global _LEGACY_DT
+    if _LEGACY_DT is None:
+        import re
+
+        _LEGACY_DT = re.compile(r"^(\d{4}-\d{2}-\d{2}) (\d{2}:\d{2}:\d{2})")
+    return _LEGACY_DT.sub(r"\1T\2", s)
+
+
 def assign_training_shards(
     df: DataFrame,
     order_col: str = "doc_id",
@@ -329,6 +348,8 @@ def append_training_shards(
             "canonically comparable (legacy manifest with a str()-serialized "
             "key type?) — run a full write_training_shards(overwrite=True)"
         )
+    if isinstance(lo, str) and isinstance(last_key, str):
+        lo, last_key = _canon_str_key(lo), _canon_str_key(last_key)
     if last_key is not None and lo <= last_key:
         raise ValueError(
             f"append requires every new {order_col} to sort after the last "

@@ -283,9 +283,15 @@ class StreamingIngest:
             from ..table.index import open_index
 
             batch_keys = batch.select(self.table.key_col).distinct()
+            # attest how far this batch's key set covers the base's LSN
+            # line, so the index watermark can advance without risking a
+            # concurrent writer's uncovered changes (table/index.py)
+            batch_hi = batch.agg(F.max("lsn").alias("m")).collect()[0]["m"]
             for idx_root in self.indexes:
                 res = open_index(idx_root).refresh(
-                    batch_df.sparkSession, changed_keys=batch_keys
+                    batch_df.sparkSession,
+                    changed_keys=batch_keys,
+                    covered_lsn_high=None if batch_hi is None else int(batch_hi),
                 )
                 self.index_results.append((idx_root, res))
             if len(self.index_results) > self.applied_cap:

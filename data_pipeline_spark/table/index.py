@@ -117,7 +117,10 @@ class SecondaryIndex:
         return max((v for v in vals if v is not None), default=-1)
 
     def refresh(
-        self, spark: SparkSession, changed_keys: DataFrame | None = None
+        self,
+        spark: SparkSession,
+        changed_keys: DataFrame | None = None,
+        covered_lsn_high: int | None = None,
     ) -> dict[str, Any]:
         """Bring the index up to the base's current snapshot.  O(changed
         data); exactly-once per base version; safe to re-run or cron
@@ -192,14 +195,19 @@ class SecondaryIndex:
             if feed is not None:
                 new_wm = feed.agg(F.max(LSN_COL).alias("m")).collect()[0]["m"]
             else:
-                # changed_keys contract: the caller passed EVERY key changed
-                # since the last refresh, and the point read saw the base's
-                # current snapshot — so the base's recorded lsn high-water is
-                # fully reflected in the index.  Advancing keeps a later
-                # cron/feed refresh of a long-lived streaming index O(delta)
-                # instead of rescanning the whole changed-since history
-                # from -1 (correct either way: LWW absorbs overlap).
-                new_wm = self._meta_lsn_high(base)
+                # Advance ONLY as far as the caller ATTESTS its key set
+                # covers (``covered_lsn_high`` — e.g. the max LSN of the
+                # micro-batch whose keys were passed).  The base's own
+                # metadata lsn-high would be unsafe here: a concurrent
+                # writer's commit can land between the caller computing its
+                # key set and this refresh loading the snapshot, and
+                # jumping the watermark past those UNCOVERED changes would
+                # silently desynchronize the index forever.  With the
+                # attested bound, anything above stays visible to the next
+                # feed refresh — the self-healing property is preserved,
+                # while a per-batch maintainer still keeps later feed
+                # refreshes O(delta) instead of O(full history).
+                new_wm = covered_lsn_high
             if new_wm is not None and new_wm > wm:
                 # watermark is a pure scan-cost optimization: a crash before
                 # this commit just re-reads a wider feed next time (the LWW

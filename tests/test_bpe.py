@@ -181,3 +181,13 @@ def test_bpe_apply_arrow_rejects_negative_tokens(spark):
     with _pytest.raises(Exception) as e:
         bpe_apply(df, m, method="arrow").collect()
     assert "non-negative" in str(e.value)
+
+
+def test_bpe_train_validates_apply_method_before_training(spark):
+    """A typo'd apply_method must fail in milliseconds, not after the full
+    merge loop."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a", [1, 2, 1, 2])], "doc_id string, tokens array<int>")
+    with _pytest.raises(ValueError, match="unknown bpe_apply method"):
+        bpe_train(df, n_merges=4, apply_method="arrrow")

@@ -565,3 +565,36 @@ def test_cherry_pick_refuses_branch_side_renames(spark):
     apply_changes(m, _changes(spark, [(20, "U", "d3", 3, "m")]), epoch=3)
     with pytest.raises(ValueError, match="diverged schemas"):
         cherry_pick(spark, m.refresh(), "fix")
+
+
+def test_cherry_pick_refuses_branch_added_column_colliding_with_rename(spark):
+    """Round-5 review finding: a branch-ADDED column whose name equals a
+    post-fork target rename's target would alias two delta columns to one
+    name; the pick must refuse with the diverged-schema message, not
+    crash with an ambiguous-reference error."""
+    from data_pipeline_spark.cdc.apply import apply_changes_with_evolution
+    from data_pipeline_spark.cdc.cherry import cherry_pick
+
+    t = _mk()
+    apply_changes(t, _changes(spark, [(1, "U", "d1", 1, "m")]), epoch=0)
+    t.refresh().create_branch("fix")
+    m = IcehouseTable.load(t.root)
+    m.rename_column("n_tok", "tok_count")
+    m = m.refresh()
+    apply_changes(
+        m,
+        spark.createDataFrame(
+            [(20, "U", "dm", 7, "m")],
+            "lsn long, op string, doc_id string, tok_count int, source string",
+        ),
+        epoch=3,
+    )
+    # branch additively evolves a NEW column literally named tok_count
+    b = IcehouseTable.load(t.root, branch="fix")
+    batch = spark.createDataFrame(
+        [(10, "U", "db", 5, "b", 99)],
+        "lsn long, op string, doc_id string, n_tok int, source string, tok_count int",
+    )
+    apply_changes_with_evolution(b, batch, epoch=1)
+    with pytest.raises(ValueError, match="collide|diverged"):
+        cherry_pick(spark, m.refresh(), "fix")

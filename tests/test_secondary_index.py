@@ -153,3 +153,67 @@ def test_range_lookup_and_validation(spark, tmp_path, base):
     assert idx.range_keys(spark, 0, 5).count() == 400
     assert idx.range_keys(spark, 2, None).count() == 0
     assert idx.lookup_keys(spark, []).count() == 0
+
+
+def test_changed_keys_watermark_advance_is_caller_attested(spark, tmp_path, base):
+    """Round-5 review finding: a changed_keys refresh must NOT jump the
+    watermark to the base's metadata lsn-high — a concurrent writer's
+    uncovered commit would be skipped forever.  The watermark advances
+    only to the bound the caller ATTESTS its key set covers; anything
+    above stays visible to the next feed refresh (self-healing)."""
+    idx = SecondaryIndex.create(spark, base, str(tmp_path / "idx"), "source")
+    wm0 = int(idx.index.meta["properties"]["index.lsn-watermark"])
+
+    # micro-batch A (keys covered, lsns 1000-1001) AND a concurrent
+    # writer's batch B (key d0300, lsn 1100) land before the refresh
+    apply_changes(
+        base,
+        mk_batch(spark, [(1_000, "U", "d0001", [1], 1, "s9"),
+                         (1_001, "U", "d0002", [1], 1, "s9")]),
+        epoch=1,
+    )
+    apply_changes(
+        base.refresh(),
+        mk_batch(spark, [(1_100, "U", "d0300", [1], 1, "s9")]),
+        epoch=2,
+    )
+    base.refresh()
+
+    # maintainer only knows batch A's keys and attests coverage to 1001
+    keys = spark.createDataFrame([("d0001",), ("d0002",)], "doc_id string")
+    res = idx.refresh(spark, changed_keys=keys, covered_lsn_high=1_001)
+    assert not res["skipped"]
+    wm1 = int(idx.index.refresh().meta["properties"]["index.lsn-watermark"])
+    assert wm1 == 1_001 and wm1 > wm0  # advanced, but NOT past batch B
+
+    # d0300 is stale in the index right now (its change was not covered;
+    # the same-version fence also blocks an immediate re-refresh) — but as
+    # soon as the base advances, the next FEED refresh reads
+    # changed_since(1001), which still includes batch B, and heals it
+    apply_changes(
+        base.refresh(),
+        mk_batch(spark, [(1_200, "U", "d0005", [1], 1, "s8")]),
+        epoch=3,
+    )
+    base.refresh()
+    idx2 = open_index(str(tmp_path / "idx"))
+    res2 = idx2.refresh(spark)
+    assert not res2["skipped"] and res2["applied"] >= 2  # d0300 AND d0005
+    s9 = {r["doc_id"] for r in idx2.lookup_keys(spark, ["s9"]).collect()}
+    assert {"d0001", "d0002", "d0300"} <= s9
+    assert "d0005" in {r["doc_id"] for r in idx2.lookup_keys(spark, ["s8"]).collect()}
+
+    # without an attestation the watermark must not move at all
+    apply_changes(
+        base.refresh(),
+        mk_batch(spark, [(1_300, "U", "d0006", [1], 1, "s8")]),
+        epoch=4,
+    )
+    base.refresh()
+    idx3 = open_index(str(tmp_path / "idx"))
+    wm_before = int(idx3.index.meta["properties"]["index.lsn-watermark"])
+    keys2 = spark.createDataFrame([("d0006",)], "doc_id string")
+    res3 = idx3.refresh(spark, changed_keys=keys2)
+    assert not res3["skipped"]
+    wm_after = int(idx3.index.refresh().meta["properties"]["index.lsn-watermark"])
+    assert wm_after == wm_before

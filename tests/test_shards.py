@@ -248,3 +248,43 @@ def test_summary_matches_manual_aggregation(spark, docs):
     for sid, m in manual.items():
         assert summ[sid]["n_tokens"] == m["n_tokens"]
         assert summ[sid]["first_key"] == m["first_key"]
+
+
+def test_append_legacy_datetime_manifest_compares_chronologically(spark, tmp_path):
+    """Round-5 review finding: a pre-round-5 manifest serialized datetime
+    keys via str() ('YYYY-MM-DD HH:MM:SS', space), while canonical keys
+    use isoformat ('T').  Raw lexicographic compare orders 'T' after ' ',
+    silently accepting a mid-order append — both sides must normalize to
+    the same form first."""
+    import json as _json
+
+    out = str(tmp_path / "legacy")
+    df = spark.createDataFrame(
+        [("2024-06-01T10:00:00", [1]), ("2024-06-01T12:00:00", [2])],
+        "ts string, tokens array<int>",
+    ).select(F.to_timestamp("ts").alias("ts"), "tokens")
+    write_training_shards(df, out, order_col="ts", shard_rows=10)
+    # rewrite the manifest keys into the LEGACY str(datetime) space form
+    mpath = os.path.join(os.path.realpath(out), "_manifest.json")
+    m = _json.load(open(mpath))
+    for s in m["shards"]:
+        s["first_key"] = s["first_key"].replace("T", " ")
+        s["last_key"] = s["last_key"].replace("T", " ")
+    with open(mpath, "w") as f:
+        _json.dump(m, f)
+
+    from data_pipeline_spark.operators.shards import append_training_shards
+
+    # a key 4 hours BEFORE the legacy last key must be rejected even
+    # though 'T' > ' ' lexicographically
+    before = spark.createDataFrame([("2024-06-01T08:00:00", [3])],
+                                   "ts string, tokens array<int>").select(
+        F.to_timestamp("ts").alias("ts"), "tokens")
+    with pytest.raises(ValueError, match="sort after"):
+        append_training_shards(before, out)
+    # and a genuinely-later key appends fine
+    after = spark.createDataFrame([("2024-06-01T15:00:00", [4])],
+                                  "ts string, tokens array<int>").select(
+        F.to_timestamp("ts").alias("ts"), "tokens")
+    res = append_training_shards(after, out)
+    assert res["n_rows"] == 3
